@@ -1,0 +1,102 @@
+"""Vectorized planar/spherical geometry helpers.
+
+Scalar functions mirrored from the reference: ``axis_dist``
+(src/rtree/trait.rs:571-579), haversine with WGS84 equatorial radius
+(src/rtree/distance.rs:57-125), lossless-outward f64→f32 box cast
+(src/rtree/util.rs:26-51).  PIP (ray casting) is the engine's own
+"exact refinement" stage — the reference returns bbox candidates only and
+leaves exact predicates to the caller (python/.../rtree.pyi:52-61).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+EARTH_RADIUS = 6378137.0  # WGS84 equatorial radius (src/rtree/distance.rs:72)
+
+
+def axis_dist(k, mn, mx):
+    """Vectorized 1D distance from value(s) to range(s)."""
+    return np.where(k < mn, mn - k, np.where(k <= mx, 0.0, k - mx))
+
+
+def sq_dist(ax, ay, bx, by):
+    dx = ax - bx
+    dy = ay - by
+    return dx * dx + dy * dy
+
+
+def haversine(lon1, lat1, lon2, lat2, radius: float = EARTH_RADIUS):
+    """Great-circle distance in meters; vectorized."""
+    lon1, lat1, lon2, lat2 = (np.radians(np.asarray(a, dtype=np.float64)) for a in (lon1, lat1, lon2, lat2))
+    dlat = lat2 - lat1
+    dlon = lon2 - lon1
+    h = np.sin(dlat / 2) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2) ** 2
+    return 2.0 * radius * np.arcsin(np.sqrt(np.clip(h, 0.0, 1.0)))
+
+
+def haversine_to_bbox(lon, lat, min_lon, min_lat, max_lon, max_lat, radius: float = EARTH_RADIUS):
+    """Haversine distance to the clamped closest point of a bbox
+    (src/rtree/distance.rs:91-115)."""
+    closest_lon = np.clip(lon, min_lon, max_lon)
+    closest_lat = np.clip(lat, min_lat, max_lat)
+    return haversine(lon, lat, closest_lon, closest_lat, radius)
+
+
+def f64_box_to_f32(min_x, min_y, max_x, max_y):
+    """Outward f64→f32 cast so the f32 box always contains the f64 box.
+
+    Vectorized equivalent of src/rtree/util.rs:26-51.
+    """
+    min_x = np.asarray(min_x, dtype=np.float64)
+    min_y = np.asarray(min_y, dtype=np.float64)
+    max_x = np.asarray(max_x, dtype=np.float64)
+    max_y = np.asarray(max_y, dtype=np.float64)
+    nmin_x = min_x.astype(np.float32)
+    nmin_y = min_y.astype(np.float32)
+    nmax_x = max_x.astype(np.float32)
+    nmax_y = max_y.astype(np.float32)
+    nmin_x = np.where(nmin_x.astype(np.float64) > min_x, np.nextafter(nmin_x, np.float32(-np.inf)), nmin_x)
+    nmin_y = np.where(nmin_y.astype(np.float64) > min_y, np.nextafter(nmin_y, np.float32(-np.inf)), nmin_y)
+    nmax_x = np.where(nmax_x.astype(np.float64) < max_x, np.nextafter(nmax_x, np.float32(np.inf)), nmax_x)
+    nmax_y = np.where(nmax_y.astype(np.float64) < max_y, np.nextafter(nmax_y, np.float32(np.inf)), nmax_y)
+    return (
+        nmin_x.astype(np.float32),
+        nmin_y.astype(np.float32),
+        nmax_x.astype(np.float32),
+        nmax_y.astype(np.float32),
+    )
+
+
+def boxes_intersect(aminx, aminy, amaxx, amaxy, bminx, bminy, bmaxx, bmaxy):
+    """Vectorized bbox overlap test (closed boxes, matching the reference's
+    disjoint test in src/rtree/trait.rs:143-148)."""
+    return ~((bmaxx < aminx) | (bmaxy < aminy) | (bminx > amaxx) | (bminy > amaxy))
+
+
+def points_in_polygon(px: np.ndarray, py: np.ndarray, poly: np.ndarray) -> np.ndarray:
+    """Ray-casting point-in-polygon for one polygon, vectorized over points.
+
+    ``poly`` is an (n, 2) closed-or-open ring.  Points exactly on an edge
+    may land on either side (standard even-odd rule); use bbox pre-filters
+    so the refinement only sees candidates.
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    poly = np.asarray(poly, dtype=np.float64)
+    n = len(poly)
+    inside = np.zeros(len(px), dtype=bool)
+    x1, y1 = poly[-1]
+    for i in range(n):
+        x2, y2 = poly[i]
+        crosses = ((y1 > py) != (y2 > py))
+        if np.any(crosses):
+            xint = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+            inside ^= crosses & (px < xint)
+        x1, y1 = x2, y2
+    return inside
+
+
+def points_in_boxes(px, py, bminx, bminy, bmaxx, bmaxy):
+    """Vectorized elementwise point-in-bbox (closed box)."""
+    return (px >= bminx) & (px <= bmaxx) & (py >= bminy) & (py <= bmaxy)

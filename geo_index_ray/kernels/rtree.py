@@ -1,0 +1,524 @@
+"""Packed static R-tree ("flatbush" ABI) — pure numpy, zero-copy.
+
+From-scratch reimplementation of the index semantics of geo-index's RTree
+(reference layout: src/rtree/index.rs:26-146, builder src/rtree/builder.rs:
+36-238, search src/rtree/trait.rs:113-165, kNN src/rtree/trait.rs:198-302,
+tree×tree join src/rtree/traversal.rs:262-370, partition export
+python/src/rtree/partitions.rs:17-132).  The buffer produced here is
+ABI-compatible with flatbush-JS / geo-index:
+
+- header: ``[0xfb, (3<<4) | type_index, node_size:u16, num_items:u32]``
+- boxes: ``num_nodes * 4`` coords, all levels bottom-up (leaves first)
+- indices: ``num_nodes`` ints, u16 if num_nodes < 16384 else u32; leaf slots
+  hold insertion indexes, internal slots hold the coord-pos of the node's
+  first child.
+
+Everything is vectorized (argsort / reshape / reduceat); queries accept
+*batches* and return (query_id, item_id) pair arrays so a whole Arrow batch
+of queries is answered per call.  ``method="hilbert_parity"`` /
+``"str_parity"`` use the exact partial-quicksort port for byte-for-byte
+parity with the reference (validated against its flatbush-JS fixture).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+from .hilbert import (
+    hilbert_sort_permutation,
+    hilbert_values_for_boxes,
+    partial_quicksort,
+)
+
+MAGIC = 0xFB
+VERSION = 3
+DEFAULT_NODE_SIZE = 16
+
+# flatbush-JS array-type order (reference src/type.rs:15-85); we support the
+# same subset as the reference's Python bindings (f32/f64,
+# python/src/coord_type.rs:6-9).
+_TYPE_INDEX = {"float32": 7, "float64": 8}
+_DTYPE_FOR_TYPE_INDEX = {7: np.dtype("float32"), 8: np.dtype("float64")}
+
+
+class RTreeMetadata:
+    """Layout math for a flatbush buffer. Parity: src/rtree/index.rs:26-146."""
+
+    __slots__ = (
+        "num_items",
+        "node_size",
+        "dtype",
+        "num_nodes",
+        "level_bounds",
+        "nodes_byte_length",
+        "indices_byte_length",
+        "indices_dtype",
+    )
+
+    def __init__(self, num_items: int, node_size: int = DEFAULT_NODE_SIZE, dtype=np.float64):
+        if not (2 <= node_size <= 65535):
+            raise ValueError("node_size must be in [2, 65535]")
+        dtype = np.dtype(dtype)
+        if dtype.name not in _TYPE_INDEX:
+            raise ValueError(f"unsupported coord dtype {dtype}")
+        self.num_items = int(num_items)
+        self.node_size = int(node_size)
+        self.dtype = dtype
+
+        # compute_num_nodes: repeated ceil(n / node_size)
+        # (reference src/rtree/util.rs:7-21)
+        n = self.num_items
+        num_nodes = n
+        level_bounds = [n * 4]
+        while n > 1:
+            n = int(np.ceil(n / self.node_size))
+            num_nodes += n
+            level_bounds.append(num_nodes * 4)
+        self.num_nodes = num_nodes
+        self.level_bounds = level_bounds
+
+        self.indices_dtype = np.dtype(np.uint16) if num_nodes < 16384 else np.dtype(np.uint32)
+        self.nodes_byte_length = num_nodes * 4 * dtype.itemsize
+        self.indices_byte_length = num_nodes * self.indices_dtype.itemsize
+
+    @property
+    def data_buffer_length(self) -> int:
+        return 8 + self.nodes_byte_length + self.indices_byte_length
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.level_bounds)
+
+    @classmethod
+    def from_buffer(cls, data) -> "RTreeMetadata":
+        """Parse + validate a flatbush header (src/rtree/index.rs:50-98)."""
+        buf = np.frombuffer(data, dtype=np.uint8)
+        if len(buf) < 8:
+            raise ValueError(f"Expected at least 8 bytes but received {len(buf)}")
+        if buf[0] != MAGIC:
+            raise ValueError("Data not in Flatbush format.")
+        version = buf[1] >> 4
+        if version != VERSION:
+            raise ValueError(f"Got v{version} data when expected v{VERSION}.")
+        type_index = buf[1] & 0x0F
+        if type_index not in _DTYPE_FOR_TYPE_INDEX:
+            raise ValueError(f"Unsupported coordinate type index {type_index}")
+        node_size = int(buf[2:4].view(np.uint16)[0])
+        num_items = int(buf[4:8].view(np.uint32)[0])
+        meta = cls(num_items, node_size, _DTYPE_FOR_TYPE_INDEX[type_index])
+        if meta.data_buffer_length != len(buf):
+            raise ValueError(
+                f"Expected {meta.data_buffer_length} bytes but received "
+                f"byte slice with {len(buf)} bytes"
+            )
+        return meta
+
+    def boxes_view(self, data) -> np.ndarray:
+        buf = np.frombuffer(data, dtype=np.uint8)
+        return buf[8 : 8 + self.nodes_byte_length].view(self.dtype)
+
+    def indices_view(self, data) -> np.ndarray:
+        buf = np.frombuffer(data, dtype=np.uint8)
+        return buf[8 + self.nodes_byte_length : self.data_buffer_length].view(self.indices_dtype)
+
+
+def _attach(data):
+    meta = RTreeMetadata.from_buffer(data)
+    return meta, meta.boxes_view(data), meta.indices_view(data)
+
+
+def build_rtree(
+    min_x,
+    min_y,
+    max_x,
+    max_y,
+    node_size: int = DEFAULT_NODE_SIZE,
+    method: str = "hilbert",
+    dtype=np.float64,
+) -> np.ndarray:
+    """Build a flatbush buffer from four coordinate arrays.
+
+    Returns a uint8 numpy array (the ABI-stable buffer).  ``method`` is one
+    of ``hilbert`` (default; vectorized stable argsort on Hilbert values),
+    ``str`` (sort-tile-recursive, vectorized), ``hilbert_parity`` /
+    ``str_parity`` (exact partial-quicksort ports, byte-identical to the
+    reference — use for parity testing, not the hot path), ``none`` (keep
+    insertion order; for pre-sorted inputs).
+
+    Parity: builder protocol src/rtree/builder.rs:38-238.
+    """
+    dtype = np.dtype(dtype)
+    min_x = np.ascontiguousarray(min_x, dtype=dtype)
+    min_y = np.ascontiguousarray(min_y, dtype=dtype)
+    max_x = np.ascontiguousarray(max_x, dtype=dtype)
+    max_y = np.ascontiguousarray(max_y, dtype=dtype)
+    n = len(min_x)
+    meta = RTreeMetadata(n, node_size, dtype)
+
+    data = np.zeros(meta.data_buffer_length, dtype=np.uint8)
+    data[0] = MAGIC
+    data[1] = (VERSION << 4) + _TYPE_INDEX[dtype.name]
+    data[2:4].view(np.uint16)[0] = node_size
+    data[4:8].view(np.uint32)[0] = n
+
+    boxes = data[8 : 8 + meta.nodes_byte_length].view(dtype)
+    indices = data[8 + meta.nodes_byte_length :].view(meta.indices_dtype)
+
+    if n == 0:
+        return data
+
+    # leaf section, interleaved
+    boxes[0 : 4 * n : 4] = min_x
+    boxes[1 : 4 * n : 4] = min_y
+    boxes[2 : 4 * n : 4] = max_x
+    boxes[3 : 4 * n : 4] = max_y
+    indices[:n] = np.arange(n, dtype=meta.indices_dtype)
+
+    if n == 1:
+        return data
+
+    gminx = float(min_x.min())
+    gminy = float(min_y.min())
+    gmaxx = float(max_x.max())
+    gmaxy = float(max_y.max())
+
+    if n <= node_size:
+        # single leaf node: root box is the global bbox, no sort
+        # (src/rtree/builder.rs:153-168)
+        boxes[4 * n : 4 * n + 4] = np.array([gminx, gminy, gmaxx, gmaxy], dtype=dtype)
+        return data
+
+    leaf = boxes[: 4 * n]
+    _sort_leaves(leaf, indices, n, node_size, method, (gminx, gminy, gmaxx, gmaxy), dtype)
+
+    # pack parent levels bottom-up (src/rtree/builder.rs:180-232)
+    for level in range(meta.num_levels - 1):
+        start = 0 if level == 0 else meta.level_bounds[level - 1]
+        end = meta.level_bounds[level]
+        child_boxes = boxes[start:end].reshape(-1, 4)
+        num_children = len(child_boxes)
+        num_parents = int(np.ceil(num_children / node_size))
+        pad = num_parents * node_size - num_children
+        if pad:
+            padding = np.empty((pad, 4), dtype=dtype)
+            padding[:, 0] = np.inf
+            padding[:, 1] = np.inf
+            padding[:, 2] = -np.inf
+            padding[:, 3] = -np.inf
+            child_boxes = np.concatenate([child_boxes, padding])
+        grouped = child_boxes.reshape(num_parents, node_size, 4)
+        parent = np.empty((num_parents, 4), dtype=dtype)
+        parent[:, 0] = grouped[:, :, 0].min(axis=1)
+        parent[:, 1] = grouped[:, :, 1].min(axis=1)
+        parent[:, 2] = grouped[:, :, 2].max(axis=1)
+        parent[:, 3] = grouped[:, :, 3].max(axis=1)
+        boxes[end : end + num_parents * 4] = parent.ravel()
+        # internal-node index = coord-pos of first child
+        indices[end // 4 : end // 4 + num_parents] = (
+            start + np.arange(num_parents, dtype=np.int64) * node_size * 4
+        ).astype(meta.indices_dtype)
+
+    return data
+
+
+def _sort_leaves(leaf, indices, n, node_size, method, bounds, dtype):
+    mnx, mny, mxx, mxy = leaf[0::4], leaf[1::4], leaf[2::4], leaf[3::4]
+    if method == "none":
+        return
+    if method == "hilbert":
+        hv = hilbert_values_for_boxes(mnx, mny, mxx, mxy, bounds)
+        perm = hilbert_sort_permutation(hv)
+        leaf[:] = leaf.reshape(-1, 4)[perm].ravel()
+        indices[:n] = indices[:n][perm]
+    elif method == "hilbert_parity":
+        hv = hilbert_values_for_boxes(mnx, mny, mxx, mxy, bounds).copy()
+        partial_quicksort(hv, leaf, indices[:n], node_size)
+    elif method == "str":
+        # sort-tile-recursive (src/rtree/sort/str.rs:16-99), vectorized:
+        # stable sort by center-x, slice into ceil(sqrt(ceil(n/node_size)))
+        # vertical strips, stable sort each strip by center-y.
+        cx = ((mnx + mxx) / 2).copy()
+        cy = ((mny + mxy) / 2).copy()
+        perm = np.argsort(cx, kind="stable")
+        num_leaf_nodes = int(np.ceil(n / node_size))
+        num_slices = int(np.ceil(np.sqrt(num_leaf_nodes)))
+        per_slice = int(np.ceil(n / num_slices))
+        cy_sorted = cy[perm]
+        for s in range(num_slices):
+            lo = s * per_slice
+            hi = min((s + 1) * per_slice, n)
+            if hi <= lo:
+                break
+            sub = np.argsort(cy_sorted[lo:hi], kind="stable")
+            perm[lo:hi] = perm[lo:hi][sub]
+        leaf[:] = leaf.reshape(-1, 4)[perm].ravel()
+        indices[:n] = indices[:n][perm]
+    elif method == "str_parity":
+        cx = ((mnx + mxx) / 2).astype(dtype)
+        partial_quicksort(cx, leaf, indices[:n], node_size)
+        mny2, mxy2 = leaf[1::4], leaf[3::4]
+        cy = ((mny2 + mxy2) / 2).astype(dtype)
+        num_leaf_nodes = int(np.ceil(n / node_size))
+        num_slices = int(np.ceil(np.sqrt(num_leaf_nodes)))
+        per_slice = int(np.ceil(n / num_slices))
+        for s in range(num_slices):
+            lo = s * per_slice
+            hi = min((s + 1) * per_slice, n)
+            if hi <= lo:
+                break
+            partial_quicksort(cy, leaf, indices[:n], node_size, lo, hi - 1)
+    else:
+        raise ValueError(f"unknown sort method {method!r}")
+
+
+# ---------------------------------------------------------------------------
+# Queries
+# ---------------------------------------------------------------------------
+
+
+def search_batch(data, qmin_x, qmin_y, qmax_x, qmax_y):
+    """Box-intersection probe for a *batch* of query boxes.
+
+    Returns ``(query_ids, item_ids)`` uint32 arrays: item ``item_ids[k]``'s
+    box intersects query ``query_ids[k]``'s box.  Same candidate sets as the
+    reference's per-query BFS (src/rtree/trait.rs:113-165) but expanded as a
+    level-synchronous frontier in numpy, so one call answers thousands of
+    queries.  Pair order is not the reference's insertion order — candidate
+    sets are order-insensitive (the reference's own tests sort before
+    comparing, src/rtree/trait.rs:602-609).
+    """
+    meta, boxes, indices = _attach(data)
+    qmin_x = np.asarray(qmin_x, dtype=meta.dtype)
+    qmin_y = np.asarray(qmin_y, dtype=meta.dtype)
+    qmax_x = np.asarray(qmax_x, dtype=meta.dtype)
+    qmax_y = np.asarray(qmax_y, dtype=meta.dtype)
+    nq = len(qmin_x)
+
+    empty = (np.empty(0, dtype=np.uint32), np.empty(0, dtype=np.uint32))
+    if meta.num_items == 0 or nq == 0:
+        return empty
+
+    level_bounds = np.asarray(meta.level_bounds, dtype=np.int64)
+    num_leaf_coords = meta.num_items * 4
+    node_span = meta.node_size * 4
+    root = len(boxes) - 4
+
+    qid = np.arange(nq, dtype=np.int64)
+    gstart = np.full(nq, root, dtype=np.int64)
+
+    out_q = []
+    out_i = []
+    while len(gstart):
+        ub = level_bounds[np.searchsorted(level_bounds, gstart, side="right")]
+        end = np.minimum(gstart + node_span, ub)
+        counts = (end - gstart) >> 2
+        total = int(counts.sum())
+        rq = np.repeat(qid, counts)
+        base = np.repeat(gstart, counts)
+        cum = np.cumsum(counts) - counts
+        local = np.arange(total, dtype=np.int64) - np.repeat(cum, counts)
+        pos = base + 4 * local
+
+        keep = ~(
+            (qmax_x[rq] < boxes[pos])
+            | (qmax_y[rq] < boxes[pos + 1])
+            | (qmin_x[rq] > boxes[pos + 2])
+            | (qmin_y[rq] > boxes[pos + 3])
+        )
+        pos = pos[keep]
+        rq = rq[keep]
+        idxv = indices[pos >> 2].astype(np.int64)
+        is_leaf = pos < num_leaf_coords
+        out_q.append(rq[is_leaf].astype(np.uint32))
+        out_i.append(idxv[is_leaf].astype(np.uint32))
+        qid = rq[~is_leaf]
+        gstart = idxv[~is_leaf]
+
+    if not out_q:
+        return empty
+    return np.concatenate(out_q), np.concatenate(out_i)
+
+
+def search(data, min_x, min_y, max_x, max_y) -> np.ndarray:
+    """Single box-intersection query; returns item ids (sorted)."""
+    _, ids = search_batch(
+        data,
+        np.array([min_x]),
+        np.array([min_y]),
+        np.array([max_x]),
+        np.array([max_y]),
+    )
+    return np.sort(ids)
+
+
+def neighbors(
+    data,
+    x: float,
+    y: float,
+    max_results: int | None = None,
+    max_distance: float | None = None,
+    metric: str = "squared",
+) -> np.ndarray:
+    """kNN by best-first traversal; exact port of the reference algorithm.
+
+    The default metric is *squared* euclidean (so ``max_distance`` compares
+    against squared distance), matching the reference default
+    (src/rtree/trait.rs:198-302).  ``metric="euclidean"`` is the sqrt'd
+    variant (reference ``EuclideanDistance``, src/rtree/distance.rs:33-49);
+    ``metric="haversine"`` uses great-circle meters with WGS84 equatorial
+    radius (src/rtree/distance.rs:57-125).  Results are item ids ordered by
+    ascending distance.
+    """
+    meta, boxes, indices = _attach(data)
+    if meta.num_items == 0:
+        return np.empty(0, dtype=np.uint32)
+
+    if metric == "squared":
+
+        def dist_to_bbox(mnx, mny, mxx, mxy):
+            dx = _axis_dist(x, mnx, mxx)
+            dy = _axis_dist(y, mny, mxy)
+            return dx * dx + dy * dy
+
+    elif metric == "euclidean":
+
+        def dist_to_bbox(mnx, mny, mxx, mxy):
+            dx = _axis_dist(x, mnx, mxx)
+            dy = _axis_dist(y, mny, mxy)
+            return float(np.sqrt(dx * dx + dy * dy))
+
+    elif metric == "haversine":
+        from .geom import haversine_to_bbox
+
+        def dist_to_bbox(mnx, mny, mxx, mxy):
+            return haversine_to_bbox(x, y, mnx, mny, mxx, mxy)
+
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+
+    if max_distance is None:
+        max_distance = np.inf
+
+    level_bounds = meta.level_bounds
+    node_span = meta.node_size * 4
+    num_leaf_coords = meta.num_items * 4
+
+    outer = len(boxes) - 4
+    heap: list[tuple[float, int]] = []
+    results: list[int] = []
+
+    while outer is not None:
+        end = min(outer + node_span, _upper_bound(outer, level_bounds))
+        for pos in range(outer, end, 4):
+            d = dist_to_bbox(
+                float(boxes[pos]),
+                float(boxes[pos + 1]),
+                float(boxes[pos + 2]),
+                float(boxes[pos + 3]),
+            )
+            if d > max_distance:
+                continue
+            index = int(indices[pos >> 2])
+            if outer >= num_leaf_coords:
+                heapq.heappush(heap, (d, index << 1))  # internal: even id
+            else:
+                heapq.heappush(heap, (d, (index << 1) + 1))  # leaf: odd id
+
+        stop = False
+        while heap and (heap[0][1] & 1):
+            if heap[0][0] > max_distance:
+                stop = True
+                break
+            _, iid = heapq.heappop(heap)
+            results.append(iid >> 1)
+            if max_results is not None and len(results) == max_results:
+                stop = True
+                break
+        if stop:
+            break
+        outer = (heapq.heappop(heap)[1] >> 1) if heap else None
+
+    return np.asarray(results, dtype=np.uint32)
+
+
+def _axis_dist(k, mn, mx):
+    """1D distance to a range (src/rtree/trait.rs:571-579)."""
+    if k < mn:
+        return mn - k
+    if k <= mx:
+        return 0.0
+    return k - mx
+
+
+def _upper_bound(value, arr):
+    """First element of arr greater than value (src/rtree/util.rs:55-69)."""
+    i, j = 0, len(arr) - 1
+    while i < j:
+        m = (i + j) >> 1
+        if arr[m] > value:
+            j = m
+        else:
+            i = m + 1
+    return arr[i]
+
+
+def tree_join(left_data, right_data):
+    """Tree×tree box-intersection candidate join.
+
+    Returns ``(left_ids, right_ids)`` uint32 arrays: the same candidate
+    *set* as the reference's dual-tree synchronized descent
+    (src/rtree/traversal.rs:262-370) — here computed by batch-probing the
+    right tree with the left tree's leaf boxes, which yields an identical
+    pair set (both enumerate exactly the intersecting leaf pairs).  Pair
+    order differs; compare as sets (as the reference's rstar-parity test
+    does, src/rtree/traversal.rs:402-484).
+    """
+    lmeta, lboxes, lindices = _attach(left_data)
+    if lmeta.num_items == 0:
+        return np.empty(0, dtype=np.uint32), np.empty(0, dtype=np.uint32)
+    nl = lmeta.num_items
+    leaf = lboxes[: 4 * nl]
+    qids, rids = search_batch(right_data, leaf[0::4], leaf[1::4], leaf[2::4], leaf[3::4])
+    left_ids = lindices[:nl].astype(np.uint32)[qids]
+    return left_ids, rids
+
+
+# ---------------------------------------------------------------------------
+# Partition / export views (python/src/rtree/partitions.rs)
+# ---------------------------------------------------------------------------
+
+
+def boxes_at_level(data, level: int) -> np.ndarray:
+    """(n, 4) view of node boxes at a level; level 0 = leaves.
+
+    Parity: src/rtree/trait.rs:95-108.
+    """
+    meta, boxes, _ = _attach(data)
+    lb = meta.level_bounds
+    if level >= len(lb):
+        raise ValueError("Level out of bounds")
+    start = 0 if level == 0 else lb[level - 1]
+    return boxes[start : lb[level]].reshape(-1, 4)
+
+
+def partitions(data):
+    """Leaf-node membership as spatial partitioning of the original rows.
+
+    Returns ``(insertion_indices, partition_ids)``; partition = leaf node
+    (python/src/rtree/partitions.rs:17-104).
+    """
+    meta, _, indices = _attach(data)
+    n = meta.num_items
+    idx = indices[:n].astype(np.uint32)
+    pids = (np.arange(n, dtype=np.uint32) // meta.node_size).astype(np.uint32)
+    return idx, pids
+
+
+def partition_boxes(data) -> np.ndarray:
+    """Partition envelopes: boxes at level 1 (python/src/rtree/partitions.rs:108-132)."""
+    meta, _, _ = _attach(data)
+    if meta.num_levels < 2:
+        return boxes_at_level(data, 0)
+    return boxes_at_level(data, 1)
