@@ -1,16 +1,12 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native spatial-join + tiling engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline at sf0.001; ``queries()`` exposes
+one callable per implemented operator/pipeline (SURVEY.md §2 and the
+training-data extensions); ``oracle_sql()`` gives the DuckDB twin for every
+SQL-expressible query (same column names — the driver hash-compares).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +14,510 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow.parquet as pq
+
+from geo_index_ray.functions import geocode
+from geo_index_ray.kernels import cells as cellmod
+from geo_index_ray.kernels import rtree
+from geo_index_ray.pipelines import ann as ann_pipe
+from geo_index_ray.pipelines import dedup as dedup_pipe
+from geo_index_ray.pipelines import knn as knn_pipe
+from geo_index_ray.pipelines import multimodal as mm_pipe
+from geo_index_ray.pipelines import spatial_join as sj
+from geo_index_ray.pipelines import text as text_pipe
+from geo_index_ray.pipelines import tiling
+from geo_index_ray.sources import tables
+
+import pyarrow as pa
+
+# resolutions (fixed, mirrored in the SQL strings below)
+RES_ASSIGN = 6
+RES_COUNTS = 5
+RES_STATS = 4
+RES_TILES = 3
+RES_RASTER = 5
+BOX_SEARCH = (-30.0, -20.0, 40.0, 35.0)
+KNN_K = 5
+WITHIN_R = 25.0
+ANN_K = 5
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: tile + histogram + spatial join at sf0.001."""
+    sf_dir = "/root/testdata/sf0.001"
+    pts = tables.point_boxes_ds(sf_dir, "customer", "c_custkey")
+    tiles_ds = _part_tiles_ds(sf_dir)
+    pairs = sj.shuffle_spatial_join(
+        pts, tiles_ds, res=RES_COUNTS, how="pip", left_id="c_custkey", right_id="p_partkey"
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _part_tiles_ds(sf_dir: str):
+    """part → its res-3 tile polygon (bbox) per p_partkey."""
+    ds = tables.points_ds(sf_dir, "part", "p_partkey")
+
+    def to_tile(batch: pa.Table) -> pa.Table:
+        cell = cellmod.lonlat_to_cell(batch["x"].to_numpy(), batch["y"].to_numpy(), RES_TILES)
+        mnx, mny, mxx, mxy = cellmod.cell_bounds(cell)
+        return pa.table(
+            {
+                "p_partkey": batch["p_partkey"],
+                "min_x": pa.array(mnx),
+                "min_y": pa.array(mny),
+                "max_x": pa.array(mxx),
+                "max_y": pa.array(mxy),
+            }
+        )
+
+    return ds.map_batches(to_tile, batch_format="pyarrow")
+
+
+def _lineitem_boxes_ds(sf_dir: str):
+    """lineitem → composite id (l_orderkey*10 + l_linenumber) + derived box."""
+    ds = tables.read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
+
+    def with_id(batch: pa.Table) -> pa.Table:
+        lid = (
+            batch["l_orderkey"].to_numpy().astype(np.int64) * 10
+            + batch["l_linenumber"].to_numpy().astype(np.int64)
+        )
+        return pa.table({"l_id": pa.array(lid)})
+
+    ds = ds.map_batches(with_id, batch_format="pyarrow")
+    from geo_index_ray.stages.geometry import derive_box_columns
+
+    return ds.map_batches(derive_box_columns("l_id"), batch_format="pyarrow")
+
+
+def _read_queries_for_ann(sf_dir: str):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vid = t["vec_id"].to_numpy().astype(np.int64)
+    mask = vid % 97 == 0
+    emb = t["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    dim = len(emb) // len(vid)
+    mat = emb.reshape(len(vid), dim)[mask]
+    return mat, vid[mask]
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    q: dict[str, Callable[[str], Any]] = {}
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- tiling / cells ---
+    def cell_assign(sf_dir):
+        ds = tables.points_ds(sf_dir, "documents", "doc_id")
+        return tiling.assign_cells(ds, RES_ASSIGN)
+
+    q["cell_assign"] = cell_assign
+
+    def cell_counts(sf_dir):
+        ds = tables.points_ds(sf_dir, "orders", "o_orderkey")
+        return tiling.cell_histogram(ds, RES_COUNTS)
+
+    q["cell_counts"] = cell_counts
+
+    def cell_stats(sf_dir):
+        ds = tables.points_ds(sf_dir, "orders", "o_orderkey")
+        ds = tiling.assign_cells(ds, RES_STATS)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            df = pd.DataFrame(
+                {
+                    "cell": batch["cell"].to_numpy(),
+                    "x": batch["x"].to_numpy(),
+                    "y": batch["y"].to_numpy(),
+                }
+            )
+            g = df.groupby("cell").agg(
+                n_rows=("x", "size"),
+                min_x=("x", "min"),
+                max_x=("x", "max"),
+                min_y=("y", "min"),
+                max_y=("y", "max"),
+            )
+            return pa.Table.from_pandas(g.reset_index())
+
+        partials = ds.map_batches(partial, batch_format="pyarrow")
+
+        def merge(g):
+            import pandas as pd
+
+            return pd.DataFrame(
+                {
+                    "cell": [g["cell"].iloc[0]],
+                    "n_rows": [np.int64(g["n_rows"].sum())],
+                    "min_x": [g["min_x"].min()],
+                    "max_x": [g["max_x"].max()],
+                    "min_y": [g["min_y"].min()],
+                    "max_y": [g["max_y"].max()],
+                }
+            )
+
+        return partials.groupby("cell").map_groups(merge, batch_format="pandas")
+
+    q["cell_stats"] = cell_stats
+
+    def vectorize(sf_dir):
+        ds = tables.points_ds(sf_dir, "orders", "o_orderkey")
+        hist = tiling.cell_histogram(ds, RES_COUNTS)
+        return tiling.vectorize_cells(hist, RES_COUNTS)
+
+    q["cell_vectorize"] = vectorize
+
+    def rasterize(sf_dir):
+        ds = tables.boxes_ds(sf_dir, "part", "p_partkey")
+        return tiling.rasterize_boxes(ds, RES_RASTER, "p_partkey")
+
+    q["rasterize_parts"] = rasterize
+
+    # --- index probes ---
+    def box_search(sf_dir):
+        ds = tables.points_ds(sf_dir, "orders", "o_orderkey")
+        mnx, mny, mxx, mxy = BOX_SEARCH
+
+        def probe(batch: pa.Table) -> pa.Table:
+            x = batch["x"].to_numpy()
+            y = batch["y"].to_numpy()
+            tree = rtree.build_rtree(x, y, x, y)
+            hits = rtree.search(tree, mnx, mny, mxx, mxy).astype(np.int64)
+            return batch.take(hits)
+
+        return ds.map_batches(probe, batch_format="pyarrow")
+
+    q["box_search"] = box_search
+
+    # --- joins ---
+    def pip_join(sf_dir):
+        pts = tables.point_boxes_ds(sf_dir, "customer", "c_custkey")
+        tiles_ds = _part_tiles_ds(sf_dir)
+        return sj.shuffle_spatial_join(
+            pts, tiles_ds, res=RES_COUNTS, how="pip",
+            left_id="c_custkey", right_id="p_partkey",
+        )
+
+    q["pip_join"] = pip_join
+
+    def box_join(sf_dir):
+        lt = _lineitem_boxes_ds(sf_dir)
+        rt = tables.boxes_ds(sf_dir, "part", "p_partkey")
+        return sj.shuffle_spatial_join(
+            lt, rt, res=RES_COUNTS, how="intersects",
+            left_id="l_id", right_id="p_partkey",
+        )
+
+    q["box_join"] = box_join
+
+    def within_radius(sf_dir):
+        cust = tables.point_boxes_ds(sf_dir, "customer", "c_custkey")
+        supp = tables.point_boxes_ds(sf_dir, "supplier", "s_suppkey")
+        return sj.shuffle_spatial_join(
+            cust, supp, res=RES_STATS, how="dwithin", radius=WITHIN_R,
+            left_id="c_custkey", right_id="s_suppkey",
+        )
+
+    q["within_radius"] = within_radius
+
+    def knn_query(sf_dir):
+        nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+        nk = nation["n_nationkey"].to_numpy().astype(np.int64)
+        qxy = np.stack([geocode.derive_lon(nk), geocode.derive_lat(nk)], axis=1)
+        targets = tables.points_ds(sf_dir, "customer", "c_custkey")
+        res = knn_pipe.knn(targets, qxy, KNN_K, id_col="c_custkey", query_ids=nk)
+        return res.select_columns(["query_id", "target_id", "rank"])
+
+    q["knn_nation_customer"] = knn_query
+
+    # --- dedup / text ---
+    def dedup_exact(sf_dir):
+        ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        return dedup_pipe.exact_dedup(ds, "doc_id").select_columns(["keep_id", "n_dups"])
+
+    q["dedup_exact"] = dedup_exact
+
+    def token_count(sf_dir):
+        ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        return ds.map_batches(text_pipe.token_count_stage("doc_id"), batch_format="pyarrow")
+
+    q["token_count"] = token_count
+
+    def text_quality(sf_dir):
+        ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        return ds.map_batches(text_pipe.quality_stage("doc_id"), batch_format="pyarrow")
+
+    q["text_quality"] = text_quality
+
+    def lang_hist(sf_dir):
+        ds = tables.read_table(sf_dir, "documents", columns=["lang"])
+
+        def partial(batch: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            vc = pd.Series(batch["lang"].to_pylist()).value_counts()
+            return pa.table({"lang": vc.index.to_numpy(), "n": vc.to_numpy().astype(np.int64)})
+
+        hist = ds.map_batches(partial, batch_format="pyarrow").groupby("lang").sum("n")
+        return hist.map_batches(
+            lambda b: b.rename_columns(["lang", "n_docs"]), batch_format="pyarrow"
+        )
+
+    q["lang_hist"] = lang_hist
+
+    def lang_id(sf_dir):
+        ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        return ds.map_batches(text_pipe.lang_id_stage("doc_id"), batch_format="pyarrow")
+
+    q["lang_id"] = lang_id
+
+    def fingerprint(sf_dir):
+        ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        return ds.map_batches(text_pipe.fingerprint_stage("doc_id"), batch_format="pyarrow")
+
+    q["fingerprint"] = fingerprint
+
+    def simhash(sf_dir):
+        ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        return ds.map_batches(dedup_pipe.simhash_stage("doc_id"), batch_format="pyarrow")
+
+    q["simhash"] = simhash
+
+    def minhash_pairs(sf_dir):
+        ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        return dedup_pipe.minhash_dedup(ds, "doc_id", threshold=0.35)
+
+    q["minhash_pairs"] = minhash_pairs
+
+    # --- embeddings ---
+    def ann(sf_dir):
+        mat, qids = _read_queries_for_ann(sf_dir)
+        ds = tables.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        return ann_pipe.ann_topk(ds, mat, qids, ANN_K, id_col="vec_id")
+
+    q["ann_topk"] = ann
+
+    def embed_neardup(sf_dir):
+        ds = tables.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        return ann_pipe.lsh_cosine_pairs(ds, "vec_id", threshold=0.8)
+
+    q["embed_neardup"] = embed_neardup
+
+    # --- multimodal (stubbed decode, real plumbing) ---
+    def multimodal(sf_dir):
+        ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+        def to_payload(batch: pa.Table) -> pa.Table:
+            payloads = [t.encode() for t in batch["text"].to_pylist()]
+            return pa.table(
+                {"doc_id": batch["doc_id"], "payload": pa.array(payloads, pa.binary())}
+            )
+
+        binary_ds = ds.map_batches(to_payload, batch_format="pyarrow")
+        return mm_pipe.decode_metadata(binary_ds, "doc_id", "payload")
+
+    q["multimodal_decode"] = multimodal
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    lon = geocode.sql_lon
+    lat = geocode.sql_lat
+
+    def pt(key):  # point CTE body
+        return f"{lon(key)} AS x, {lat(key)} AS y"
+
+    cell6 = geocode.sql_flat_cell("x", "y", RES_ASSIGN)
+    cell5 = geocode.sql_flat_cell("x", "y", RES_COUNTS)
+    cell4 = geocode.sql_flat_cell("x", "y", RES_STATS)
+
+    n3 = 1 << RES_TILES
+    tile_w = 360.0 / n3
+    tile_h = 180.0 / n3
+
+    n5 = 1 << RES_RASTER
+
+    sql: dict[str, str] = {}
+
+    sql["cell_assign"] = f"""
+        SELECT doc_id, x, y, {cell6} AS cell
+        FROM (SELECT doc_id, {pt('doc_id')} FROM documents)
     """
-    return {}
+
+    sql["cell_counts"] = f"""
+        SELECT {cell5} AS cell, COUNT(*) AS n_rows
+        FROM (SELECT {pt('o_orderkey')} FROM orders)
+        GROUP BY 1
+    """
+
+    sql["cell_stats"] = f"""
+        SELECT {cell4} AS cell, COUNT(*) AS n_rows,
+               MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y
+        FROM (SELECT {pt('o_orderkey')} FROM orders)
+        GROUP BY 1
+    """
+
+    n5c = 1 << RES_COUNTS
+    w5 = 360.0 / n5c
+    h5 = 180.0 / n5c
+    sql["cell_vectorize"] = f"""
+        WITH h AS (
+          SELECT {cell5} AS cell, COUNT(*) AS n_rows
+          FROM (SELECT {pt('o_orderkey')} FROM orders)
+          GROUP BY 1
+        )
+        SELECT cell, n_rows,
+               -180.0 + CAST(cell // {n5c} AS DOUBLE) * {w5} AS tile_min_x,
+               -90.0 + CAST(cell % {n5c} AS DOUBLE) * {h5} AS tile_min_y,
+               -180.0 + CAST(cell // {n5c} AS DOUBLE) * {w5} + {w5} AS tile_max_x,
+               -90.0 + CAST(cell % {n5c} AS DOUBLE) * {h5} + {h5} AS tile_max_y
+        FROM h
+    """
+
+    sql["rasterize_parts"] = f"""
+        WITH p AS (
+          SELECT p_partkey,
+                 {lon('p_partkey')} - {geocode.sql_half_w('p_partkey')} AS min_x,
+                 {lat('p_partkey')} - {geocode.sql_half_h('p_partkey')} AS min_y,
+                 {lon('p_partkey')} + {geocode.sql_half_w('p_partkey')} AS max_x,
+                 {lat('p_partkey')} + {geocode.sql_half_h('p_partkey')} AS max_y
+          FROM part
+        ), g AS (
+          SELECT p_partkey,
+                 GREATEST(0, LEAST({n5 - 1}, CAST(FLOOR((min_x + 180.0) / 360.0 * {n5}) AS BIGINT))) AS x0,
+                 GREATEST(0, LEAST({n5 - 1}, CAST(FLOOR((max_x + 180.0) / 360.0 * {n5}) AS BIGINT))) AS x1,
+                 GREATEST(0, LEAST({n5 - 1}, CAST(FLOOR((min_y + 90.0) / 180.0 * {n5}) AS BIGINT))) AS y0,
+                 GREATEST(0, LEAST({n5 - 1}, CAST(FLOOR((max_y + 90.0) / 180.0 * {n5}) AS BIGINT))) AS y1
+          FROM p
+        )
+        SELECT p_partkey, gx * {n5} + gy AS cell
+        FROM g, UNNEST(generate_series(x0, x1)) AS tx(gx),
+             UNNEST(generate_series(y0, y1)) AS ty(gy)
+    """
+
+    mnx, mny, mxx, mxy = BOX_SEARCH
+    sql["box_search"] = f"""
+        SELECT o_orderkey, x, y
+        FROM (SELECT o_orderkey, {pt('o_orderkey')} FROM orders)
+        WHERE x >= {mnx} AND x <= {mxx} AND y >= {mny} AND y <= {mxy}
+    """
+
+    sql["pip_join"] = f"""
+        WITH cust AS (SELECT c_custkey, {pt('c_custkey')} FROM customer),
+        tiles AS (
+          SELECT p_partkey,
+                 FLOOR((x + 180.0) / 360.0 * {n3}) * {tile_w} - 180.0 AS tmnx,
+                 FLOOR((y + 90.0) / 180.0 * {n3}) * {tile_h} - 90.0 AS tmny
+          FROM (SELECT p_partkey, {pt('p_partkey')} FROM part)
+        )
+        SELECT c.c_custkey, t.p_partkey
+        FROM cust c JOIN tiles t
+          ON c.x >= t.tmnx AND c.x <= t.tmnx + {tile_w}
+         AND c.y >= t.tmny AND c.y <= t.tmny + {tile_h}
+    """
+
+    sql["box_join"] = f"""
+        WITH l AS (
+          SELECT l_orderkey * 10 + l_linenumber AS l_id,
+                 {lon('l_orderkey * 10 + l_linenumber')} AS cx,
+                 {lat('l_orderkey * 10 + l_linenumber')} AS cy,
+                 {geocode.sql_half_w('l_orderkey * 10 + l_linenumber')} AS hw,
+                 {geocode.sql_half_h('l_orderkey * 10 + l_linenumber')} AS hh
+          FROM lineitem
+        ), p AS (
+          SELECT p_partkey,
+                 {lon('p_partkey')} AS cx, {lat('p_partkey')} AS cy,
+                 {geocode.sql_half_w('p_partkey')} AS hw,
+                 {geocode.sql_half_h('p_partkey')} AS hh
+          FROM part
+        )
+        SELECT l.l_id, p.p_partkey
+        FROM l JOIN p
+          ON l.cx - l.hw <= p.cx + p.hw AND l.cx + l.hw >= p.cx - p.hw
+         AND l.cy - l.hh <= p.cy + p.hh AND l.cy + l.hh >= p.cy - p.hh
+    """
+
+    sql["within_radius"] = f"""
+        WITH cust AS (SELECT c_custkey, {pt('c_custkey')} FROM customer),
+             supp AS (SELECT s_suppkey, {pt('s_suppkey')} FROM supplier)
+        SELECT c.c_custkey, s.s_suppkey
+        FROM cust c CROSS JOIN supp s
+        WHERE (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)
+              <= {WITHIN_R} * {WITHIN_R}
+    """
+
+    sql["knn_nation_customer"] = f"""
+        WITH q AS (SELECT n_nationkey, {pt('n_nationkey')} FROM nation),
+             t AS (SELECT c_custkey, {pt('c_custkey')} FROM customer),
+             d AS (
+               SELECT q.n_nationkey AS query_id, t.c_custkey AS target_id,
+                      (t.x - q.x) * (t.x - q.x) + (t.y - q.y) * (t.y - q.y) AS dist
+               FROM q CROSS JOIN t
+             )
+        SELECT query_id, target_id, rank FROM (
+          SELECT query_id, target_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, target_id) AS rank
+          FROM d
+        ) WHERE rank <= {KNN_K}
+    """
+
+    sql["dedup_exact"] = """
+        SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        FROM documents GROUP BY text
+    """
+
+    sql["token_count"] = r"""
+        SELECT doc_id,
+               len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens
+        FROM documents
+    """
+
+    sql["text_quality"] = r"""
+        SELECT doc_id,
+               length(text) AS n_chars,
+               length(text) - length(regexp_replace(text, '[.,!?]', '', 'g')) AS n_punct,
+               length(text) / (length(text) - length(regexp_replace(text, '[.,!?]', '', 'g')) + 1.0) AS quality_score
+        FROM documents
+    """
+
+    sql["lang_hist"] = """
+        SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+    """
+
+    sql["ann_topk"] = f"""
+        WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 = 0),
+             t AS (SELECT vec_id, embedding FROM embeddings),
+             s AS (
+               SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+                      list_cosine_similarity(t.embedding, q.embedding) AS sim
+               FROM q CROSS JOIN t
+             )
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+          FROM s
+        ) WHERE rank <= {ANN_K}
+    """
+
+    return sql

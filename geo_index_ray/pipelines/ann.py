@@ -1,0 +1,161 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``ann_topk``: exact brute-force cosine top-k — the baseline.  The query
+  matrix is broadcast once (`ray.put`), each actor does one f64 matmul per
+  batch (zero-copy flatten of the Arrow list column), per-batch top-k via
+  argpartition, then one tiny groupby merges per-block top-ks globally.
+- ``lsh_cosine_pairs``: embedding near-duplicate pairs via random
+  hyperplane LSH buckets + exact cosine verification — the scale path for
+  all-pairs similarity (only the bucket groupby shuffles).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _emb_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch[col].combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    dim = len(flat) // max(1, len(arr))
+    return flat.reshape(len(arr), dim).astype(np.float64)
+
+
+class _BruteCosine:
+    """Actor: broadcast normalized query matrix; per batch one matmul."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, emb_col: str):
+        import ray
+
+        q = ray.get(queries_ref)
+        self.qids = q["ids"]
+        qm = q["matrix"].astype(np.float64)
+        self.qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        self.k = k
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy().astype(np.int64)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        m = _emb_matrix(batch, self.emb_col)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ self.qm.T  # (batch, nq)
+        k = min(self.k, len(ids))
+        top = np.argpartition(-sims, k - 1, axis=0)[:k]  # (k, nq)
+        nq = sims.shape[1]
+        out_q = np.repeat(self.qids, k)
+        out_n = ids[top.T.ravel()]
+        out_s = sims[top.T.ravel(), np.repeat(np.arange(nq), k)]
+        return pa.table(
+            {
+                "query_id": pa.array(out_q),
+                "neighbor_id": pa.array(out_n),
+                "sim": pa.array(out_s),
+            }
+        )
+
+
+def ann_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray, k: int, id_col: str, emb_col: str = "embedding", concurrency: int | None = None):
+    """Exact cosine top-k per query.  Returns (query_id, neighbor_id, rank)."""
+    import ray
+
+    if concurrency is None:
+        from ..stages.util import default_concurrency
+
+        concurrency = default_concurrency()
+    queries_ref = ray.put(
+        {
+            "matrix": np.ascontiguousarray(query_matrix, dtype=np.float64),
+            "ids": np.asarray(query_ids, dtype=np.int64),
+        }
+    )
+    cands = ds.map_batches(
+        _BruteCosine,
+        fn_constructor_kwargs={
+            "queries_ref": queries_ref,
+            "k": k,
+            "id_col": id_col,
+            "emb_col": emb_col,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True], kind="mergesort").head(k)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"].to_numpy(),
+                "neighbor_id": g["neighbor_id"].to_numpy(),
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+
+    return cands.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def lsh_cosine_pairs(
+    ds,
+    id_col: str,
+    emb_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 12,
+    threshold: float = 0.9,
+    seed: int = 13,
+):
+    """Embedding near-dup pairs: hyperplane-LSH bucket, verify exact cosine.
+
+    Returns (a_id, b_id, cos_sim) with a_id < b_id, cos_sim ≥ threshold.
+    Approximate: pairs whose sign-bits differ in every bucket are missed
+    (recall grows with fewer planes / more tables).
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, num_planes))
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        m = _emb_matrix(batch, emb_col)
+        bits = (m @ planes > 0).astype(np.uint64)
+        bucket = np.zeros(len(ids), dtype=np.uint64)
+        for p in range(num_planes):
+            bucket |= bits[:, p] << np.uint64(p)
+        out = pa.table(
+            {
+                "bucket": pa.array(bucket.view(np.int64)),
+                id_col: pa.array(ids),
+                "emb": pa.array(m.tolist(), type=pa.list_(pa.float64(), m.shape[1])),
+            }
+        )
+        return out
+
+    buckets = ds.map_batches(bucketize, batch_format="pyarrow")
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a_id": [], "b_id": [], "cos_sim": []}).astype(
+            {"a_id": np.int64, "b_id": np.int64, "cos_sim": np.float64}
+        )
+        if len(g) < 2:
+            return empty
+        ids = g[id_col].to_numpy()
+        m = np.asarray(g["emb"].tolist(), dtype=np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m.T
+        ii, jj = np.triu_indices(len(ids), k=1)
+        keep = sims[ii, jj] >= threshold
+        a = np.minimum(ids[ii[keep]], ids[jj[keep]])
+        b = np.maximum(ids[ii[keep]], ids[jj[keep]])
+        return pd.DataFrame({"a_id": a, "b_id": b, "cos_sim": sims[ii[keep], jj[keep]]})
+
+    return buckets.groupby("bucket").map_groups(verify, batch_format="pandas")

@@ -1,0 +1,230 @@
+"""Deduplication pipelines over the `documents` table.
+
+- exact: hash-partitioned first-wins (GROUP BY text ≡ group by stable
+  64-bit text hash; collisions are ~2^-64 per pair).
+- MinHash + LSH: shingle → minhash signature → banded buckets → candidate
+  pairs → signature-estimated Jaccard filter.  The only shuffle is the
+  band-bucket groupby; signatures travel with the rows so verification
+  needs no second join.
+- SimHash: 64-bit token-hash sign aggregate; near-dups = small Hamming
+  distance within prefix buckets.
+- embedding cosine near-dup lives in pipelines/ann.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_P61 = np.uint64((1 << 61) - 1)
+
+
+def _text_hash64(texts) -> np.ndarray:
+    """Stable 64-bit FNV-1a per text (vectorized padded-matrix loop)."""
+    enc = [t.encode() if t else b"" for t in texts]
+    n = len(enc)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    maxlen = max(1, max(len(t) for t in enc))
+    mat = np.frombuffer(b"".join(t.ljust(maxlen, b"\x00") for t in enc), dtype=np.uint8)
+    mat = mat.reshape(n, maxlen).astype(np.uint64)
+    lens = np.array([len(t) for t in enc])
+    h = np.full(n, np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for col in range(maxlen):
+            active = col < lens
+            h = np.where(active, (h ^ mat[:, col]) * np.uint64(1099511628211), h)
+    return h
+
+
+def exact_dedup(ds, id_col: str, text_col: str = "text"):
+    """Per distinct text: (keep_id = min id, n_dups).
+
+    SQL twin: ``SELECT MIN(id) AS keep_id, COUNT(*) AS n_dups FROM t
+    GROUP BY text``.  Hash-partitioned: only (id, hash) enters the shuffle.
+    """
+
+    def to_hash(batch: pa.Table) -> pa.Table:
+        h = _text_hash64(batch[text_col].to_pylist())
+        return pa.table(
+            {
+                "h": pa.array(h.view(np.int64)),
+                id_col: batch[id_col],
+            }
+        )
+
+    hashed = ds.map_batches(to_hash, batch_format="pyarrow")
+
+    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"keep_id": [g[id_col].min()], "n_dups": [np.int64(len(g))]}
+        )
+
+    return hashed.groupby("h").map_groups(reduce_group, batch_format="pandas")
+
+
+# --- MinHash ----------------------------------------------------------------
+
+
+def _minhash_params(num_perm: int, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, int(_P61), size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, int(_P61), size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Hashes of all k-character shingles (rolling window over the byte
+    matrix, vectorized)."""
+    data = np.frombuffer(text.encode(), dtype=np.uint8)
+    if len(data) < k:
+        data = np.pad(data, (0, k - len(data)))
+    windows = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
+    h = np.full(len(windows), np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for col in range(k):
+            h = (h ^ windows[:, col]) * np.uint64(1099511628211)
+    return np.unique(h)
+
+
+def minhash_signatures_stage(
+    id_col: str, text_col: str = "text", num_perm: int = 64, shingle_k: int = 5
+):
+    """Stage: (id, sig list<uint64 as int64>) minhash signatures."""
+    a, b = _minhash_params(num_perm)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        sigs = np.empty((len(ids), num_perm), dtype=np.uint64)
+        for i, t in enumerate(batch[text_col].to_pylist()):
+            sh = _shingle_hashes(t or "", shingle_k)
+            with np.errstate(over="ignore"):
+                # (a * h + b) mod p61 per permutation; min over shingles
+                vals = (a[None, :] * (sh[:, None] % _P61) + b[None, :]) % _P61
+            sigs[i] = vals.min(axis=0)
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "sig": pa.array(
+                    sigs.view(np.int64).tolist(), type=pa.list_(pa.int64(), num_perm)
+                ),
+            }
+        )
+
+    return fn
+
+
+def minhash_dedup(
+    ds,
+    id_col: str,
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+):
+    """Near-duplicate candidate pairs via MinHash-LSH.
+
+    Returns (a_id, b_id, est_jaccard) with a_id < b_id and estimated
+    Jaccard (fraction of equal minhashes) ≥ threshold.  Banding: a pair is
+    a candidate iff some band of the signature matches exactly; the final
+    filter uses the full signature, so band collisions don't create false
+    positives above threshold.
+    """
+    rows_per_band = num_perm // bands
+    sig_ds = ds.map_batches(
+        minhash_signatures_stage(id_col, text_col, num_perm, shingle_k),
+        batch_format="pyarrow",
+    )
+
+    def to_buckets(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        sig = np.asarray(batch["sig"].to_pylist(), dtype=np.int64).reshape(
+            len(ids), num_perm
+        )
+        out_bucket, out_id, out_sig = [], [], []
+        for band in range(bands):
+            seg = sig[:, band * rows_per_band : (band + 1) * rows_per_band]
+            # bucket key = hash of band values + band index
+            with np.errstate(over="ignore"):
+                bh = np.full(len(ids), np.uint64(1469598103934665603), dtype=np.uint64)
+                for c in range(rows_per_band):
+                    bh = (bh ^ seg[:, c].view(np.uint64)) * np.uint64(1099511628211)
+                bh = bh ^ np.uint64(band * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF)
+            out_bucket.append(bh.view(np.int64))
+            out_id.append(ids)
+            out_sig.append(sig)
+        return pa.table(
+            {
+                "bucket": pa.array(np.concatenate(out_bucket)),
+                id_col: pa.array(np.concatenate(out_id)),
+                "sig": pa.array(
+                    np.concatenate(out_sig).tolist(), type=pa.list_(pa.int64(), num_perm)
+                ),
+            }
+        )
+
+    buckets = sig_ds.map_batches(to_buckets, batch_format="pyarrow")
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a_id": [], "b_id": [], "est_jaccard": []}).astype(
+                {"a_id": np.int64, "b_id": np.int64, "est_jaccard": np.float64}
+            )
+        ids = g[id_col].to_numpy()
+        sig = np.asarray(g["sig"].tolist(), dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        sig = sig[order]
+        ii, jj = np.triu_indices(len(ids), k=1)
+        est = (sig[ii] == sig[jj]).mean(axis=1)
+        keep = est >= threshold
+        return pd.DataFrame(
+            {"a_id": ids[ii[keep]], "b_id": ids[jj[keep]], "est_jaccard": est[keep]}
+        )
+
+    pairs = buckets.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas")
+
+    # a pair can match in several bands → dedup on (a_id, b_id)
+    def first_per_pair(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return (
+        pairs.groupby(["a_id", "b_id"]).map_groups(first_per_pair, batch_format="pandas")
+    )
+
+
+# --- SimHash ----------------------------------------------------------------
+
+
+def simhash_stage(id_col: str, text_col: str = "text"):
+    """Stage: (id, simhash int64) — sign aggregate of token hashes."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        out = np.zeros(len(ids), dtype=np.uint64)
+        for i, t in enumerate(batch[text_col].to_pylist()):
+            toks = (t or "").split()
+            if not toks:
+                continue
+            th = _text_hash64(toks)
+            bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+                np.int64
+            )
+            votes = (2 * bits - 1).sum(axis=0)
+            sign_bits = (votes > 0).astype(np.uint64)
+            out[i] = np.bitwise_or.reduce(sign_bits << np.arange(64, dtype=np.uint64))
+        return pa.table({id_col: pa.array(ids), "simhash": pa.array(out.view(np.int64))})
+
+    return fn
+
+
+def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
+    """Exact character-k-gram Jaccard between two strings (verification
+    helper for minhash estimates)."""
+    sa = set(_shingle_hashes(a, k).tolist())
+    sb = set(_shingle_hashes(b, k).tolist())
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)

@@ -1,0 +1,117 @@
+"""Distributed k-nearest-neighbors over a point Dataset.
+
+Strategy (no target shuffle): the query set is small — broadcast it once
+into an actor pool.  Each actor builds a packed R-tree over each incoming
+batch (the reference's per-partition build, ~µs/row) and answers all
+queries locally with the best-first kNN traversal (exact port in
+kernels.rtree.neighbors); the union of per-batch top-k is then reduced to
+the global top-k with one tiny groupby over (#queries × k × #blocks) rows.
+
+Global correctness: the true top-k of the whole dataset is a subset of the
+union of per-batch top-ks.  Ties at the k-th distance are broken by target
+id — deterministically, and identically to the SQL oracle's
+``ROW_NUMBER() OVER (ORDER BY dist, id)``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..kernels import rtree
+
+
+class _LocalKnn:
+    """Actor: holds the broadcast query matrix; per batch builds a packed
+    R-tree and emits per-batch top-k candidates per query."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, x_col: str, y_col: str):
+        import ray
+
+        q = ray.get(queries_ref)
+        self.qids = q["ids"]
+        self.qx = q["xy"][:, 0]
+        self.qy = q["xy"][:, 1]
+        self.k = k
+        self.id_col = id_col
+        self.x_col = x_col
+        self.y_col = y_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy().astype(np.int64)
+        x = batch[self.x_col].to_numpy()
+        y = batch[self.y_col].to_numpy()
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "target_id": pa.array([], pa.int64()),
+                    "dist": pa.array([], pa.float64()),
+                }
+            )
+        tree = rtree.build_rtree(x, y, x, y)
+        out_q, out_t, out_d = [], [], []
+        for qi in range(len(self.qx)):
+            nb = rtree.neighbors(tree, self.qx[qi], self.qy[qi], max_results=self.k)
+            nb = nb.astype(np.int64)
+            dx = x[nb] - self.qx[qi]
+            dy = y[nb] - self.qy[qi]
+            out_q.append(np.full(len(nb), self.qids[qi], dtype=np.int64))
+            out_t.append(ids[nb])
+            out_d.append(dx * dx + dy * dy)
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "target_id": pa.array(np.concatenate(out_t)),
+                "dist": pa.array(np.concatenate(out_d)),
+            }
+        )
+
+
+def knn(
+    targets_ds,
+    query_xy: np.ndarray,
+    k: int,
+    id_col: str,
+    query_ids: np.ndarray | None = None,
+    x_col: str = "x",
+    y_col: str = "y",
+    concurrency: int | None = None,
+):
+    """Global top-k nearest targets for each query point.
+
+    ``query_ids`` labels each query row (defaults to 0..n-1).  Returns a
+    Dataset with columns (query_id, target_id, rank, dist); rank is 1-based
+    by (dist, target_id).
+    """
+    import ray
+
+    if concurrency is None:
+        from ..stages.util import default_concurrency
+
+        concurrency = default_concurrency()
+    xy = np.ascontiguousarray(query_xy, dtype=np.float64)
+    if query_ids is None:
+        query_ids = np.arange(len(xy), dtype=np.int64)
+    queries_ref = ray.put({"xy": xy, "ids": np.asarray(query_ids, dtype=np.int64)})
+
+    candidates = targets_ds.map_batches(
+        _LocalKnn,
+        fn_constructor_kwargs={
+            "queries_ref": queries_ref,
+            "k": k,
+            "id_col": id_col,
+            "x_col": x_col,
+            "y_col": y_col,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def merge_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["dist", "target_id"], kind="mergesort").head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g[["query_id", "target_id", "rank", "dist"]]
+
+    return candidates.groupby("query_id").map_groups(merge_topk, batch_format="pandas")

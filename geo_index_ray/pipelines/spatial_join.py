@@ -1,0 +1,277 @@
+"""Distributed spatial joins — the engine's core wide operation.
+
+Two physical strategies over the same logical join (box-intersection /
+point-in-box candidates from packed R-trees, then exact refinement —
+mirroring the reference's candidates-then-refine contract,
+python/.../rtree.pyi:52-61 and tree_join python/src/rtree/intersection.rs):
+
+- ``shuffle_spatial_join``: two-sided groupby-on-cell shuffle.  Boxes are
+  replicated to every cell they overlap (halo replication via
+  ``cells.polyfill_boxes``); per-cell an R-tree is built over the build side
+  and probed with the probe side; duplicate pairs from replication are
+  eliminated *locally* with the PBSM reference-point rule (emit a pair only
+  in the cell that contains the min corner of the two boxes' intersection)
+  — no global dedup shuffle.  Scales: the only all-to-all is the one
+  cell-keyed exchange; skew is handled by splitting hot cells to finer
+  resolution before the shuffle (``skew_split_threshold``).
+
+- ``broadcast_spatial_join``: when one side fits in memory, build its
+  R-tree once on the driver, ``ray.put`` the buffer, and probe it from an
+  actor pool (tree deserialized zero-copy once per actor in ``__init__``,
+  never per batch).  No shuffle at all.
+
+Both sides must carry: an int64 id column and ``min_x/min_y/max_x/max_y``
+(points: min == max).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..kernels import cells as cellmod
+from ..kernels import rtree
+
+_EMPTY_PAIRS = pa.table(
+    {"left_id": pa.array([], pa.int64()), "right_id": pa.array([], pa.int64())}
+)
+
+
+def _tag_cells(ds, side: int, id_col: str, res: int, replicate: bool, pad: float = 0.0):
+    """Project to the lean join schema and assign shuffle cells.
+
+    Only (cell, side, rid, 4 box coords) ever enters the shuffle — payload
+    columns are re-attached downstream by id if needed.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        rid = batch[id_col].to_numpy().astype(np.int64)
+        mnx = batch["min_x"].to_numpy()
+        mny = batch["min_y"].to_numpy()
+        mxx = batch["max_x"].to_numpy()
+        mxy = batch["max_y"].to_numpy()
+        if replicate:
+            rows, cc = cellmod.polyfill_boxes(mnx - pad, mny - pad, mxx + pad, mxy + pad, res)
+        else:
+            cc = cellmod.lonlat_to_cell(mnx, mny, res)
+            rows = np.arange(len(rid), dtype=np.int64)
+        return pa.table(
+            {
+                "cell": pa.array(cc),
+                "side": pa.array(np.full(len(rows), side, dtype=np.int8)),
+                "rid": pa.array(rid[rows]),
+                "min_x": pa.array(mnx[rows]),
+                "min_y": pa.array(mny[rows]),
+                "max_x": pa.array(mxx[rows]),
+                "max_y": pa.array(mxy[rows]),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _refine_pairs(how, li, ri, lx0, ly0, lx1, ly1, rx0, ry0, rx1, ry1, radius):
+    """Exact-predicate refinement on candidate pairs (vectorized)."""
+    if how in ("intersects", "pip"):
+        return li, ri  # closed-bbox overlap is already the exact predicate
+    if how == "dwithin":
+        # both sides are points (left: min==max; right boxes were buffered)
+        dx = lx0[li] - (rx0[ri] + rx1[ri]) / 2.0
+        dy = ly0[li] - (ry0[ri] + ry1[ri]) / 2.0
+        keep = dx * dx + dy * dy <= radius * radius
+        return li[keep], ri[keep]
+    raise ValueError(f"unknown predicate {how!r}")
+
+
+def shuffle_spatial_join(
+    left_ds,
+    right_ds,
+    res: int = 6,
+    how: str = "intersects",
+    left_id: str = "left_id",
+    right_id: str = "right_id",
+    radius: float = 0.0,
+    left_are_points: bool | None = None,
+    skew_split_threshold: int | None = None,
+):
+    """Two-sided cell-shuffle spatial join.
+
+    left = probe side; right = build side (always replicated to every
+    overlapped cell, padded by ``radius`` for dwithin).  When the left side
+    is points (``pip`` / ``dwithin``, or ``left_are_points=True``) it lands
+    in exactly one cell — the PBSM reference point of any pair it forms IS
+    the point, so no left replication is needed.  Box-box joins replicate
+    both sides (the intersection min corner can fall outside the left box's
+    min-corner cell).  Returns a Dataset of ``(left_id, right_id)`` pairs.
+
+    ``skew_split_threshold``: if set, a cheap pre-count of left rows per
+    cell raises the shuffle resolution until the hottest cell is bounded,
+    before the shuffle.
+    """
+    if left_are_points is None:
+        left_are_points = how in ("pip", "dwithin")
+    eff_res = res
+    if skew_split_threshold is not None:
+        eff_res = _pick_split_res(left_ds, res, skew_split_threshold)
+
+    tagged_left = _tag_cells(left_ds, 0, left_id, eff_res, replicate=not left_are_points)
+    tagged_right = _tag_cells(
+        right_ds, 1, right_id, eff_res, replicate=True, pad=radius
+    )
+    unioned = tagged_left.union(tagged_right)
+
+    how_ = how
+    radius_ = radius
+    res_ = eff_res
+
+    def join_group(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy()
+        lmask = side == 0
+        rmask = ~lmask
+        if not lmask.any() or not rmask.any():
+            return _EMPTY_PAIRS
+        rid_all = group["rid"].to_numpy()
+        mnx = group["min_x"].to_numpy()
+        mny = group["min_y"].to_numpy()
+        mxx = group["max_x"].to_numpy()
+        mxy = group["max_y"].to_numpy()
+
+        lx0, ly0, lx1, ly1 = mnx[lmask], mny[lmask], mxx[lmask], mxy[lmask]
+        rx0, ry0, rx1, ry1 = mnx[rmask], mny[rmask], mxx[rmask], mxy[rmask]
+        lrid = rid_all[lmask]
+        rrid = rid_all[rmask]
+
+        pad = radius_ if how_ == "dwithin" else 0.0
+        tree = rtree.build_rtree(rx0 - pad, ry0 - pad, rx1 + pad, ry1 + pad)
+        li, ri = rtree.search_batch(tree, lx0, ly0, lx1, ly1)
+        li = li.astype(np.int64)
+        ri = ri.astype(np.int64)
+
+        # PBSM reference-point dedup: the intersection's min corner decides
+        # the owning cell, so replicated pairs are emitted exactly once.
+        if how_ == "dwithin":
+            # left point is always inside the padded right box → the point
+            # itself is the reference point
+            ref_x, ref_y = lx0[li], ly0[li]
+        else:
+            ref_x = np.maximum(lx0[li], rx0[ri])
+            ref_y = np.maximum(ly0[li], ry0[ri])
+        owner = cellmod.lonlat_to_cell(ref_x, ref_y, res_)
+        keep = owner == int(group["cell"][0].as_py())
+        li, ri = li[keep], ri[keep]
+
+        li, ri = _refine_pairs(
+            how_, li, ri, lx0, ly0, lx1, ly1, rx0, ry0, rx1, ry1, radius_
+        )
+        return pa.table({"left_id": pa.array(lrid[li]), "right_id": pa.array(rrid[ri])})
+
+    pairs = unioned.groupby("cell").map_groups(join_group, batch_format="pyarrow")
+    if left_id != "left_id" or right_id != "right_id":
+        pairs = pairs.map_batches(
+            lambda b: b.rename_columns([left_id, right_id]), batch_format="pyarrow"
+        )
+    return pairs
+
+
+def _pick_split_res(left_ds, res: int, threshold: int) -> int:
+    """Pre-aggregate left per-cell counts (combiner inside map_batches, tiny
+    groupby after) and raise the resolution until the hottest cell is under
+    ``threshold``.  One cheap pass; returns the chosen uniform resolution.
+
+    (A per-cell adaptive split would shave more; a uniform raise keeps the
+    oracle/dedup rule trivially consistent and is already enough to bound
+    the max group size, since splitting res by +1 quarters a uniform cell.)
+    """
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        cc = cellmod.lonlat_to_cell(
+            batch["min_x"].to_numpy(), batch["min_y"].to_numpy(), res
+        )
+        uniq, counts = np.unique(cc, return_counts=True)
+        return pa.table({"cell": pa.array(uniq), "n": pa.array(counts)})
+
+    hist = (
+        left_ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("cell")
+        .sum("n")
+    )
+    max_n = 0
+    for b in hist.iter_batches(batch_format="pyarrow"):
+        col = b["sum(n)"].to_numpy()
+        if len(col):
+            max_n = max(max_n, int(col.max()))
+    eff = res
+    while max_n > threshold and eff < cellmod.MAX_RES:
+        eff += 1
+        max_n //= 4  # uniform split bound
+    return eff
+
+
+class _BroadcastProbe:
+    """Actor-pool probe stage: R-tree buffer fetched from the object store
+    ONCE per actor (zero-copy view), probed per batch."""
+
+    def __init__(self, tree_ref, right_ids_ref, id_col: str):
+        import ray
+
+        self.tree = ray.get(tree_ref)
+        self.right_ids = ray.get(right_ids_ref)
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lid = batch[self.id_col].to_numpy().astype(np.int64)
+        li, ri = rtree.search_batch(
+            self.tree,
+            batch["min_x"].to_numpy(),
+            batch["min_y"].to_numpy(),
+            batch["max_x"].to_numpy(),
+            batch["max_y"].to_numpy(),
+        )
+        return pa.table(
+            {
+                "left_id": pa.array(lid[li.astype(np.int64)]),
+                "right_id": pa.array(self.right_ids[ri.astype(np.int64)]),
+            }
+        )
+
+
+def broadcast_spatial_join(
+    left_ds,
+    right_table: pa.Table,
+    left_id: str = "left_id",
+    right_id: str = "right_id",
+    concurrency: int | None = None,
+):
+    """Broadcast join (bbox-intersects): small right side → one R-tree in
+    the object store, probed by an actor pool.  ``right_table`` must carry
+    ``right_id`` + box columns."""
+    import ray
+
+    rid = right_table[right_id].to_numpy().astype(np.int64)
+    tree = rtree.build_rtree(
+        right_table["min_x"].to_numpy(),
+        right_table["min_y"].to_numpy(),
+        right_table["max_x"].to_numpy(),
+        right_table["max_y"].to_numpy(),
+    )
+    tree_ref = ray.put(tree)
+    ids_ref = ray.put(rid)
+    if concurrency is None:
+        from ..stages.util import default_concurrency
+
+        concurrency = default_concurrency()
+    pairs = left_ds.map_batches(
+        _BroadcastProbe,
+        fn_constructor_kwargs={
+            "tree_ref": tree_ref,
+            "right_ids_ref": ids_ref,
+            "id_col": left_id,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    if left_id != "left_id" or right_id != "right_id":
+        pairs = pairs.map_batches(
+            lambda b: b.rename_columns([left_id, right_id]), batch_format="pyarrow"
+        )
+    return pairs

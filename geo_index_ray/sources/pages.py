@@ -1,0 +1,123 @@
+"""Deterministic Common-Crawl-style web-page table (the input_hint shape).
+
+Schema (per BASELINE.json input_hint / FIXTURES.md F6):
+    url:string, warc_ts:timestamp[us], html:binary, text:string, lang:string
+
+Generation is a pure function of the row id (seeded, no ambient RNG state),
+so any shard can be (re)generated independently — that is what makes
+lineage-based retries and resumable writes safe.  20% of urls snap near 16
+"city" cluster centers to exercise hot-cell skew splitting.
+
+Geometry at use-sites derives from ``url`` via a stable FNV-1a 64-bit hash
+(`url_hash64`), never stored — mirroring the engine contract that geometry
+is a deterministic function of the row.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_LANGS = np.array(["en", "de", "fr", "es", "zh", "ru", "pt", "ja"])
+_LANG_W = np.array([0.44, 0.10, 0.09, 0.09, 0.10, 0.07, 0.06, 0.05])
+
+# 16 deterministic "city" cluster centers (lon, lat)
+_CITY_LON = np.array([-74.0, -0.1, 139.7, 116.4, 2.35, 13.4, 151.2, -122.4,
+                      77.2, -43.2, 37.6, 103.8, -99.1, 28.9, 18.4, 126.9])
+_CITY_LAT = np.array([40.7, 51.5, 35.7, 39.9, 48.85, 52.5, -33.9, 37.8,
+                      28.6, -22.9, 55.7, 1.35, 19.4, 41.0, -33.9, 37.5])
+
+FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def fnv1a64_bytes(data: bytes) -> int:
+    h = FNV_OFFSET
+    for b in data:
+        h = np.uint64((int(h) ^ b) * int(FNV_PRIME) & 0xFFFFFFFFFFFFFFFF)
+    return int(h)
+
+
+def url_hash64(urls) -> np.ndarray:
+    """Stable 64-bit hash per url — vectorized FNV-1a over a padded byte
+    matrix (urls in this scheme are fixed-format, so padding is benign)."""
+    arr = np.asarray(urls, dtype=object)
+    if len(arr) == 0:
+        return np.empty(0, dtype=np.uint64)
+    encoded = [u.encode() for u in arr]
+    maxlen = max(len(e) for e in encoded)
+    mat = np.zeros((len(encoded), maxlen), dtype=np.uint64)
+    lens = np.array([len(e) for e in encoded])
+    buf = np.frombuffer(b"".join(e.ljust(maxlen, b"\x00") for e in encoded), dtype=np.uint8)
+    mat = buf.reshape(len(encoded), maxlen).astype(np.uint64)
+    h = np.full(len(encoded), FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for col in range(maxlen):
+            active = col < lens
+            hx = np.where(active, h ^ mat[:, col], h)
+            h = np.where(active, hx * FNV_PRIME, h)
+    return h
+
+
+def page_geometry(urls):
+    """url → deterministic (lon, lat); 20% snapped near 16 city clusters."""
+    h = url_hash64(urls)
+    lon = (h % np.uint64(360000)).astype(np.float64) / 1000.0 - 180.0
+    lat = ((h >> np.uint64(20)) % np.uint64(170000)).astype(np.float64) / 1000.0 - 85.0
+    bucket = (h >> np.uint64(40)) % np.uint64(10)
+    city = ((h >> np.uint64(45)) % np.uint64(16)).astype(np.int64)
+    jlon = ((h >> np.uint64(50)) % np.uint64(2000)).astype(np.float64) / 1000.0 - 1.0
+    jlat = ((h >> np.uint64(54)) % np.uint64(1000)).astype(np.float64) / 2000.0 - 0.25
+    hot = bucket < np.uint64(2)  # 20%
+    lon = np.where(hot, _CITY_LON[city] + jlon, lon)
+    lat = np.where(hot, _CITY_LAT[city] + jlat, lat)
+    return lon, lat
+
+
+def make_pages_batch(start: int, count: int) -> pa.Table:
+    """Generate rows [start, start+count) of the pages table."""
+    rid = np.arange(start, start + count, dtype=np.int64)
+    site = (rid * 2654435761 % 1000003) % 100000
+    page = rid % 1000000
+    urls = [f"https://site{s:06d}.example/p/{p:06d}" for s, p in zip(site, page)]
+    warc_ts = (1577836800_000000 + rid * 37_000_003).astype("datetime64[us]")
+    lang = _LANGS[
+        np.searchsorted(np.cumsum(_LANG_W), (rid * 48271 % 997) / 997.0, side="right").clip(
+            0, len(_LANGS) - 1
+        )
+    ]
+    text = [
+        f"page {p} of site {s} in {lg} — " + ("lorem ipsum dolor sit amet " * (1 + int(p) % 7)).strip()
+        for s, p, lg in zip(site, page, lang)
+    ]
+    html = [f"<html><body><p>{t}</p></body></html>".encode() for t in text]
+    return pa.table(
+        {
+            "url": pa.array(urls, type=pa.string()),
+            "warc_ts": pa.array(warc_ts, type=pa.timestamp("us")),
+            "html": pa.array(html, type=pa.binary()),
+            "text": pa.array(text, type=pa.string()),
+            "lang": pa.array(lang.tolist(), type=pa.string()),
+        }
+    )
+
+
+def pages_dataset(num_rows: int, parallelism: int = 8):
+    """A Ray Dataset of synthetic pages, generated shard-parallel (each
+    shard is a pure function of its row range — no driver materialization)."""
+    import ray
+    import ray.data
+
+    shard = int(np.ceil(num_rows / parallelism))
+    spans = [(i * shard, min((i + 1) * shard, num_rows)) for i in range(parallelism)]
+    spans = [(a, b) for a, b in spans if b > a]
+    ds = ray.data.from_items([{"start": a, "count": b - a} for a, b in spans])
+
+    def expand(batch: pa.Table) -> pa.Table:
+        tables = [
+            make_pages_batch(int(s), int(c))
+            for s, c in zip(batch["start"].to_pylist(), batch["count"].to_pylist())
+        ]
+        return pa.concat_tables(tables)
+
+    return ds.map_batches(expand, batch_format="pyarrow", batch_size=1)
