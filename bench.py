@@ -1,0 +1,328 @@
+"""Benchmark driver: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+     "rows_per_sec": {...}}
+
+``--scaling`` runs the headline composite twice in fresh subprocesses
+(num_cpus=8 then num_cpus=32) on the same input and reports both
+throughputs plus scaling efficiency (speedup / cpu-ratio).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _sf_dir() -> str:
+    return os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _num_cpus() -> int:
+    return int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            log_to_driver=False,
+        )
+
+
+def _consume(ds) -> int:
+    """Stream a dataset to completion, returning row count (no driver
+    materialization of the data itself)."""
+    n = 0
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=65536):
+        n += b.num_rows
+    return n
+
+
+def run_queries(sf_dir: str, num_cpus: int):
+    import numpy as np
+
+    from geo_index_ray.functions import geocode
+    from geo_index_ray.pipelines import ann as ann_pipe
+    from geo_index_ray.pipelines import dedup as dedup_pipe
+    from geo_index_ray.pipelines import knn as knn_pipe
+    from geo_index_ray.pipelines import spatial_join as sj
+    from geo_index_ray.pipelines import tiling
+    from geo_index_ray.sources import tables
+    from geo_index_ray.stages.index_build import build_rtree_index_stage
+    import __ray_entry__ as entrymod
+    import pyarrow.parquet as pq
+
+    conc = max(2, num_cpus // 2)
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+
+    # warm the cluster (worker startup, parquet metadata) outside the timers
+    tables.read_table(sf_dir, "nation").materialize()
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        n = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        rows[name] = n
+
+    # Q1: per-partition packed R-tree index build over lineitem boxes
+    def q_index_build():
+        ds = entrymod._lineitem_boxes_ds(sf_dir)
+        idx = ds.map_batches(
+            build_rtree_index_stage("l_id"), batch_format="pyarrow", batch_size=65536
+        )
+        total_items = 0
+        for b in idx.iter_batches(batch_format="pyarrow"):
+            total_items += int(sum(b["num_items"].to_pylist()))
+        return total_items
+
+    timed("index_build", q_index_build)
+
+    # Q2: box-box spatial join lineitem x part (cell shuffle + halo + dedup)
+    def q_box_join():
+        lt = entrymod._lineitem_boxes_ds(sf_dir)
+        rt = tables.boxes_ds(sf_dir, "part", "p_partkey")
+        return _consume(
+            sj.shuffle_spatial_join(lt, rt, res=5, how="intersects",
+                                    left_id="l_id", right_id="p_partkey")
+        )
+
+    timed("box_join", q_box_join)
+
+    # Q3: point-in-polygon join customer x part tiles
+    def q_pip_join():
+        pts = tables.point_boxes_ds(sf_dir, "customer", "c_custkey")
+        tiles_ds = entrymod._part_tiles_ds(sf_dir)
+        return _consume(
+            sj.shuffle_spatial_join(pts, tiles_ds, res=5, how="pip",
+                                    left_id="c_custkey", right_id="p_partkey")
+        )
+
+    timed("pip_join", q_pip_join)
+
+    # Q4: tiling histogram over orders
+    def q_cell_counts():
+        ds = tables.points_ds(sf_dir, "orders", "o_orderkey")
+        return _consume(tiling.cell_histogram(ds, 5))
+
+    timed("cell_counts", q_cell_counts)
+
+    # Q5: global kNN, 25 queries over customer
+    def q_knn():
+        nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+        nk = nation["n_nationkey"].to_numpy().astype(np.int64)
+        qxy = np.stack([geocode.derive_lon(nk), geocode.derive_lat(nk)], axis=1)
+        targets = tables.points_ds(sf_dir, "customer", "c_custkey")
+        return _consume(
+            knn_pipe.knn(targets, qxy, 10, id_col="c_custkey", query_ids=nk,
+                         concurrency=conc)
+        )
+
+    timed("knn", q_knn)
+
+    # Q6: MinHash near-dup candidates over documents
+    def q_minhash():
+        ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        return _consume(dedup_pipe.minhash_dedup(ds, "doc_id", threshold=0.35))
+
+    timed("minhash_dedup", q_minhash)
+
+    # Q7: ANN cosine top-k over embeddings
+    def q_ann():
+        mat, qids = entrymod._read_queries_for_ann(sf_dir)
+        ds = tables.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        return _consume(
+            ann_pipe.ann_topk(ds, mat, qids, 10, id_col="vec_id", concurrency=conc)
+        )
+
+    timed("ann_topk", q_ann)
+
+    return timings, rows
+
+
+def main():
+    if "--scaling" in sys.argv:
+        return scaling_main()
+    if "--child" in sys.argv:
+        return child_main()
+
+    sf_dir = _sf_dir()
+    num_cpus = _num_cpus()
+    _init_ray(num_cpus)
+    timings, rows = run_queries(sf_dir, num_cpus)
+    total = round(sum(timings.values()), 3)
+    built = rows.get("index_build", 0)
+    result = {
+        "metric": "spatial_engine_headline_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "rows": rows,
+        "rows_per_sec": {
+            k: (round(rows[k] / t, 1) if t > 0 else None) for k, t in timings.items()
+        },
+        "index_build_boxes_per_sec": round(built / timings["index_build"], 1)
+        if timings.get("index_build")
+        else None,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+    }
+    import ray
+
+    ray.shutdown()
+    print(json.dumps(result))
+
+
+def scaling_workload(num_cpus: int, num_rows: int):
+    """The scaling-criterion job: a CC-style pages pipeline big enough to
+    saturate the cluster (generation → geocode → tiling → cell-shuffle
+    spatial join → MinHash near-dup candidates), all task-parallel stages.
+
+    Deterministic synthetic input (pure function of row id) — no external
+    data; every stage identical at both parallelism levels.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from geo_index_ray.kernels import cells as cellmod
+    from geo_index_ray.pipelines import dedup as dedup_pipe
+    from geo_index_ray.pipelines import spatial_join as sj
+    from geo_index_ray.pipelines import tiling
+    from geo_index_ray.sources import pages
+
+    rows_done = 0
+
+    # 1) generate + geocode + tile (streamed, sharded generation)
+    ds = pages.pages_dataset(num_rows, parallelism=num_cpus * 4)
+
+    def geocode_batch(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        lon, lat = pages.page_geometry(urls)
+        h = pages.url_hash64(urls)
+        return pa.table(
+            {
+                "page_id": pa.array(h.view(np.int64)),
+                "x": pa.array(lon),
+                "y": pa.array(lat),
+                "min_x": pa.array(lon),
+                "min_y": pa.array(lat),
+                "max_x": pa.array(lon),
+                "max_y": pa.array(lat),
+            }
+        )
+
+    pts = ds.map_batches(geocode_batch, batch_format="pyarrow")
+
+    # 2) per-cell histogram (combiner + tiny groupby)
+    hist = tiling.cell_histogram(pts, 6).materialize()
+    rows_done += hist.count()
+
+    # 3) tiles from the occupied cells at a coarser res → PIP join with the
+    #    skewed points (hot city cells exercise the skew split)
+    tiles_tbl = tiling.vectorize_cells(hist, 6).to_pandas()
+    tiles = pa.table(
+        {
+            "tile_id": pa.array(tiles_tbl["cell"].to_numpy().astype(np.int64)),
+            "min_x": pa.array(tiles_tbl["tile_min_x"].to_numpy()),
+            "min_y": pa.array(tiles_tbl["tile_min_y"].to_numpy()),
+            "max_x": pa.array(tiles_tbl["tile_max_x"].to_numpy()),
+            "max_y": pa.array(tiles_tbl["tile_max_y"].to_numpy()),
+        }
+    )
+    import ray.data
+
+    pairs = sj.shuffle_spatial_join(
+        pts,
+        ray.data.from_arrow(tiles),
+        res=5,
+        how="pip",
+        left_id="page_id",
+        right_id="tile_id",
+        skew_split_threshold=max(10_000, num_rows // 50),
+    )
+    rows_done += sum(b.num_rows for b in pairs.iter_batches(batch_format="pyarrow"))
+
+    # 4) MinHash near-dup candidates over the page text (CPU-heavy map)
+    docs = ds.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": pa.array(
+                    pages.url_hash64(b["url"].to_pylist()).view(np.int64)
+                ),
+                "text": b["text"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    nd = dedup_pipe.minhash_dedup(docs, "doc_id", threshold=0.9)
+    rows_done += sum(b.num_rows for b in nd.iter_batches(batch_format="pyarrow"))
+    return rows_done
+
+
+def child_main():
+    """One fresh-process scaling-workload run."""
+    num_cpus = _num_cpus()
+    num_rows = int(os.environ.get("GRAFT_SCALE_ROWS", "300000"))
+    _init_ray(num_cpus)
+    import ray
+
+    # warm up workers outside the timer
+    ray.data.range(num_cpus * 4).map_batches(lambda b: b).materialize()
+    t0 = time.perf_counter()
+    rows = scaling_workload(num_cpus, num_rows)
+    wall = time.perf_counter() - t0
+    ray.shutdown()
+    print(json.dumps({"wall_s": wall, "rows": rows, "num_cpus": num_cpus}))
+
+
+def scaling_main():
+    """Same composite at num_cpus=8 and 32 in fresh processes."""
+    sf_dir = _sf_dir()
+    levels = [8, 32]
+    results = {}
+    for n in levels:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child"],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        results[n] = json.loads(line)
+    lo, hi = levels
+    t_lo = results[lo]["wall_s"]
+    t_hi = results[hi]["wall_s"]
+    speedup = t_lo / t_hi
+    eff = speedup / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "value": round(eff, 3),
+                "unit": "fraction",
+                "queries": {
+                    f"wall_s_cpus{lo}": round(t_lo, 2),
+                    f"wall_s_cpus{hi}": round(t_hi, 2),
+                    "speedup": round(speedup, 3),
+                },
+                "sf": sf_dir,
+                "num_cpus": hi,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -93,6 +93,10 @@ def ann_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray, k: int, id_col
         concurrency=concurrency,
     )
 
+    from ..stages.util import coalesce_for_shuffle
+
+    cands = coalesce_for_shuffle(cands, 0.25)
+
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True], kind="mergesort").head(k)
         return pd.DataFrame(
@@ -135,7 +139,7 @@ def lsh_cosine_pairs(
             {
                 "bucket": pa.array(bucket.view(np.int64)),
                 id_col: pa.array(ids),
-                "emb": pa.array(m.tolist(), type=pa.list_(pa.float64(), m.shape[1])),
+                "emb": pa.FixedSizeListArray.from_arrays(pa.array(m.ravel()), m.shape[1]),
             }
         )
         return out
@@ -148,8 +152,8 @@ def lsh_cosine_pairs(
         )
         if len(g) < 2:
             return empty
-        ids = g[id_col].to_numpy()
-        m = np.asarray(g["emb"].tolist(), dtype=np.float64)
+        ids = np.asarray(g[id_col].to_numpy(), dtype=np.int64)
+        m = np.stack(g["emb"].to_numpy())
         m = m / np.linalg.norm(m, axis=1, keepdims=True)
         sims = m @ m.T
         ii, jj = np.triu_indices(len(ids), k=1)

@@ -54,7 +54,9 @@ def exact_dedup(ds, id_col: str, text_col: str = "text"):
             }
         )
 
-    hashed = ds.map_batches(to_hash, batch_format="pyarrow")
+    from ..stages.util import coalesce_for_shuffle
+
+    hashed = coalesce_for_shuffle(ds.map_batches(to_hash, batch_format="pyarrow"), 0.5)
 
     def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -106,8 +108,8 @@ def minhash_signatures_stage(
         return pa.table(
             {
                 id_col: pa.array(ids),
-                "sig": pa.array(
-                    sigs.view(np.int64).tolist(), type=pa.list_(pa.int64(), num_perm)
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sigs.view(np.int64).ravel()), num_perm
                 ),
             }
         )
@@ -132,17 +134,20 @@ def minhash_dedup(
     filter uses the full signature, so band collisions don't create false
     positives above threshold.
     """
+    from ..stages.util import cluster_cpus
+
     rows_per_band = num_perm // bands
-    sig_ds = ds.map_batches(
+    # signature computation is per-row CPU-bound: spread small inputs
+    # across the cluster before the map
+    sig_ds = ds.repartition(max(2, cluster_cpus())).map_batches(
         minhash_signatures_stage(id_col, text_col, num_perm, shingle_k),
         batch_format="pyarrow",
     )
 
     def to_buckets(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy().astype(np.int64)
-        sig = np.asarray(batch["sig"].to_pylist(), dtype=np.int64).reshape(
-            len(ids), num_perm
-        )
+        sig_col = batch["sig"].combine_chunks()
+        sig = sig_col.flatten().to_numpy(zero_copy_only=False).reshape(len(ids), num_perm)
         out_bucket, out_id, out_sig = [], [], []
         for band in range(bands):
             seg = sig[:, band * rows_per_band : (band + 1) * rows_per_band]
@@ -159,39 +164,100 @@ def minhash_dedup(
             {
                 "bucket": pa.array(np.concatenate(out_bucket)),
                 id_col: pa.array(np.concatenate(out_id)),
-                "sig": pa.array(
-                    np.concatenate(out_sig).tolist(), type=pa.list_(pa.int64(), num_perm)
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(np.concatenate(out_sig).ravel()), num_perm
                 ),
             }
         )
 
-    buckets = sig_ds.map_batches(to_buckets, batch_format="pyarrow")
+    from ..stages.util import coalesce_for_shuffle
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a_id": [], "b_id": [], "est_jaccard": []}).astype(
-                {"a_id": np.int64, "b_id": np.int64, "est_jaccard": np.float64}
-            )
-        ids = g[id_col].to_numpy()
-        sig = np.asarray(g["sig"].tolist(), dtype=np.int64)
+    buckets = coalesce_for_shuffle(
+        sig_ds.map_batches(to_buckets, batch_format="pyarrow"), 0.5
+    )
+
+    _empty_pairs = pa.table(
+        {
+            "a_id": pa.array([], pa.int64()),
+            "b_id": pa.array([], pa.int64()),
+            "est_jaccard": pa.array([], pa.float64()),
+        }
+    )
+
+    def pairs_in_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return _empty_pairs
+        ids = g[id_col].to_numpy().astype(np.int64)
+        sig = g["sig"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        sig = sig.reshape(len(ids), num_perm)
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
         sig = sig[order]
-        ii, jj = np.triu_indices(len(ids), k=1)
-        est = (sig[ii] == sig[jj]).mean(axis=1)
-        keep = est >= threshold
-        return pd.DataFrame(
-            {"a_id": ids[ii[keep]], "b_id": ids[jj[keep]], "est_jaccard": est[keep]}
+
+        out_a, out_b, out_e = [], [], []
+
+        # identical-signature groups (true duplicates flood real corpora):
+        # link members to the group representative linearly — O(n), not O(n²)
+        key = np.zeros(len(ids), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for c in range(num_perm):
+                key = (key ^ sig[:, c].astype(np.uint64)) * np.uint64(1099511628211)
+        korder = np.argsort(key, kind="stable")
+        ks = key[korder]
+        starts = np.nonzero(np.r_[True, ks[1:] != ks[:-1]])[0]
+        group_of = np.zeros(len(ids), dtype=np.int64)
+        group_of[korder] = np.repeat(np.arange(len(starts)), np.diff(np.r_[starts, len(ids)]))
+        reps_idx = []
+        for gstart, gend in zip(starts, np.r_[starts[1:], len(ids)]):
+            members = korder[gstart:gend]
+            members = members[np.argsort(ids[members], kind="stable")]
+            rep = members[0]
+            reps_idx.append(rep)
+            if len(members) > 1:
+                out_a.append(np.full(len(members) - 1, ids[rep]))
+                out_b.append(ids[members[1:]])
+                out_e.append(np.ones(len(members) - 1))
+
+        # distinct-signature reps: chunked all-pairs (memory-bounded)
+        reps = np.asarray(reps_idx, dtype=np.int64)
+        rids = ids[reps]
+        rsig = sig[reps]
+        n = len(reps)
+        CH = 1024
+        for i0 in range(0, n, CH):
+            si = rsig[i0 : i0 + CH]
+            for j0 in range(i0, n, CH):
+                sj = rsig[j0 : j0 + CH]
+                est = (si[:, None, :] == sj[None, :, :]).mean(axis=2)
+                ii, jj = np.nonzero(est >= threshold)
+                gi = ii + i0
+                gj = jj + j0
+                keep = gi < gj
+                gi, gj = gi[keep], gj[keep]
+                if len(gi):
+                    a = np.minimum(rids[gi], rids[gj])
+                    b = np.maximum(rids[gi], rids[gj])
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_e.append(est[gi - i0, gj - j0])
+        if not out_a:
+            return _empty_pairs
+        return pa.table(
+            {
+                "a_id": pa.array(np.concatenate(out_a)),
+                "b_id": pa.array(np.concatenate(out_b)),
+                "est_jaccard": pa.array(np.concatenate(out_e)),
+            }
         )
 
-    pairs = buckets.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas")
+    pairs = buckets.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pyarrow")
 
     # a pair can match in several bands → dedup on (a_id, b_id)
-    def first_per_pair(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    def first_per_pair(g: pa.Table) -> pa.Table:
+        return g.slice(0, 1)
 
-    return (
-        pairs.groupby(["a_id", "b_id"]).map_groups(first_per_pair, batch_format="pandas")
+    return pairs.groupby(["a_id", "b_id"]).map_groups(
+        first_per_pair, batch_format="pyarrow"
     )
 
 

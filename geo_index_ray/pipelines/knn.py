@@ -109,6 +109,10 @@ def knn(
         concurrency=concurrency,
     )
 
+    from ..stages.util import coalesce_for_shuffle
+
+    candidates = coalesce_for_shuffle(candidates, 0.25)
+
     def merge_topk(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["dist", "target_id"], kind="mergesort").head(k)
         g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))

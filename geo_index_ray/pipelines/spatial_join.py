@@ -114,9 +114,15 @@ def shuffle_spatial_join(
     if skew_split_threshold is not None:
         eff_res = _pick_split_res(left_ds, res, skew_split_threshold)
 
-    tagged_left = _tag_cells(left_ds, 0, left_id, eff_res, replicate=not left_are_points)
-    tagged_right = _tag_cells(
-        right_ds, 1, right_id, eff_res, replicate=True, pad=radius
+    from ..stages.util import coalesce_for_shuffle
+
+    # narrow (56 B/row) shuffle payload: coalesce each side so the cell
+    # groupby sees few, chunky blocks (sort shuffle cost ~ blocks^2)
+    tagged_left = coalesce_for_shuffle(
+        _tag_cells(left_ds, 0, left_id, eff_res, replicate=not left_are_points), 0.5
+    )
+    tagged_right = coalesce_for_shuffle(
+        _tag_cells(right_ds, 1, right_id, eff_res, replicate=True, pad=radius), 0.5
     )
     unioned = tagged_left.union(tagged_right)
 

@@ -32,7 +32,12 @@ def cell_histogram(ds, res: int, x_col: str = "x", y_col: str = "y", flat: bool 
         uniq, counts = np.unique(cid, return_counts=True)
         return pa.table({"cell": pa.array(uniq), "n": pa.array(counts.astype(np.int64))})
 
-    hist = ds.map_batches(partial, batch_format="pyarrow").groupby("cell").sum("n")
+    from ..stages.util import coalesce_for_shuffle
+
+    partials = coalesce_for_shuffle(
+        ds.map_batches(partial, batch_format="pyarrow"), 0.25
+    )
+    hist = partials.groupby("cell").sum("n")
     return hist.map_batches(
         lambda b: b.rename_columns(["cell", "n_rows"]), batch_format="pyarrow"
     )

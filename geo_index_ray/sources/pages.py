@@ -18,6 +18,20 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+_VOCAB = np.array(
+    (
+        "the of and to in is was for on as with by at from it an be this that or "
+        "which are not have has had were will would can could may might must shall "
+        "data web page site crawl index query search engine token text html link "
+        "url server client cache fetch parse render script style image video audio "
+        "news article blog post comment user account login profile settings help "
+        "about contact terms privacy policy copyright market price stock trade "
+        "science research study result method model test train learn deep neural "
+        "city world country state region local global north south east west "
+        "time year month day hour minute second today tomorrow yesterday now"
+    ).split()
+)
+
 _LANGS = np.array(["en", "de", "fr", "es", "zh", "ru", "pt", "ja"])
 _LANG_W = np.array([0.44, 0.10, 0.09, 0.09, 0.10, 0.07, 0.06, 0.05])
 
@@ -86,10 +100,16 @@ def make_pages_batch(start: int, count: int) -> pa.Table:
             0, len(_LANGS) - 1
         )
     ]
-    text = [
-        f"page {p} of site {s} in {lg} — " + ("lorem ipsum dolor sit amet " * (1 + int(p) % 7)).strip()
-        for s, p, lg in zip(site, page, lang)
-    ]
+    # diverse deterministic text: 24-72 vocab words chosen by an LCG of the
+    # row id; ~5% of rows exactly duplicate an earlier row's body (real
+    # corpora are full of true duplicates — gives dedup pipelines work)
+    n_words = (rid % 49 + 24).astype(np.int64)
+    body_seed = np.where((rid % 20 == 7) & (rid >= 7), rid - 7, rid)
+    text = []
+    for bs, nw, s, p, lg in zip(body_seed, n_words, site, page, lang):
+        nw = int(24 + (bs % 49))
+        idx = (int(bs) * 2654435761 + np.arange(nw) * 40503) % len(_VOCAB)
+        text.append(" ".join(_VOCAB[idx]))
     html = [f"<html><body><p>{t}</p></body></html>".encode() for t in text]
     return pa.table(
         {

@@ -17,3 +17,33 @@ def default_concurrency(cap: int = 8) -> int:
     except Exception:
         cpus = 4
     return max(1, min(cap, cpus // 2))
+
+
+def cluster_cpus() -> int:
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        pass
+    return 4
+
+
+def shuffle_block_count() -> int:
+    """Number of blocks to feed an all-to-all (groupby/sort) operator.
+
+    Ray's sort-based shuffle cost grows superlinearly with input block
+    count (maps × reduces object transfers), so coalesce narrow shuffle
+    payloads to ~CPUs/2 blocks first.  On a big multi-node cluster the same
+    rule holds per the aggregate CPU count — blocks should stay in the
+    tens-of-MB to ~128MB range, not the KB range that per-task overhead
+    turns into the bottleneck.
+    """
+    return max(2, cluster_cpus() // 2)
+
+
+def coalesce_for_shuffle(ds, frac: float = 1.0):
+    """Coalesce (no shuffle) a dataset about to enter a groupby/sort."""
+    n = max(2, int(shuffle_block_count() * frac))
+    return ds.repartition(n)
