@@ -19,11 +19,14 @@ import pyarrow.parquet as pq
 
 from geo_index_ray.functions import geocode
 from geo_index_ray.kernels import cells as cellmod
+from geo_index_ray.kernels import kdtree
 from geo_index_ray.kernels import rtree
 from geo_index_ray.pipelines import ann as ann_pipe
 from geo_index_ray.pipelines import dedup as dedup_pipe
+from geo_index_ray.pipelines import events as events_pipe
 from geo_index_ray.pipelines import knn as knn_pipe
 from geo_index_ray.pipelines import multimodal as mm_pipe
+from geo_index_ray.pipelines import partition as part_pipe
 from geo_index_ray.pipelines import spatial_join as sj
 from geo_index_ray.pipelines import text as text_pipe
 from geo_index_ray.pipelines import tiling
@@ -41,6 +44,10 @@ BOX_SEARCH = (-30.0, -20.0, 40.0, 35.0)
 KNN_K = 5
 WITHIN_R = 25.0
 ANN_K = 5
+WINDOW_US = 3_600_000_000  # 1 h tumbling windows
+GAP_US = 1_800_000_000  # 30 min session gap
+COS_THRESHOLD = 0.3
+PARTITION_SIZE = 1024
 
 
 # ---------------------------------------------------------------------------
@@ -318,6 +325,124 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["embed_neardup"] = embed_neardup
 
+    # --- event-stream operators ---
+    def window_agg(sf_dir):
+        ds = tables.read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+        return events_pipe.tumbling_window(ds, WINDOW_US)
+
+    q["window_agg"] = window_agg
+
+    def sessionize(sf_dir):
+        ds = tables.read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+        return events_pipe.sessionize(ds, GAP_US)
+
+    q["sessionize"] = sessionize
+
+    def asof_click_purchase(sf_dir):
+        ds = tables.read_table(
+            sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]
+        )
+
+        def only(kind, id_name):
+            def fn(b: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                f = b.filter(pc.equal(b["event_type"], kind))
+                return pa.table(
+                    {id_name: f["event_id"], "ts": f["ts"], "user_id": f["user_id"]}
+                )
+
+            return fn
+
+        clicks = ds.map_batches(only("click", "click_id"), batch_format="pyarrow")
+        purchases = ds.map_batches(only("purchase", "purchase_id"), batch_format="pyarrow")
+        return events_pipe.asof_join(
+            clicks, purchases, key_col="user_id",
+            left_id="click_id", right_id="purchase_id",
+        )
+
+    q["asof_click_purchase"] = asof_click_purchase
+
+    # --- more index probes / joins ---
+    def kd_range(sf_dir):
+        ds = tables.points_ds(sf_dir, "supplier", "s_suppkey")
+        mnx, mny, mxx, mxy = BOX_SEARCH
+
+        def probe(batch: pa.Table) -> pa.Table:
+            x = batch["x"].to_numpy()
+            y = batch["y"].to_numpy()
+            if len(x) == 0:
+                return batch
+            tree = kdtree.build_kdtree(x, y)
+            hits = np.sort(kdtree.range_query(tree, mnx, mny, mxx, mxy)).astype(np.int64)
+            return batch.take(hits)
+
+        return ds.map_batches(probe, batch_format="pyarrow")
+
+    q["kd_range"] = kd_range
+
+    def knn_haversine(sf_dir):
+        nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+        nk = nation["n_nationkey"].to_numpy().astype(np.int64)
+        qxy = np.stack([geocode.derive_lon(nk), geocode.derive_lat(nk)], axis=1)
+        targets = tables.points_ds(sf_dir, "customer", "c_custkey")
+        res = knn_pipe.knn(
+            targets, qxy, KNN_K, id_col="c_custkey", query_ids=nk, metric="haversine"
+        )
+        return res.select_columns(["query_id", "target_id", "rank"])
+
+    q["knn_haversine"] = knn_haversine
+
+    def tree_join_parts(sf_dir):
+        supp = tables.boxes_ds(sf_dir, "supplier", "s_suppkey")
+        part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+        pk = part["p_partkey"].to_numpy().astype(np.int64)
+        cx, cy = geocode.derive_lon(pk), geocode.derive_lat(pk)
+        hw, hh = geocode.derive_half_w(pk), geocode.derive_half_h(pk)
+        right = pa.table(
+            {
+                "p_partkey": pa.array(pk),
+                "min_x": pa.array(cx - hw),
+                "min_y": pa.array(cy - hh),
+                "max_x": pa.array(cx + hw),
+                "max_y": pa.array(cy + hh),
+            }
+        )
+        return sj.broadcast_tree_join(
+            supp, right, left_id="s_suppkey", right_id="p_partkey"
+        )
+
+    q["tree_join_parts"] = tree_join_parts
+
+    # --- spatial partitioning (partitions/partition_boxes analog) ---
+    def spatial_partition(sf_dir):
+        ds = tables.points_ds(sf_dir, "customer", "c_custkey")
+        return part_pipe.spatial_partition(ds, "c_custkey", PARTITION_SIZE)
+
+    q["spatial_partition"] = spatial_partition
+
+    def partition_boxes(sf_dir):
+        ds = tables.points_ds(sf_dir, "customer", "c_custkey")
+        parts = part_pipe.spatial_partition(ds, "c_custkey", PARTITION_SIZE)
+        return part_pipe.partition_envelopes(parts)
+
+    q["partition_boxes"] = partition_boxes
+
+    # --- exact similarity ---
+    def cosine_exact(sf_dir):
+        ds = tables.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        return ann_pipe.cosine_pairs_exact(ds, COS_THRESHOLD, "vec_id")
+
+    q["cosine_pairs_exact"] = cosine_exact
+
+    def ngram_jaccard(sf_dir):
+        ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        return dedup_pipe.ngram_jaccard_dedup(ds, "doc_id", threshold=0.3).select_columns(
+            ["a_id", "b_id"]
+        )
+
+    q["ngram_jaccard_pairs"] = ngram_jaccard
+
     # --- multimodal (stubbed decode, real plumbing) ---
     def multimodal(sf_dir):
         ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -480,6 +605,91 @@ def oracle_sql() -> dict[str, str]:
                  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, target_id) AS rank
           FROM d
         ) WHERE rank <= {KNN_K}
+    """
+
+    sql["window_agg"] = f"""
+        SELECT epoch_us(ts) // {WINDOW_US} AS window_id, event_type,
+               COUNT(*) AS n_events, MIN(value) AS min_value, MAX(value) AS max_value
+        FROM events GROUP BY 1, 2
+    """
+
+    sql["sessionize"] = f"""
+        WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+        m AS (
+          SELECT user_id, tus,
+                 CASE WHEN LAG(tus) OVER w IS NULL
+                        OR tus - LAG(tus) OVER w > {GAP_US} THEN 1 ELSE 0 END AS is_new
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+        ),
+        s AS (
+          SELECT user_id, tus,
+                 CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+          FROM m
+        )
+        SELECT user_id, session_seq, COUNT(*) AS n_events,
+               MIN(tus) AS start_us, MAX(tus) AS end_us
+        FROM s GROUP BY 1, 2
+    """
+
+    sql["asof_click_purchase"] = """
+        SELECT c.event_id AS click_id, p.event_id AS purchase_id
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+    """
+
+    sql["kd_range"] = f"""
+        SELECT s_suppkey, x, y
+        FROM (SELECT s_suppkey, {pt('s_suppkey')} FROM supplier)
+        WHERE x >= {mnx} AND x <= {mxx} AND y >= {mny} AND y <= {mxy}
+    """
+
+    hav = (
+        "2.0 * 6378137.0 * ASIN(SQRT(LEAST(1.0, "
+        "POWER(SIN(RADIANS(t.y - q.y) / 2), 2) "
+        "+ COS(RADIANS(q.y)) * COS(RADIANS(t.y)) "
+        "* POWER(SIN(RADIANS(t.x - q.x) / 2), 2))))"
+    )
+    sql["knn_haversine"] = f"""
+        WITH q AS (SELECT n_nationkey, {pt('n_nationkey')} FROM nation),
+             t AS (SELECT c_custkey, {pt('c_custkey')} FROM customer),
+             d AS (
+               SELECT q.n_nationkey AS query_id, t.c_custkey AS target_id,
+                      {hav} AS dist
+               FROM q CROSS JOIN t
+             )
+        SELECT query_id, target_id, rank FROM (
+          SELECT query_id, target_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, target_id) AS rank
+          FROM d
+        ) WHERE rank <= {KNN_K}
+    """
+
+    sql["tree_join_parts"] = f"""
+        WITH s AS (
+          SELECT s_suppkey,
+                 {lon('s_suppkey')} AS cx, {lat('s_suppkey')} AS cy,
+                 {geocode.sql_half_w('s_suppkey')} AS hw,
+                 {geocode.sql_half_h('s_suppkey')} AS hh
+          FROM supplier
+        ), p AS (
+          SELECT p_partkey,
+                 {lon('p_partkey')} AS cx, {lat('p_partkey')} AS cy,
+                 {geocode.sql_half_w('p_partkey')} AS hw,
+                 {geocode.sql_half_h('p_partkey')} AS hh
+          FROM part
+        )
+        SELECT s.s_suppkey, p.p_partkey
+        FROM s JOIN p
+          ON s.cx - s.hw <= p.cx + p.hw AND s.cx + s.hw >= p.cx - p.hw
+         AND s.cy - s.hh <= p.cy + p.hh AND s.cy + s.hh >= p.cy - p.hh
+    """
+
+    sql["cosine_pairs_exact"] = f"""
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= {COS_THRESHOLD}
     """
 
     sql["dedup_exact"] = """

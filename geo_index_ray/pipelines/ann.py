@@ -163,3 +163,75 @@ def lsh_cosine_pairs(
         return pd.DataFrame({"a_id": a, "b_id": b, "cos_sim": sims[ii[keep], jj[keep]]})
 
     return buckets.groupby("bucket").map_groups(verify, batch_format="pandas")
+
+
+class _PairProbe:
+    """Actor: broadcast full normalized matrix; per batch emit all pairs
+    (batch_row, any_row) with sim >= threshold and batch_id < other_id —
+    each qualifying global pair is produced by exactly one batch row, so
+    no dedup shuffle is needed."""
+
+    def __init__(self, all_ref, threshold: float, id_col: str, emb_col: str):
+        import ray
+
+        a = ray.get(all_ref)
+        self.all_ids = a["ids"]
+        am = a["matrix"]
+        self.am = am / np.linalg.norm(am, axis=1, keepdims=True)
+        self.threshold = threshold
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy().astype(np.int64)
+        if len(ids) == 0:
+            return pa.table(
+                {"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64())}
+            )
+        m = _emb_matrix(batch, self.emb_col)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ self.am.T  # (batch, n_all)
+        ii, jj = np.nonzero(sims >= self.threshold)
+        a = ids[ii]
+        b = self.all_ids[jj]
+        keep = a < b
+        return pa.table({"a_id": pa.array(a[keep]), "b_id": pa.array(b[keep])})
+
+
+def cosine_pairs_exact(ds, threshold: float, id_col: str, emb_col: str = "embedding",
+                       concurrency: int | None = None):
+    """Exact all-pairs cosine similarity >= threshold (a_id < b_id).
+
+    Quadratic oracle baseline for ``lsh_cosine_pairs``: the full normalized
+    matrix is broadcast once (``ray.put``), each batch does one matmul
+    against it — distributed over rows, O(n²/p) per worker, no shuffle.
+    """
+    import ray
+
+    if concurrency is None:
+        from ..stages.util import default_concurrency
+
+        concurrency = default_concurrency()
+
+    # the broadcast side needs the full (ids, matrix) once on the driver —
+    # gathered via a streamed pass (d floats/row, small); at 100 TB the
+    # broadcast side would be a sampled/clustered subset (IVF centroids)
+    ids_chunks, mat_chunks = [], []
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=65536):
+        ids_chunks.append(b[id_col].to_numpy().astype(np.int64))
+        mat_chunks.append(_emb_matrix(b, emb_col))
+    all_ids = np.concatenate(ids_chunks)
+    all_mat = np.concatenate(mat_chunks)
+    all_ref = ray.put({"ids": all_ids, "matrix": all_mat})
+
+    return ds.map_batches(
+        _PairProbe,
+        fn_constructor_kwargs={
+            "all_ref": all_ref,
+            "threshold": threshold,
+            "id_col": id_col,
+            "emb_col": emb_col,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

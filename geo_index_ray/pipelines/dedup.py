@@ -294,3 +294,114 @@ def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / len(sa | sb)
+
+
+def ngram_jaccard_dedup(
+    ds,
+    id_col: str,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+):
+    """Near-duplicate pairs by *exact* character-n-gram Jaccard, with
+    MinHash-LSH bucketing as the candidate generator (only candidate
+    buckets, never all pairs, are compared).
+
+    Each row carries its unique shingle-hash set (uint64 list) through the
+    bucket shuffle; per bucket, exact ``|A∩B| / |A∪B|`` is computed via
+    sorted-array intersection — no text moves, and the result is exact
+    (bucketing only affects recall, tuned by bands/num_perm).
+    Returns (a_id, b_id) pairs with exact Jaccard >= threshold, deduped.
+    """
+    rows_per_band = num_perm // bands
+    a_params, b_params = _minhash_params(num_perm)
+
+    def to_bucketed_shingles(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        texts = batch[text_col].to_pylist()
+        out_bucket, out_id, out_sh = [], [], []
+        for i, t in enumerate(texts):
+            sh = np.unique(_shingle_hashes(t, shingle_k))
+            if len(sh) == 0:
+                continue
+            with np.errstate(over="ignore"):
+                phi = (a_params[:, None] * sh[None, :] + b_params[:, None])
+            sig = phi.min(axis=1)
+            for band in range(bands):
+                seg = sig[band * rows_per_band : (band + 1) * rows_per_band]
+                with np.errstate(over="ignore"):
+                    h = np.uint64(band + 1)
+                    for v in seg:
+                        h = (h ^ v) * np.uint64(1099511628211)
+                out_bucket.append(np.int64(h.astype(np.int64)))
+                out_id.append(ids[i])
+                out_sh.append(sh.view(np.int64))
+        if not out_id:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "shingles": pa.array([], pa.list_(pa.int64())),
+                }
+            )
+        return pa.table(
+            {
+                "bucket": pa.array(np.asarray(out_bucket)),
+                id_col: pa.array(np.asarray(out_id)),
+                "shingles": pa.array([s.tolist() for s in out_sh], pa.list_(pa.int64())),
+            }
+        )
+
+    from ..stages.util import coalesce_for_shuffle
+
+    buckets = coalesce_for_shuffle(
+        ds.map_batches(to_bucketed_shingles, batch_format="pyarrow"), 0.5
+    )
+
+    _empty = pa.table(
+        {
+            "a_id": pa.array([], pa.int64()),
+            "b_id": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+
+    def pairs_in_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return _empty
+        ids = g[id_col].to_numpy().astype(np.int64)
+        sh_col = g["shingles"].combine_chunks()
+        sets = [sh_col[i].values.to_numpy(zero_copy_only=False) for i in range(len(ids))]
+        order = np.argsort(ids, kind="stable")
+        out_a, out_b, out_j = [], [], []
+        for pi in range(len(order)):
+            i = order[pi]
+            for pj in range(pi + 1, len(order)):
+                j = order[pj]
+                if ids[i] == ids[j]:
+                    continue
+                inter = np.intersect1d(sets[i], sets[j], assume_unique=True).size
+                union = sets[i].size + sets[j].size - inter
+                jac = inter / union if union else 0.0
+                if jac >= threshold:
+                    out_a.append(min(ids[i], ids[j]))
+                    out_b.append(max(ids[i], ids[j]))
+                    out_j.append(jac)
+        if not out_a:
+            return _empty
+        return pa.table(
+            {
+                "a_id": pa.array(np.asarray(out_a, dtype=np.int64)),
+                "b_id": pa.array(np.asarray(out_b, dtype=np.int64)),
+                "jaccard": pa.array(np.asarray(out_j)),
+            }
+        )
+
+    pairs = buckets.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pyarrow")
+
+    def first_pair(g: pa.Table) -> pa.Table:
+        return g.slice(0, 1)
+
+    return pairs.groupby(["a_id", "b_id"]).map_groups(first_pair, batch_format="pyarrow")

@@ -23,48 +23,98 @@ from ..kernels import rtree
 
 
 class _LocalKnn:
-    """Actor: holds the broadcast query matrix; per batch builds a packed
-    R-tree and emits per-batch top-k candidates per query."""
+    """Actor: holds the broadcast query matrix; per batch emits local
+    top-k candidates per query.
 
-    def __init__(self, queries_ref, k: int, id_col: str, x_col: str, y_col: str):
+    ``method="brute"`` (default) computes the full (batch × queries)
+    distance matrix in one vectorized shot and ``argpartition``s the
+    per-query top-k — for the small broadcast query sets this stage is
+    built for, that beats any per-query traversal and is exactly correct
+    (the global top-k is a subset of the union of per-batch top-ks).
+    ``method="tree"`` uses the packed R-tree best-first traversal
+    (kernels.rtree.neighbors, the reference algorithm
+    src/rtree/trait.rs:198-302) — the scale path when the query count per
+    actor is large enough that sub-linear probes win.
+    """
+
+    def __init__(self, queries_ref, k: int, id_col: str, x_col: str, y_col: str,
+                 metric: str = "squared", method: str = "brute"):
         import ray
 
         q = ray.get(queries_ref)
         self.qids = q["ids"]
-        self.qx = q["xy"][:, 0]
-        self.qy = q["xy"][:, 1]
+        self.qx = np.ascontiguousarray(q["xy"][:, 0])
+        self.qy = np.ascontiguousarray(q["xy"][:, 1])
         self.k = k
         self.id_col = id_col
         self.x_col = x_col
         self.y_col = y_col
+        self.metric = metric
+        self.method = method
+
+    def _empty(self) -> pa.Table:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "target_id": pa.array([], pa.int64()),
+                "dist": pa.array([], pa.float64()),
+            }
+        )
+
+    def _dist_matrix(self, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+        """(n_targets, n_queries) distances under the configured metric."""
+        if self.metric == "squared":
+            dx = x[:, None] - self.qx[None, :]
+            dy = y[:, None] - self.qy[None, :]
+            return dx * dx + dy * dy
+        if self.metric == "haversine":
+            from ..kernels.geom import haversine
+
+            return haversine(
+                x[:, None], y[:, None], self.qx[None, :], self.qy[None, :]
+            )
+        raise ValueError(f"unknown metric {self.metric!r}")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy().astype(np.int64)
         x = batch[self.x_col].to_numpy()
         y = batch[self.y_col].to_numpy()
         if len(ids) == 0:
+            return self._empty()
+        if self.method == "tree" and self.metric == "squared":
+            tree = rtree.build_rtree(x, y, x, y)
+            out_q, out_t, out_d = [], [], []
+            for qi in range(len(self.qx)):
+                nb = rtree.neighbors(
+                    tree, self.qx[qi], self.qy[qi], max_results=self.k
+                ).astype(np.int64)
+                dx = x[nb] - self.qx[qi]
+                dy = y[nb] - self.qy[qi]
+                out_q.append(np.full(len(nb), self.qids[qi], dtype=np.int64))
+                out_t.append(ids[nb])
+                out_d.append(dx * dx + dy * dy)
             return pa.table(
                 {
-                    "query_id": pa.array([], pa.int64()),
-                    "target_id": pa.array([], pa.int64()),
-                    "dist": pa.array([], pa.float64()),
+                    "query_id": pa.array(np.concatenate(out_q)),
+                    "target_id": pa.array(np.concatenate(out_t)),
+                    "dist": pa.array(np.concatenate(out_d)),
                 }
             )
-        tree = rtree.build_rtree(x, y, x, y)
-        out_q, out_t, out_d = [], [], []
-        for qi in range(len(self.qx)):
-            nb = rtree.neighbors(tree, self.qx[qi], self.qy[qi], max_results=self.k)
-            nb = nb.astype(np.int64)
-            dx = x[nb] - self.qx[qi]
-            dy = y[nb] - self.qy[qi]
-            out_q.append(np.full(len(nb), self.qids[qi], dtype=np.int64))
-            out_t.append(ids[nb])
-            out_d.append(dx * dx + dy * dy)
+        d = self._dist_matrix(x, y)
+        kk = min(self.k, len(ids))
+        if kk < len(ids):
+            top = np.argpartition(d, kk - 1, axis=0)[:kk]  # (k, n_q)
+        else:
+            top = np.broadcast_to(
+                np.arange(len(ids))[:, None], (len(ids), len(self.qx))
+            )
+        nq = len(self.qx)
+        qcol = np.broadcast_to(np.arange(nq)[None, :], top.shape)
         return pa.table(
             {
-                "query_id": pa.array(np.concatenate(out_q)),
-                "target_id": pa.array(np.concatenate(out_t)),
-                "dist": pa.array(np.concatenate(out_d)),
+                "query_id": pa.array(np.repeat(self.qids[None, :], top.shape[0], 0).ravel()),
+                "target_id": pa.array(ids[top].ravel()),
+                "dist": pa.array(d[top, qcol].ravel()),
             }
         )
 
@@ -78,6 +128,8 @@ def knn(
     x_col: str = "x",
     y_col: str = "y",
     concurrency: int | None = None,
+    metric: str = "squared",
+    method: str = "brute",
 ):
     """Global top-k nearest targets for each query point.
 
@@ -104,6 +156,8 @@ def knn(
             "id_col": id_col,
             "x_col": x_col,
             "y_col": y_col,
+            "metric": metric,
+            "method": method,
         },
         batch_format="pyarrow",
         concurrency=concurrency,

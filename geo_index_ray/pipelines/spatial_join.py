@@ -281,3 +281,77 @@ def broadcast_spatial_join(
             lambda b: b.rename_columns([left_id, right_id]), batch_format="pyarrow"
         )
     return pairs
+
+
+class _BroadcastTreeJoin:
+    """Actor-pool dual-tree join: the broadcast side's packed R-tree is
+    fetched once per actor; each batch builds its own tree and runs the
+    tree×tree synchronized descent (kernels.rtree.tree_join — the
+    reference's intersection_candidates_with_other_tree,
+    src/rtree/traversal.rs:262-370)."""
+
+    def __init__(self, tree_ref, right_ids_ref, id_col: str):
+        import ray
+
+        self.rtree_buf = ray.get(tree_ref)
+        self.right_ids = ray.get(right_ids_ref)
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lid = batch[self.id_col].to_numpy().astype(np.int64)
+        if len(lid) == 0:
+            return _EMPTY_PAIRS
+        ltree = rtree.build_rtree(
+            batch["min_x"].to_numpy(),
+            batch["min_y"].to_numpy(),
+            batch["max_x"].to_numpy(),
+            batch["max_y"].to_numpy(),
+        )
+        li, ri = rtree.tree_join(ltree, self.rtree_buf)
+        return pa.table(
+            {
+                "left_id": pa.array(lid[li.astype(np.int64)]),
+                "right_id": pa.array(self.right_ids[ri.astype(np.int64)]),
+            }
+        )
+
+
+def broadcast_tree_join(
+    left_ds,
+    right_table: pa.Table,
+    left_id: str = "left_id",
+    right_id: str = "right_id",
+    concurrency: int | None = None,
+):
+    """Tree×tree candidate join with a broadcast right side: per-batch left
+    trees against one shared right tree, via the dual-tree descent."""
+    import ray
+
+    rid = right_table[right_id].to_numpy().astype(np.int64)
+    tree = rtree.build_rtree(
+        right_table["min_x"].to_numpy(),
+        right_table["min_y"].to_numpy(),
+        right_table["max_x"].to_numpy(),
+        right_table["max_y"].to_numpy(),
+    )
+    tree_ref = ray.put(tree)
+    ids_ref = ray.put(rid)
+    if concurrency is None:
+        from ..stages.util import default_concurrency
+
+        concurrency = default_concurrency()
+    pairs = left_ds.map_batches(
+        _BroadcastTreeJoin,
+        fn_constructor_kwargs={
+            "tree_ref": tree_ref,
+            "right_ids_ref": ids_ref,
+            "id_col": left_id,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    if left_id != "left_id" or right_id != "right_id":
+        pairs = pairs.map_batches(
+            lambda b: b.rename_columns([left_id, right_id]), batch_format="pyarrow"
+        )
+    return pairs

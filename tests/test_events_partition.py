@@ -1,0 +1,239 @@
+"""Tests for event-stream operators and global Hilbert partitioning."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    yield
+
+
+def _to_df(ds) -> pd.DataFrame:
+    return ds.to_pandas()
+
+
+class TestTumblingWindow:
+    def test_matches_pandas(self):
+        import pyarrow.parquet as pq
+
+        from geo_index_ray.pipelines import events as ev
+        from geo_index_ray.sources import tables
+
+        W = 3_600_000_000
+        ds = tables.read_table(SF, "events", columns=["ts", "event_type", "value"])
+        got = _to_df(ev.tumbling_window(ds, W)).sort_values(
+            ["window_id", "event_type"]
+        ).reset_index(drop=True)
+
+        t = pq.read_table(f"{SF}/events.parquet").to_pandas()
+        t["window_id"] = t["ts"].astype("int64") // W
+        want = (
+            t.groupby(["window_id", "event_type"])
+            .agg(n_events=("value", "size"), min_value=("value", "min"), max_value=("value", "max"))
+            .reset_index()
+            .sort_values(["window_id", "event_type"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want)
+        assert (got["n_events"].to_numpy() == want["n_events"].to_numpy()).all()
+        assert np.allclose(got["min_value"], want["min_value"])
+
+    def test_partition_invariant(self):
+        from geo_index_ray.pipelines import events as ev
+        from geo_index_ray.sources import tables
+
+        W = 3_600_000_000
+        a = _to_df(
+            ev.tumbling_window(
+                tables.read_table(SF, "events", columns=["ts", "event_type", "value"]).repartition(1), W
+            )
+        )
+        b = _to_df(
+            ev.tumbling_window(
+                tables.read_table(SF, "events", columns=["ts", "event_type", "value"]).repartition(7), W
+            )
+        )
+        key = ["window_id", "event_type"]
+        a = a.sort_values(key).reset_index(drop=True)
+        b = b.sort_values(key).reset_index(drop=True)
+        assert (a["n_events"].to_numpy() == b["n_events"].to_numpy()).all()
+
+
+class TestSessionize:
+    def test_sessions_cover_all_events(self):
+        import pyarrow.parquet as pq
+
+        from geo_index_ray.pipelines import events as ev
+        from geo_index_ray.sources import tables
+
+        GAP = 1_800_000_000
+        ds = tables.read_table(SF, "events", columns=["event_id", "ts", "user_id"])
+        got = _to_df(ev.sessionize(ds, GAP))
+        n_events = pq.read_table(f"{SF}/events.parquet").num_rows
+        assert got["n_events"].sum() == n_events
+        # session_seq contiguous 1..n per user
+        for _, g in got.groupby("user_id"):
+            assert sorted(g["session_seq"].tolist()) == list(range(1, len(g) + 1))
+        # within a session, duration consistent; between consecutive
+        # sessions of one user the gap must exceed GAP
+        for _, g in got.sort_values("session_seq").groupby("user_id"):
+            starts = g["start_us"].to_numpy()
+            ends = g["end_us"].to_numpy()
+            assert (ends >= starts).all()
+            assert (starts[1:] - ends[:-1] > GAP).all()
+
+
+class TestAsofJoin:
+    def test_matches_pandas_merge_asof(self):
+        import pyarrow.parquet as pq
+
+        from geo_index_ray.pipelines import events as ev
+        import ray.data
+
+        t = pq.read_table(f"{SF}/events.parquet").to_pandas()
+        clicks = t[t.event_type == "click"][["event_id", "ts", "user_id"]].rename(
+            columns={"event_id": "click_id"}
+        )
+        purchases = t[t.event_type == "purchase"][["event_id", "ts", "user_id"]].rename(
+            columns={"event_id": "purchase_id"}
+        )
+        got = _to_df(
+            ev.asof_join(
+                ray.data.from_pandas(clicks.reset_index(drop=True)),
+                ray.data.from_pandas(purchases.reset_index(drop=True)),
+                key_col="user_id",
+                left_id="click_id",
+                right_id="purchase_id",
+            )
+        )
+        want = pd.merge_asof(
+            clicks.sort_values("ts"),
+            purchases.sort_values("ts"),
+            on="ts",
+            by="user_id",
+            direction="backward",
+        ).dropna(subset=["purchase_id"])
+        got_pairs = set(zip(got["click_id"], got["purchase_id"]))
+        want_pairs = set(
+            zip(want["click_id"].astype(int), want["purchase_id"].astype(int))
+        )
+        assert got_pairs == want_pairs
+
+
+class TestSpatialPartition:
+    def test_cover_once_and_hilbert_contiguous(self):
+        from geo_index_ray.pipelines import partition as pp
+        from geo_index_ray.sources import tables
+
+        ds = tables.points_ds(SF, "customer", "c_custkey")
+        got = _to_df(pp.spatial_partition(ds, "c_custkey", 64))
+        n = tables.read_table(SF, "customer").count()
+        # every row exactly once
+        assert len(got) == n
+        assert got["c_custkey"].is_unique
+        # partition sizes: all == 64 except possibly the last
+        sizes = got.groupby("partition_id").size().sort_index()
+        assert (sizes.iloc[:-1] == 64).all()
+        assert sizes.iloc[-1] <= 64
+        # hilbert keys are non-overlapping across partition ids (global order)
+        hk = pp._hilbert_keys(got["x"].to_numpy(), got["y"].to_numpy())
+        got = got.assign(hk=hk)
+        g = got.groupby("partition_id").agg(lo=("hk", "min"), hi=("hk", "max")).sort_index()
+        assert (g["lo"].to_numpy()[1:] >= g["hi"].to_numpy()[:-1]).all()
+
+    def test_partition_invariant_to_blocks(self):
+        from geo_index_ray.pipelines import partition as pp
+        from geo_index_ray.sources import tables
+
+        a = _to_df(
+            pp.spatial_partition(
+                tables.points_ds(SF, "customer", "c_custkey").repartition(1), "c_custkey", 64
+            )
+        ).sort_values("c_custkey")
+        b = _to_df(
+            pp.spatial_partition(
+                tables.points_ds(SF, "customer", "c_custkey").repartition(5), "c_custkey", 64
+            )
+        ).sort_values("c_custkey")
+        assert (a["partition_id"].to_numpy() == b["partition_id"].to_numpy()).all()
+
+    def test_envelopes(self):
+        from geo_index_ray.pipelines import partition as pp
+        from geo_index_ray.sources import tables
+
+        ds = tables.points_ds(SF, "customer", "c_custkey")
+        parts = pp.spatial_partition(ds, "c_custkey", 64)
+        env = _to_df(pp.partition_envelopes(parts))
+        assert env["n_rows"].sum() == tables.read_table(SF, "customer").count()
+        assert (env["min_x"] <= env["max_x"]).all()
+        assert (env["min_y"] <= env["max_y"]).all()
+
+
+class TestExactSimilarity:
+    def test_cosine_pairs_exact_vs_numpy(self):
+        import pyarrow.parquet as pq
+
+        from geo_index_ray.pipelines import ann as ann_pipe
+        from geo_index_ray.sources import tables
+
+        ds = tables.read_table(SF, "embeddings", columns=["vec_id", "embedding"])
+        got = _to_df(ann_pipe.cosine_pairs_exact(ds, 0.3, "vec_id"))
+        t = pq.read_table(f"{SF}/embeddings.parquet")
+        ids = t["vec_id"].to_numpy()
+        m = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m.T
+        ii, jj = np.nonzero(np.triu(sims >= 0.3, k=1))
+        want = set(zip(np.minimum(ids[ii], ids[jj]), np.maximum(ids[ii], ids[jj])))
+        assert set(zip(got["a_id"], got["b_id"])) == want
+
+    def test_ngram_jaccard_exact_on_planted(self):
+        import ray.data
+
+        from geo_index_ray.pipelines import dedup as dd
+
+        base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
+        near = base.replace("lazy", "hazy")
+        other = "completely different content with nothing shared at all here " * 4
+        df = pd.DataFrame(
+            {"doc_id": [1, 2, 3], "text": [base, near, other]}
+        )
+        got = _to_df(
+            dd.ngram_jaccard_dedup(
+                ray.data.from_pandas(df), "doc_id", threshold=0.5
+            )
+        )
+        assert set(zip(got["a_id"], got["b_id"])) == {(1, 2)}
+        # exact jaccard value matches a direct computation
+        s1 = set(dd._shingle_hashes(base, 5).tolist())
+        s2 = set(dd._shingle_hashes(near, 5).tolist())
+        want_j = len(s1 & s2) / len(s1 | s2)
+        assert np.isclose(got["jaccard"].iloc[0], want_j)
+
+
+class TestKnnBrute:
+    def test_brute_equals_tree(self):
+        import pyarrow.parquet as pq
+
+        from geo_index_ray.functions import geocode
+        from geo_index_ray.pipelines import knn as knn_pipe
+        from geo_index_ray.sources import tables
+
+        nk = pq.read_table(f"{SF}/nation.parquet", columns=["n_nationkey"])[
+            "n_nationkey"
+        ].to_numpy().astype(np.int64)
+        qxy = np.stack([geocode.derive_lon(nk), geocode.derive_lat(nk)], axis=1)
+        targets = tables.points_ds(SF, "customer", "c_custkey")
+        a = _to_df(
+            knn_pipe.knn(targets, qxy, 5, id_col="c_custkey", query_ids=nk, method="brute")
+        ).sort_values(["query_id", "rank"]).reset_index(drop=True)
+        targets2 = tables.points_ds(SF, "customer", "c_custkey")
+        b = _to_df(
+            knn_pipe.knn(targets2, qxy, 5, id_col="c_custkey", query_ids=nk, method="tree")
+        ).sort_values(["query_id", "rank"]).reset_index(drop=True)
+        assert (a["target_id"].to_numpy() == b["target_id"].to_numpy()).all()
