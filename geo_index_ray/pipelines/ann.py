@@ -26,20 +26,30 @@ def _emb_matrix(batch: pa.Table, col: str) -> np.ndarray:
 
 
 class _BruteCosine:
-    """Actor: broadcast normalized query matrix; per batch one matmul."""
+    """Broadcast-probe: normalized query matrix in the object store; one
+    matmul per batch.  Only the ObjectRef is pickled into the task closure;
+    each task resolves it via ``ray.get`` (plasma-local, zero-copy after
+    the first fetch per node)."""
 
     def __init__(self, queries_ref, k: int, id_col: str, emb_col: str):
-        import ray
-
-        q = ray.get(queries_ref)
-        self.qids = q["ids"]
-        qm = q["matrix"].astype(np.float64)
-        self.qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        self.queries_ref = queries_ref
+        self.qids = None
+        self.qm = None
         self.k = k
         self.id_col = id_col
         self.emb_col = emb_col
 
+    def _load(self):
+        import ray
+
+        q = ray.get(self.queries_ref)
+        self.qids = q["ids"]
+        qm = q["matrix"].astype(np.float64)
+        self.qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.qm is None:
+            self._load()
         ids = batch[self.id_col].to_numpy().astype(np.int64)
         if len(ids) == 0:
             return pa.table(
@@ -81,17 +91,12 @@ def ann_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray, k: int, id_col
             "ids": np.asarray(query_ids, dtype=np.int64),
         }
     )
-    cands = ds.map_batches(
-        _BruteCosine,
-        fn_constructor_kwargs={
-            "queries_ref": queries_ref,
-            "k": k,
-            "id_col": id_col,
-            "emb_col": emb_col,
-        },
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    )
+    # task-based broadcast: the ref is resolved with ray.get inside the
+    # task — plasma caches the object per node, so every task after the
+    # first on a node reads it zero-copy from shared memory.  No actor
+    # pool to spin up, and idle workers are reused across stages.
+    probe = _BruteCosine(queries_ref, k, id_col, emb_col)
+    cands = ds.map_batches(probe, batch_format="pyarrow")
 
     from ..stages.util import coalesce_for_shuffle
 
@@ -166,23 +171,31 @@ def lsh_cosine_pairs(
 
 
 class _PairProbe:
-    """Actor: broadcast full normalized matrix; per batch emit all pairs
-    (batch_row, any_row) with sim >= threshold and batch_id < other_id —
-    each qualifying global pair is produced by exactly one batch row, so
-    no dedup shuffle is needed."""
+    """Broadcast-probe: full normalized matrix in the object store; per
+    batch emit all pairs (batch_row, any_row) with sim >= threshold and
+    batch_id < other_id — each qualifying global pair is produced by
+    exactly one batch row, so no dedup shuffle is needed.  Lazy ref
+    resolution: only the ObjectRef travels with the task."""
 
     def __init__(self, all_ref, threshold: float, id_col: str, emb_col: str):
-        import ray
-
-        a = ray.get(all_ref)
-        self.all_ids = a["ids"]
-        am = a["matrix"]
-        self.am = am / np.linalg.norm(am, axis=1, keepdims=True)
+        self.all_ref = all_ref
+        self.all_ids = None
+        self.am = None
         self.threshold = threshold
         self.id_col = id_col
         self.emb_col = emb_col
 
+    def _load(self):
+        import ray
+
+        a = ray.get(self.all_ref)
+        self.all_ids = a["ids"]
+        am = a["matrix"]
+        self.am = am / np.linalg.norm(am, axis=1, keepdims=True)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.am is None:
+            self._load()
         ids = batch[self.id_col].to_numpy().astype(np.int64)
         if len(ids) == 0:
             return pa.table(
@@ -208,11 +221,6 @@ def cosine_pairs_exact(ds, threshold: float, id_col: str, emb_col: str = "embedd
     """
     import ray
 
-    if concurrency is None:
-        from ..stages.util import default_concurrency
-
-        concurrency = default_concurrency()
-
     # the broadcast side needs the full (ids, matrix) once on the driver —
     # gathered via a streamed pass (d floats/row, small); at 100 TB the
     # broadcast side would be a sampled/clustered subset (IVF centroids)
@@ -225,13 +233,5 @@ def cosine_pairs_exact(ds, threshold: float, id_col: str, emb_col: str = "embedd
     all_ref = ray.put({"ids": all_ids, "matrix": all_mat})
 
     return ds.map_batches(
-        _PairProbe,
-        fn_constructor_kwargs={
-            "all_ref": all_ref,
-            "threshold": threshold,
-            "id_col": id_col,
-            "emb_col": emb_col,
-        },
-        batch_format="pyarrow",
-        concurrency=concurrency,
+        _PairProbe(all_ref, threshold, id_col, emb_col), batch_format="pyarrow"
     )

@@ -45,25 +45,34 @@ def exact_dedup(ds, id_col: str, text_col: str = "text"):
     GROUP BY text``.  Hash-partitioned: only (id, hash) enters the shuffle.
     """
 
+    from ..stages.util import coalesce_for_shuffle, reducer_count
+
+    R = reducer_count()
+
     def to_hash(batch: pa.Table) -> pa.Table:
         h = _text_hash64(batch[text_col].to_pylist())
         return pa.table(
             {
+                "rkey": pa.array(((h >> np.uint64(3)) % np.uint64(R)).astype(np.int64)),
                 "h": pa.array(h.view(np.int64)),
                 id_col: batch[id_col],
             }
         )
 
-    from ..stages.util import coalesce_for_shuffle
-
     hashed = coalesce_for_shuffle(ds.map_batches(to_hash, batch_format="pyarrow"), 0.5)
 
-    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"keep_id": [g[id_col].min()], "n_dups": [np.int64(len(g))]}
+    # coarse-keyed reduce: one shuffle on rkey, then every distinct text
+    # hash inside a reducer is aggregated vectorized (no per-group calls)
+    def reduce_many(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby("h")[id_col]
+            .agg(keep_id="min", n_dups="size")
+            .reset_index(drop=True)
         )
+        out["n_dups"] = out["n_dups"].astype(np.int64)
+        return out
 
-    return hashed.groupby("h").map_groups(reduce_group, batch_format="pandas")
+    return hashed.groupby("rkey").map_groups(reduce_many, batch_format="pandas")
 
 
 # --- MinHash ----------------------------------------------------------------
@@ -160,9 +169,13 @@ def minhash_dedup(
             out_bucket.append(bh.view(np.int64))
             out_id.append(ids)
             out_sig.append(sig)
+        bucket = np.concatenate(out_bucket)
         return pa.table(
             {
-                "bucket": pa.array(np.concatenate(out_bucket)),
+                "rkey": pa.array(
+                    (bucket.view(np.uint64) % np.uint64(R)).astype(np.int64)
+                ),
+                "bucket": pa.array(bucket),
                 id_col: pa.array(np.concatenate(out_id)),
                 "sig": pa.FixedSizeListArray.from_arrays(
                     pa.array(np.concatenate(out_sig).ravel()), num_perm
@@ -170,8 +183,9 @@ def minhash_dedup(
             }
         )
 
-    from ..stages.util import coalesce_for_shuffle
+    from ..stages.util import coalesce_for_shuffle, reducer_count
 
+    R = reducer_count()
     buckets = coalesce_for_shuffle(
         sig_ds.map_batches(to_buckets, batch_format="pyarrow"), 0.5
     )
@@ -184,80 +198,173 @@ def minhash_dedup(
         }
     )
 
-    def pairs_in_bucket(g: pa.Table) -> pa.Table:
+    def pairs_in_reducer(g: pa.Table) -> pa.Table:
+        """All LSH buckets of one reducer in one vectorized pass.
+
+        Rows are sorted by (bucket, sig-key, id); identical-signature
+        duplicates (the bulk of real corpora) are linked to their group's
+        min-id representative purely with run-length numpy ops — zero
+        per-group Python.  Only buckets holding ≥2 *distinct* signatures
+        (rare) fall into a small pairwise loop."""
         if g.num_rows < 2:
             return _empty_pairs
-        ids = g[id_col].to_numpy().astype(np.int64)
-        sig = g["sig"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
-        sig = sig.reshape(len(ids), num_perm)
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        sig = sig[order]
+        ids_all = g[id_col].to_numpy().astype(np.int64)
+        bucket_all = g["bucket"].to_numpy()
+        sig_all = g["sig"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        sig_all = sig_all.reshape(len(ids_all), num_perm)
 
-        out_a, out_b, out_e = [], [], []
-
-        # identical-signature groups (true duplicates flood real corpora):
-        # link members to the group representative linearly — O(n), not O(n²)
-        key = np.zeros(len(ids), dtype=np.uint64)
+        # one FNV pass over the whole reducer gives each row a sig key
+        key = np.zeros(len(ids_all), dtype=np.uint64)
         with np.errstate(over="ignore"):
             for c in range(num_perm):
-                key = (key ^ sig[:, c].astype(np.uint64)) * np.uint64(1099511628211)
-        korder = np.argsort(key, kind="stable")
-        ks = key[korder]
-        starts = np.nonzero(np.r_[True, ks[1:] != ks[:-1]])[0]
-        group_of = np.zeros(len(ids), dtype=np.int64)
-        group_of[korder] = np.repeat(np.arange(len(starts)), np.diff(np.r_[starts, len(ids)]))
-        reps_idx = []
-        for gstart, gend in zip(starts, np.r_[starts[1:], len(ids)]):
-            members = korder[gstart:gend]
-            members = members[np.argsort(ids[members], kind="stable")]
-            rep = members[0]
-            reps_idx.append(rep)
-            if len(members) > 1:
-                out_a.append(np.full(len(members) - 1, ids[rep]))
-                out_b.append(ids[members[1:]])
-                out_e.append(np.ones(len(members) - 1))
+                key = (key ^ sig_all[:, c].astype(np.uint64)) * np.uint64(1099511628211)
 
-        # distinct-signature reps: chunked all-pairs (memory-bounded)
-        reps = np.asarray(reps_idx, dtype=np.int64)
-        rids = ids[reps]
-        rsig = sig[reps]
-        n = len(reps)
-        CH = 1024
-        for i0 in range(0, n, CH):
-            si = rsig[i0 : i0 + CH]
-            for j0 in range(i0, n, CH):
-                sj = rsig[j0 : j0 + CH]
-                est = (si[:, None, :] == sj[None, :, :]).mean(axis=2)
-                ii, jj = np.nonzero(est >= threshold)
-                gi = ii + i0
-                gj = jj + j0
-                keep = gi < gj
-                gi, gj = gi[keep], gj[keep]
-                if len(gi):
-                    a = np.minimum(rids[gi], rids[gj])
-                    b = np.maximum(rids[gi], rids[gj])
-                    out_a.append(a)
-                    out_b.append(b)
-                    out_e.append(est[gi - i0, gj - j0])
-        if not out_a:
+        order = np.lexsort((ids_all, key, bucket_all))
+        b_s = bucket_all[order]
+        k_s = key[order]
+        i_s = ids_all[order]
+
+        # runs of identical (bucket, sig key): head = min id (sorted) = rep
+        new_run = np.r_[True, (b_s[1:] != b_s[:-1]) | (k_s[1:] != k_s[:-1])]
+        run_id = np.cumsum(new_run) - 1
+        head_pos = np.nonzero(new_run)[0]
+        head_of_row = head_pos[run_id]
+        nonhead = ~new_run
+        out_a = [i_s[head_of_row[nonhead]]]
+        out_b = [i_s[nonhead]]
+        out_e = [np.ones(int(nonhead.sum()))]
+
+        # distinct-signature reps per bucket: pairwise only where ≥2 reps
+        rep_bucket = b_s[head_pos]
+        bstart = np.nonzero(np.r_[True, rep_bucket[1:] != rep_bucket[:-1]])[0]
+        bend = np.r_[bstart[1:], len(head_pos)]
+        multi = np.nonzero(bend - bstart >= 2)[0]
+        for m in multi:
+            rp = head_pos[bstart[m] : bend[m]]  # positions in sorted order
+            rows = order[rp]
+            rids = ids_all[rows]
+            rsig = sig_all[rows]
+            if len(rows) > 2048:
+                # hot bucket: memory-bounded chunked all-pairs
+                t = _segment_pairs(rids, rsig, num_perm, threshold)
+                if t.num_rows:
+                    out_a.append(t["a_id"].to_numpy())
+                    out_b.append(t["b_id"].to_numpy())
+                    out_e.append(t["est_jaccard"].to_numpy())
+                continue
+            est = (rsig[:, None, :] == rsig[None, :, :]).mean(axis=2)
+            ii, jj = np.nonzero(np.triu(est >= threshold, k=1))
+            if len(ii):
+                out_a.append(np.minimum(rids[ii], rids[jj]))
+                out_b.append(np.maximum(rids[ii], rids[jj]))
+                out_e.append(est[ii, jj])
+        a = np.concatenate(out_a)
+        if not len(a):
             return _empty_pairs
         return pa.table(
             {
-                "a_id": pa.array(np.concatenate(out_a)),
+                "a_id": pa.array(a),
                 "b_id": pa.array(np.concatenate(out_b)),
                 "est_jaccard": pa.array(np.concatenate(out_e)),
             }
         )
 
-    pairs = buckets.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pyarrow")
+    pairs = buckets.groupby("rkey").map_groups(pairs_in_reducer, batch_format="pyarrow")
 
-    # a pair can match in several bands → dedup on (a_id, b_id)
-    def first_per_pair(g: pa.Table) -> pa.Table:
-        return g.slice(0, 1)
+    # a pair can match in several bands → dedup on (a_id, b_id), again via
+    # a coarse reducer key + one vectorized unique per reducer
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        a = batch["a_id"].to_numpy().view(np.uint64)
+        b = batch["b_id"].to_numpy().view(np.uint64)
+        with np.errstate(over="ignore"):
+            pk = (a * np.uint64(0x9E3779B97F4A7C15) ^ b) % np.uint64(R)
+        return batch.append_column("pkey", pa.array(pk.astype(np.int64)))
 
-    return pairs.groupby(["a_id", "b_id"]).map_groups(
-        first_per_pair, batch_format="pyarrow"
+    def unique_pairs(g: pa.Table) -> pa.Table:
+        a = g["a_id"].to_numpy()
+        b = g["b_id"].to_numpy()
+        e = g["est_jaccard"].to_numpy()
+        order = np.lexsort((b, a))
+        a, b, e = a[order], b[order], e[order]
+        keep = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        return pa.table(
+            {
+                "a_id": pa.array(a[keep]),
+                "b_id": pa.array(b[keep]),
+                "est_jaccard": pa.array(e[keep]),
+            }
+        )
+
+    return (
+        pairs.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(unique_pairs, batch_format="pyarrow")
+    )
+
+
+def _segment_pairs(ids: np.ndarray, sig: np.ndarray, num_perm: int,
+                   threshold: float) -> pa.Table:
+    """Candidate pairs within one LSH bucket (ids pre-sorted ascending).
+
+    Identical-signature groups (true duplicates flood real corpora) are
+    linked to their group representative linearly — O(n), not O(n²); only
+    the distinct-signature representatives do (chunked, memory-bounded)
+    all-pairs comparison."""
+    out_a, out_b, out_e = [], [], []
+
+    key = np.zeros(len(ids), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for c in range(num_perm):
+            key = (key ^ sig[:, c].astype(np.uint64)) * np.uint64(1099511628211)
+    korder = np.argsort(key, kind="stable")
+    ks = key[korder]
+    starts = np.nonzero(np.r_[True, ks[1:] != ks[:-1]])[0]
+    reps_idx = []
+    for gstart, gend in zip(starts, np.r_[starts[1:], len(ids)]):
+        members = korder[gstart:gend]
+        members = members[np.argsort(ids[members], kind="stable")]
+        rep = members[0]
+        reps_idx.append(rep)
+        if len(members) > 1:
+            out_a.append(np.full(len(members) - 1, ids[rep]))
+            out_b.append(ids[members[1:]])
+            out_e.append(np.ones(len(members) - 1))
+
+    reps = np.asarray(reps_idx, dtype=np.int64)
+    rids = ids[reps]
+    rsig = sig[reps]
+    n = len(reps)
+    CH = 1024
+    for i0 in range(0, n, CH):
+        si = rsig[i0 : i0 + CH]
+        for j0 in range(i0, n, CH):
+            sj = rsig[j0 : j0 + CH]
+            est = (si[:, None, :] == sj[None, :, :]).mean(axis=2)
+            ii, jj = np.nonzero(est >= threshold)
+            gi = ii + i0
+            gj = jj + j0
+            keep = gi < gj
+            gi, gj = gi[keep], gj[keep]
+            if len(gi):
+                a = np.minimum(rids[gi], rids[gj])
+                b = np.maximum(rids[gi], rids[gj])
+                out_a.append(a)
+                out_b.append(b)
+                out_e.append(est[gi - i0, gj - j0])
+    if not out_a:
+        return pa.table(
+            {
+                "a_id": pa.array([], pa.int64()),
+                "b_id": pa.array([], pa.int64()),
+                "est_jaccard": pa.array([], pa.float64()),
+            }
+        )
+    return pa.table(
+        {
+            "a_id": pa.array(np.concatenate(out_a)),
+            "b_id": pa.array(np.concatenate(out_b)),
+            "est_jaccard": pa.array(np.concatenate(out_e)),
+        }
     )
 
 
@@ -341,21 +448,27 @@ def ngram_jaccard_dedup(
         if not out_id:
             return pa.table(
                 {
+                    "rkey": pa.array([], pa.int64()),
                     "bucket": pa.array([], pa.int64()),
                     id_col: pa.array([], pa.int64()),
                     "shingles": pa.array([], pa.list_(pa.int64())),
                 }
             )
+        bucket = np.asarray(out_bucket)
         return pa.table(
             {
-                "bucket": pa.array(np.asarray(out_bucket)),
+                "rkey": pa.array(
+                    (bucket.view(np.uint64) % np.uint64(R)).astype(np.int64)
+                ),
+                "bucket": pa.array(bucket),
                 id_col: pa.array(np.asarray(out_id)),
                 "shingles": pa.array([s.tolist() for s in out_sh], pa.list_(pa.int64())),
             }
         )
 
-    from ..stages.util import coalesce_for_shuffle
+    from ..stages.util import coalesce_for_shuffle, reducer_count
 
+    R = reducer_count()
     buckets = coalesce_for_shuffle(
         ds.map_batches(to_bucketed_shingles, batch_format="pyarrow"), 0.5
     )
@@ -368,27 +481,39 @@ def ngram_jaccard_dedup(
         }
     )
 
-    def pairs_in_bucket(g: pa.Table) -> pa.Table:
+    def pairs_in_reducer(g: pa.Table) -> pa.Table:
+        """Exact Jaccard for every non-singleton bucket of this reducer."""
         if g.num_rows < 2:
             return _empty
-        ids = g[id_col].to_numpy().astype(np.int64)
+        ids_all = g[id_col].to_numpy().astype(np.int64)
+        bucket_all = g["bucket"].to_numpy()
         sh_col = g["shingles"].combine_chunks()
-        sets = [sh_col[i].values.to_numpy(zero_copy_only=False) for i in range(len(ids))]
-        order = np.argsort(ids, kind="stable")
+        order = np.lexsort((ids_all, bucket_all))
+        b_sorted = bucket_all[order]
+        starts = np.nonzero(np.r_[True, b_sorted[1:] != b_sorted[:-1]])[0]
+        ends = np.r_[starts[1:], len(order)]
         out_a, out_b, out_j = [], [], []
-        for pi in range(len(order)):
-            i = order[pi]
-            for pj in range(pi + 1, len(order)):
-                j = order[pj]
-                if ids[i] == ids[j]:
-                    continue
-                inter = np.intersect1d(sets[i], sets[j], assume_unique=True).size
-                union = sets[i].size + sets[j].size - inter
-                jac = inter / union if union else 0.0
-                if jac >= threshold:
-                    out_a.append(min(ids[i], ids[j]))
-                    out_b.append(max(ids[i], ids[j]))
-                    out_j.append(jac)
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            idx = order[s:e]
+            sets = [
+                sh_col[int(i)].values.to_numpy(zero_copy_only=False) for i in idx
+            ]
+            lids = ids_all[idx]
+            for pi in range(len(idx)):
+                for pj in range(pi + 1, len(idx)):
+                    if lids[pi] == lids[pj]:
+                        continue
+                    inter = np.intersect1d(
+                        sets[pi], sets[pj], assume_unique=True
+                    ).size
+                    union = sets[pi].size + sets[pj].size - inter
+                    jac = inter / union if union else 0.0
+                    if jac >= threshold:
+                        out_a.append(min(lids[pi], lids[pj]))
+                        out_b.append(max(lids[pi], lids[pj]))
+                        out_j.append(jac)
         if not out_a:
             return _empty
         return pa.table(
@@ -399,9 +524,33 @@ def ngram_jaccard_dedup(
             }
         )
 
-    pairs = buckets.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pyarrow")
+    pairs = buckets.groupby("rkey").map_groups(pairs_in_reducer, batch_format="pyarrow")
 
-    def first_pair(g: pa.Table) -> pa.Table:
-        return g.slice(0, 1)
+    # dedup (a_id, b_id) across bands: coarse key + vectorized unique
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        a = batch["a_id"].to_numpy().view(np.uint64)
+        b = batch["b_id"].to_numpy().view(np.uint64)
+        with np.errstate(over="ignore"):
+            pk = (a * np.uint64(0x9E3779B97F4A7C15) ^ b) % np.uint64(R)
+        return batch.append_column("pkey", pa.array(pk.astype(np.int64)))
 
-    return pairs.groupby(["a_id", "b_id"]).map_groups(first_pair, batch_format="pyarrow")
+    def unique_pairs(g: pa.Table) -> pa.Table:
+        a = g["a_id"].to_numpy()
+        b = g["b_id"].to_numpy()
+        j = g["jaccard"].to_numpy()
+        order = np.lexsort((b, a))
+        a, b, j = a[order], b[order], j[order]
+        keep = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        return pa.table(
+            {
+                "a_id": pa.array(a[keep]),
+                "b_id": pa.array(b[keep]),
+                "jaccard": pa.array(j[keep]),
+            }
+        )
+
+    return (
+        pairs.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(unique_pairs, batch_format="pyarrow")
+    )

@@ -41,6 +41,10 @@ def tumbling_window(ds, window_us: int, key_col: str = "event_type",
     so results are bit-exact under any partitioning.
     """
 
+    from ..stages.util import coalesce_for_shuffle, reducer_count
+
+    R = reducer_count()
+
     def partial(batch: pa.Table) -> pa.Table:
         wid = _ts_us(batch[ts_col]) // window_us
         df = pd.DataFrame(
@@ -52,29 +56,26 @@ def tumbling_window(ds, window_us: int, key_col: str = "event_type",
         )
         g = df.groupby(["window_id", key_col], sort=False).agg(
             n_events=("v", "size"), min_value=("v", "min"), max_value=("v", "max")
-        )
-        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
-
-    from ..stages.util import coalesce_for_shuffle
+        ).reset_index()
+        g.insert(0, "rkey", g["window_id"].to_numpy() % R)
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = coalesce_for_shuffle(
         ds.map_batches(partial, batch_format="pyarrow"), 0.25
     )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "window_id": [g["window_id"].iloc[0]],
-                key_col: [g[key_col].iloc[0]],
-                "n_events": [np.int64(g["n_events"].sum())],
-                "min_value": [g["min_value"].min()],
-                "max_value": [g["max_value"].max()],
-            }
-        )
+    # coarse-keyed merge: one vectorized pandas groupby per reducer instead
+    # of one Python call per (window, key) group
+    def merge_many(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["window_id", key_col], sort=False).agg(
+            n_events=("n_events", "sum"),
+            min_value=("min_value", "min"),
+            max_value=("max_value", "max"),
+        ).reset_index()
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
 
-    return partials.groupby(["window_id", key_col]).map_groups(
-        merge, batch_format="pandas"
-    )
+    return partials.groupby("rkey").map_groups(merge_many, batch_format="pandas")
 
 
 def sessionize(ds, gap_us: int, user_col: str = "user_id",

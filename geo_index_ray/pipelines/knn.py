@@ -39,18 +39,24 @@ class _LocalKnn:
 
     def __init__(self, queries_ref, k: int, id_col: str, x_col: str, y_col: str,
                  metric: str = "squared", method: str = "brute"):
-        import ray
-
-        q = ray.get(queries_ref)
-        self.qids = q["ids"]
-        self.qx = np.ascontiguousarray(q["xy"][:, 0])
-        self.qy = np.ascontiguousarray(q["xy"][:, 1])
+        self.queries_ref = queries_ref
+        self.qids = None
+        self.qx = None
+        self.qy = None
         self.k = k
         self.id_col = id_col
         self.x_col = x_col
         self.y_col = y_col
         self.metric = metric
         self.method = method
+
+    def _load(self):
+        import ray
+
+        q = ray.get(self.queries_ref)
+        self.qids = q["ids"]
+        self.qx = np.ascontiguousarray(q["xy"][:, 0])
+        self.qy = np.ascontiguousarray(q["xy"][:, 1])
 
     def _empty(self) -> pa.Table:
         return pa.table(
@@ -76,6 +82,8 @@ class _LocalKnn:
         raise ValueError(f"unknown metric {self.metric!r}")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.qx is None:
+            self._load()
         ids = batch[self.id_col].to_numpy().astype(np.int64)
         x = batch[self.x_col].to_numpy()
         y = batch[self.y_col].to_numpy()
@@ -148,19 +156,12 @@ def knn(
         query_ids = np.arange(len(xy), dtype=np.int64)
     queries_ref = ray.put({"xy": xy, "ids": np.asarray(query_ids, dtype=np.int64)})
 
+    # task-based broadcast: only the ObjectRef travels with the task;
+    # plasma caches the query matrix per node (zero-copy reads after the
+    # first fetch), and idle workers are reused — no actor pool to spin up.
     candidates = targets_ds.map_batches(
-        _LocalKnn,
-        fn_constructor_kwargs={
-            "queries_ref": queries_ref,
-            "k": k,
-            "id_col": id_col,
-            "x_col": x_col,
-            "y_col": y_col,
-            "metric": metric,
-            "method": method,
-        },
+        _LocalKnn(queries_ref, k, id_col, x_col, y_col, metric, method),
         batch_format="pyarrow",
-        concurrency=concurrency,
     )
 
     from ..stages.util import coalesce_for_shuffle

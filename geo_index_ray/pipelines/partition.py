@@ -104,6 +104,10 @@ def partition_envelopes(part_ds, x_col: str = "x", y_col: str = "y"):
     (python/src/rtree/partitions.rs:108-132).  Partial min/max inside
     ``map_batches``, then one tiny groupby."""
 
+    from ..stages.util import reducer_count
+
+    R = reducer_count()
+
     def partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame(
             {
@@ -116,21 +120,19 @@ def partition_envelopes(part_ds, x_col: str = "x", y_col: str = "y"):
             n_rows=("x", "size"),
             min_x=("x", "min"), max_x=("x", "max"),
             min_y=("y", "min"), max_y=("y", "max"),
-        )
-        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+        ).reset_index()
+        g.insert(0, "rkey", g["partition_id"].to_numpy() % R)
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = part_ds.map_batches(partial, batch_format="pyarrow")
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "partition_id": [g["partition_id"].iloc[0]],
-                "n_rows": [np.int64(g["n_rows"].sum())],
-                "min_x": [g["min_x"].min()],
-                "max_x": [g["max_x"].max()],
-                "min_y": [g["min_y"].min()],
-                "max_y": [g["max_y"].max()],
-            }
-        )
+    def merge_many(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("partition_id", sort=False).agg(
+            n_rows=("n_rows", "sum"),
+            min_x=("min_x", "min"), max_x=("max_x", "max"),
+            min_y=("min_y", "min"), max_y=("max_y", "max"),
+        ).reset_index()
+        out["n_rows"] = out["n_rows"].astype(np.int64)
+        return out
 
-    return partials.groupby("partition_id").map_groups(merge, batch_format="pandas")
+    return partials.groupby("rkey").map_groups(merge_many, batch_format="pandas")

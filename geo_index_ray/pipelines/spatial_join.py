@@ -214,17 +214,25 @@ def _pick_split_res(left_ds, res: int, threshold: int) -> int:
 
 
 class _BroadcastProbe:
-    """Actor-pool probe stage: R-tree buffer fetched from the object store
-    ONCE per actor (zero-copy view), probed per batch."""
+    """Broadcast probe stage: R-tree buffer resolved from the object store
+    lazily inside the task (plasma-local zero-copy view), probed per batch."""
 
     def __init__(self, tree_ref, right_ids_ref, id_col: str):
-        import ray
-
-        self.tree = ray.get(tree_ref)
-        self.right_ids = ray.get(right_ids_ref)
+        self.tree_ref = tree_ref
+        self.right_ids_ref = right_ids_ref
+        self.tree = None
+        self.right_ids = None
         self.id_col = id_col
 
+    def _load(self):
+        import ray
+
+        self.tree = ray.get(self.tree_ref)
+        self.right_ids = ray.get(self.right_ids_ref)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.tree is None:
+            self._load()
         lid = batch[self.id_col].to_numpy().astype(np.int64)
         li, ri = rtree.search_batch(
             self.tree,
@@ -262,19 +270,8 @@ def broadcast_spatial_join(
     )
     tree_ref = ray.put(tree)
     ids_ref = ray.put(rid)
-    if concurrency is None:
-        from ..stages.util import default_concurrency
-
-        concurrency = default_concurrency()
     pairs = left_ds.map_batches(
-        _BroadcastProbe,
-        fn_constructor_kwargs={
-            "tree_ref": tree_ref,
-            "right_ids_ref": ids_ref,
-            "id_col": left_id,
-        },
-        batch_format="pyarrow",
-        concurrency=concurrency,
+        _BroadcastProbe(tree_ref, ids_ref, left_id), batch_format="pyarrow"
     )
     if left_id != "left_id" or right_id != "right_id":
         pairs = pairs.map_batches(
@@ -284,20 +281,28 @@ def broadcast_spatial_join(
 
 
 class _BroadcastTreeJoin:
-    """Actor-pool dual-tree join: the broadcast side's packed R-tree is
-    fetched once per actor; each batch builds its own tree and runs the
-    tree×tree synchronized descent (kernels.rtree.tree_join — the
-    reference's intersection_candidates_with_other_tree,
+    """Broadcast dual-tree join: the broadcast side's packed R-tree is
+    resolved lazily from plasma inside the task; each batch builds its own
+    tree and runs the tree×tree synchronized descent (kernels.rtree.tree_join
+    — the reference's intersection_candidates_with_other_tree,
     src/rtree/traversal.rs:262-370)."""
 
     def __init__(self, tree_ref, right_ids_ref, id_col: str):
-        import ray
-
-        self.rtree_buf = ray.get(tree_ref)
-        self.right_ids = ray.get(right_ids_ref)
+        self.tree_ref = tree_ref
+        self.right_ids_ref = right_ids_ref
+        self.rtree_buf = None
+        self.right_ids = None
         self.id_col = id_col
 
+    def _load(self):
+        import ray
+
+        self.rtree_buf = ray.get(self.tree_ref)
+        self.right_ids = ray.get(self.right_ids_ref)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.rtree_buf is None:
+            self._load()
         lid = batch[self.id_col].to_numpy().astype(np.int64)
         if len(lid) == 0:
             return _EMPTY_PAIRS
@@ -336,19 +341,8 @@ def broadcast_tree_join(
     )
     tree_ref = ray.put(tree)
     ids_ref = ray.put(rid)
-    if concurrency is None:
-        from ..stages.util import default_concurrency
-
-        concurrency = default_concurrency()
     pairs = left_ds.map_batches(
-        _BroadcastTreeJoin,
-        fn_constructor_kwargs={
-            "tree_ref": tree_ref,
-            "right_ids_ref": ids_ref,
-            "id_col": left_id,
-        },
-        batch_format="pyarrow",
-        concurrency=concurrency,
+        _BroadcastTreeJoin(tree_ref, ids_ref, left_id), batch_format="pyarrow"
     )
     if left_id != "left_id" or right_id != "right_id":
         pairs = pairs.map_batches(

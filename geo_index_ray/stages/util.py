@@ -47,3 +47,15 @@ def coalesce_for_shuffle(ds, frac: float = 1.0):
     """Coalesce (no shuffle) a dataset about to enter a groupby/sort."""
     n = max(2, int(shuffle_block_count() * frac))
     return ds.repartition(n)
+
+
+def reducer_count(frac: float = 1.0) -> int:
+    """Reducer-key cardinality for coarse-keyed reduces.
+
+    ``groupby(fine_key).map_groups`` pays one Python call per group — fatal
+    when groups are tiny and plentiful (LSH buckets, pair dedup).  Instead
+    shuffle on ``coarse_key = hash(fine_key) % reducer_count()`` and reduce
+    all of a reducer's fine groups vectorized in one call.  Scales with the
+    cluster: ~2 reducers per CPU keeps every core busy without tiny tasks.
+    """
+    return max(4, int(cluster_cpus() * 2 * frac))
