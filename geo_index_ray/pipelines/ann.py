@@ -133,6 +133,10 @@ def lsh_cosine_pairs(
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((dim, num_planes))
 
+    from ..stages.util import reducer_count
+
+    R = reducer_count()
+
     def bucketize(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy().astype(np.int64)
         m = _emb_matrix(batch, emb_col)
@@ -142,6 +146,7 @@ def lsh_cosine_pairs(
             bucket |= bits[:, p] << np.uint64(p)
         out = pa.table(
             {
+                "rkey": pa.array((bucket % np.uint64(R)).astype(np.int64)),
                 "bucket": pa.array(bucket.view(np.int64)),
                 id_col: pa.array(ids),
                 "emb": pa.FixedSizeListArray.from_arrays(pa.array(m.ravel()), m.shape[1]),
@@ -151,23 +156,52 @@ def lsh_cosine_pairs(
 
     buckets = ds.map_batches(bucketize, batch_format="pyarrow")
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"a_id": [], "b_id": [], "cos_sim": []}).astype(
-            {"a_id": np.int64, "b_id": np.int64, "cos_sim": np.float64}
-        )
-        if len(g) < 2:
-            return empty
-        ids = np.asarray(g[id_col].to_numpy(), dtype=np.int64)
-        m = np.stack(g["emb"].to_numpy())
-        m = m / np.linalg.norm(m, axis=1, keepdims=True)
-        sims = m @ m.T
-        ii, jj = np.triu_indices(len(ids), k=1)
-        keep = sims[ii, jj] >= threshold
-        a = np.minimum(ids[ii[keep]], ids[jj[keep]])
-        b = np.maximum(ids[ii[keep]], ids[jj[keep]])
-        return pd.DataFrame({"a_id": a, "b_id": b, "cos_sim": sims[ii[keep], jj[keep]]})
+    _empty = pa.table(
+        {
+            "a_id": pa.array([], pa.int64()),
+            "b_id": pa.array([], pa.int64()),
+            "cos_sim": pa.array([], pa.float64()),
+        }
+    )
 
-    return buckets.groupby("bucket").map_groups(verify, batch_format="pandas")
+    def verify_reducer(g: pa.Table) -> pa.Table:
+        """Exact-cosine verification for every non-singleton bucket of the
+        reducer — one vectorized call per reducer, not per bucket."""
+        if g.num_rows < 2:
+            return _empty
+        ids = g[id_col].to_numpy().astype(np.int64)
+        bucket = g["bucket"].to_numpy()
+        flat = g["emb"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        m = flat.reshape(len(ids), -1)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        order = np.lexsort((ids, bucket))
+        b_s = bucket[order]
+        starts = np.nonzero(np.r_[True, b_s[1:] != b_s[:-1]])[0]
+        ends = np.r_[starts[1:], len(order)]
+        out_a, out_b, out_s = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            idx = order[s:e]
+            mm = m[idx]
+            sims = mm @ mm.T
+            ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+            if len(ii):
+                lids = ids[idx]
+                out_a.append(np.minimum(lids[ii], lids[jj]))
+                out_b.append(np.maximum(lids[ii], lids[jj]))
+                out_s.append(sims[ii, jj])
+        if not out_a:
+            return _empty
+        return pa.table(
+            {
+                "a_id": pa.array(np.concatenate(out_a)),
+                "b_id": pa.array(np.concatenate(out_b)),
+                "cos_sim": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    return buckets.groupby("rkey").map_groups(verify_reducer, batch_format="pyarrow")
 
 
 class _PairProbe:

@@ -142,22 +142,37 @@ def minhash_dedup(
     a candidate iff some band of the signature matches exactly; the final
     filter uses the full signature, so band collisions don't create false
     positives above threshold.
+
+    Scale shape: the bucket shuffle carries only 32 B/row
+    ``(rkey, bucket, id, sighash)`` — the 8·num_perm-byte signature never
+    rides the shuffle.  Identical-signature duplicates (the bulk of real
+    corpora) resolve from sighash equality alone; only the rare
+    distinct-signature collision pairs are exact-verified afterwards
+    against the signatures of just the involved ids.
     """
-    from ..stages.util import cluster_cpus
+    from ..stages.util import cluster_cpus, coalesce_for_shuffle, reducer_count
+
+    import ray.data
 
     rows_per_band = num_perm // bands
+    R = reducer_count()
     # signature computation is per-row CPU-bound: spread small inputs
-    # across the cluster before the map
+    # across the cluster before the map; materialized because both the
+    # bucket pass and the verification pass read it
     sig_ds = ds.repartition(max(2, cluster_cpus())).map_batches(
         minhash_signatures_stage(id_col, text_col, num_perm, shingle_k),
         batch_format="pyarrow",
-    )
+    ).materialize()
 
     def to_buckets(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy().astype(np.int64)
         sig_col = batch["sig"].combine_chunks()
         sig = sig_col.flatten().to_numpy(zero_copy_only=False).reshape(len(ids), num_perm)
-        out_bucket, out_id, out_sig = [], [], []
+        with np.errstate(over="ignore"):
+            sighash = np.full(len(ids), np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+            for c in range(num_perm):
+                sighash = (sighash ^ sig[:, c].view(np.uint64)) * np.uint64(1099511628211)
+        out_bucket, out_id, out_sh = [], [], []
         for band in range(bands):
             seg = sig[:, band * rows_per_band : (band + 1) * rows_per_band]
             # bucket key = hash of band values + band index
@@ -168,7 +183,7 @@ def minhash_dedup(
                 bh = bh ^ np.uint64(band * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF)
             out_bucket.append(bh.view(np.int64))
             out_id.append(ids)
-            out_sig.append(sig)
+            out_sh.append(sighash.view(np.int64))
         bucket = np.concatenate(out_bucket)
         return pa.table(
             {
@@ -177,15 +192,10 @@ def minhash_dedup(
                 ),
                 "bucket": pa.array(bucket),
                 id_col: pa.array(np.concatenate(out_id)),
-                "sig": pa.FixedSizeListArray.from_arrays(
-                    pa.array(np.concatenate(out_sig).ravel()), num_perm
-                ),
+                "sighash": pa.array(np.concatenate(out_sh)),
             }
         )
 
-    from ..stages.util import coalesce_for_shuffle, reducer_count
-
-    R = reducer_count()
     buckets = coalesce_for_shuffle(
         sig_ds.map_batches(to_buckets, batch_format="pyarrow"), 0.5
     )
@@ -201,30 +211,26 @@ def minhash_dedup(
     def pairs_in_reducer(g: pa.Table) -> pa.Table:
         """All LSH buckets of one reducer in one vectorized pass.
 
-        Rows are sorted by (bucket, sig-key, id); identical-signature
-        duplicates (the bulk of real corpora) are linked to their group's
-        min-id representative purely with run-length numpy ops — zero
-        per-group Python.  Only buckets holding ≥2 *distinct* signatures
-        (rare) fall into a small pairwise loop."""
+        Rows sort by (bucket, sighash, id); identical-sighash runs link
+        members to their min-id representative with pure run-length numpy
+        (est = 1.0, exact by construction).  Buckets with ≥2 distinct
+        sighashes emit representative candidate pairs with est = NaN for
+        the downstream exact-verification pass; buckets larger than 2048
+        reps chain-link to the min-id rep instead of all-pairs (precision
+        is unaffected — verification filters — only in-bucket recall of a
+        pathological bucket degrades)."""
         if g.num_rows < 2:
             return _empty_pairs
         ids_all = g[id_col].to_numpy().astype(np.int64)
         bucket_all = g["bucket"].to_numpy()
-        sig_all = g["sig"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
-        sig_all = sig_all.reshape(len(ids_all), num_perm)
+        sighash_all = g["sighash"].to_numpy()
 
-        # one FNV pass over the whole reducer gives each row a sig key
-        key = np.zeros(len(ids_all), dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            for c in range(num_perm):
-                key = (key ^ sig_all[:, c].astype(np.uint64)) * np.uint64(1099511628211)
-
-        order = np.lexsort((ids_all, key, bucket_all))
+        order = np.lexsort((ids_all, sighash_all, bucket_all))
         b_s = bucket_all[order]
-        k_s = key[order]
+        k_s = sighash_all[order]
         i_s = ids_all[order]
 
-        # runs of identical (bucket, sig key): head = min id (sorted) = rep
+        # runs of identical (bucket, sighash): head = min id (sorted) = rep
         new_run = np.r_[True, (b_s[1:] != b_s[:-1]) | (k_s[1:] != k_s[:-1])]
         run_id = np.cumsum(new_run) - 1
         head_pos = np.nonzero(new_run)[0]
@@ -234,30 +240,41 @@ def minhash_dedup(
         out_b = [i_s[nonhead]]
         out_e = [np.ones(int(nonhead.sum()))]
 
-        # distinct-signature reps per bucket: pairwise only where ≥2 reps
+        # distinct-sighash reps per bucket → candidates needing exact est.
+        # Pair generation sweeps the pair OFFSET k (few iterations — max
+        # bucket size), emitting (t, t+k) for every bucket with > k reps in
+        # one vectorized shot — never a Python loop over the (possibly
+        # many) buckets themselves.
         rep_bucket = b_s[head_pos]
+        rep_ids = i_s[head_pos]
         bstart = np.nonzero(np.r_[True, rep_bucket[1:] != rep_bucket[:-1]])[0]
-        bend = np.r_[bstart[1:], len(head_pos)]
-        multi = np.nonzero(bend - bstart >= 2)[0]
-        for m in multi:
-            rp = head_pos[bstart[m] : bend[m]]  # positions in sorted order
-            rows = order[rp]
-            rids = ids_all[rows]
-            rsig = sig_all[rows]
-            if len(rows) > 2048:
-                # hot bucket: memory-bounded chunked all-pairs
-                t = _segment_pairs(rids, rsig, num_perm, threshold)
-                if t.num_rows:
-                    out_a.append(t["a_id"].to_numpy())
-                    out_b.append(t["b_id"].to_numpy())
-                    out_e.append(t["est_jaccard"].to_numpy())
-                continue
-            est = (rsig[:, None, :] == rsig[None, :, :]).mean(axis=2)
-            ii, jj = np.nonzero(np.triu(est >= threshold, k=1))
-            if len(ii):
-                out_a.append(np.minimum(rids[ii], rids[jj]))
-                out_b.append(np.maximum(rids[ii], rids[jj]))
-                out_e.append(est[ii, jj])
+        sizes = np.diff(np.r_[bstart, len(head_pos)])
+        small = sizes <= 2048
+        s_small = np.where(small, sizes, 0)
+        if s_small.max(initial=0) >= 2:
+            for k in range(1, int(s_small.max())):
+                act = np.nonzero(s_small > k)[0]
+                if not len(act):
+                    break
+                cnt = s_small[act] - k
+                t0 = np.repeat(bstart[act], cnt) + (
+                    np.arange(int(cnt.sum())) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+                )
+                a = rep_ids[t0]
+                b = rep_ids[t0 + k]
+                out_a.append(np.minimum(a, b))
+                out_b.append(np.maximum(a, b))
+                out_e.append(np.full(len(a), np.nan))
+        # pathological giant buckets (> 2048 distinct signatures): chain-
+        # link to the bucket's min-id rep — precision is unaffected (exact
+        # verification filters), only in-bucket recall degrades gracefully
+        for m in np.nonzero(~small)[0]:
+            rids = rep_ids[bstart[m] : bstart[m] + sizes[m]]
+            a = np.full(len(rids) - 1, rids[0])
+            b = rids[1:]
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+            out_e.append(np.full(len(a), np.nan))
         a = np.concatenate(out_a)
         if not len(a):
             return _empty_pairs
@@ -272,7 +289,9 @@ def minhash_dedup(
     pairs = buckets.groupby("rkey").map_groups(pairs_in_reducer, batch_format="pyarrow")
 
     # a pair can match in several bands → dedup on (a_id, b_id), again via
-    # a coarse reducer key + one vectorized unique per reducer
+    # a coarse reducer key + one vectorized unique per reducer.  A pair's
+    # est is identical in every band row (1.0 iff sighash equal), so
+    # keeping the first occurrence is deterministic.
     def add_pkey(batch: pa.Table) -> pa.Table:
         a = batch["a_id"].to_numpy().view(np.uint64)
         b = batch["b_id"].to_numpy().view(np.uint64)
@@ -295,76 +314,64 @@ def minhash_dedup(
             }
         )
 
-    return (
+    deduped = (
         pairs.map_batches(add_pkey, batch_format="pyarrow")
         .groupby("pkey")
         .map_groups(unique_pairs, batch_format="pyarrow")
     )
 
-
-def _segment_pairs(ids: np.ndarray, sig: np.ndarray, num_perm: int,
-                   threshold: float) -> pa.Table:
-    """Candidate pairs within one LSH bucket (ids pre-sorted ascending).
-
-    Identical-signature groups (true duplicates flood real corpora) are
-    linked to their group representative linearly — O(n), not O(n²); only
-    the distinct-signature representatives do (chunked, memory-bounded)
-    all-pairs comparison."""
-    out_a, out_b, out_e = [], [], []
-
-    key = np.zeros(len(ids), dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        for c in range(num_perm):
-            key = (key ^ sig[:, c].astype(np.uint64)) * np.uint64(1099511628211)
-    korder = np.argsort(key, kind="stable")
-    ks = key[korder]
-    starts = np.nonzero(np.r_[True, ks[1:] != ks[:-1]])[0]
-    reps_idx = []
-    for gstart, gend in zip(starts, np.r_[starts[1:], len(ids)]):
-        members = korder[gstart:gend]
-        members = members[np.argsort(ids[members], kind="stable")]
-        rep = members[0]
-        reps_idx.append(rep)
-        if len(members) > 1:
-            out_a.append(np.full(len(members) - 1, ids[rep]))
-            out_b.append(ids[members[1:]])
-            out_e.append(np.ones(len(members) - 1))
-
-    reps = np.asarray(reps_idx, dtype=np.int64)
-    rids = ids[reps]
-    rsig = sig[reps]
-    n = len(reps)
-    CH = 1024
-    for i0 in range(0, n, CH):
-        si = rsig[i0 : i0 + CH]
-        for j0 in range(i0, n, CH):
-            sj = rsig[j0 : j0 + CH]
-            est = (si[:, None, :] == sj[None, :, :]).mean(axis=2)
-            ii, jj = np.nonzero(est >= threshold)
-            gi = ii + i0
-            gj = jj + j0
-            keep = gi < gj
-            gi, gj = gi[keep], gj[keep]
-            if len(gi):
-                a = np.minimum(rids[gi], rids[gj])
-                b = np.maximum(rids[gi], rids[gj])
-                out_a.append(a)
-                out_b.append(b)
-                out_e.append(est[gi - i0, gj - j0])
-    if not out_a:
-        return pa.table(
-            {
-                "a_id": pa.array([], pa.int64()),
-                "b_id": pa.array([], pa.int64()),
-                "est_jaccard": pa.array([], pa.float64()),
-            }
+    # exact verification of the (rare) distinct-signature candidates:
+    # gather the candidates (small), fetch only the involved signatures in
+    # one streamed pass, verify vectorized, union with the exact-dup pairs
+    verified_parts = []
+    cand_a, cand_b = [], []
+    for b in deduped.iter_batches(batch_format="pyarrow"):
+        e = b["est_jaccard"].to_numpy()
+        nanmask = np.isnan(e)
+        if (~nanmask).any():
+            verified_parts.append(b.filter(pa.array(~nanmask)))
+        if nanmask.any():
+            cand_a.append(b["a_id"].to_numpy()[nanmask])
+            cand_b.append(b["b_id"].to_numpy()[nanmask])
+    if not cand_a:
+        return ray.data.from_arrow(
+            pa.concat_tables(verified_parts) if verified_parts else _empty_pairs
         )
-    return pa.table(
-        {
-            "a_id": pa.array(np.concatenate(out_a)),
-            "b_id": pa.array(np.concatenate(out_b)),
-            "est_jaccard": pa.array(np.concatenate(out_e)),
-        }
+    ca = np.concatenate(cand_a)
+    cb = np.concatenate(cand_b)
+    involved = np.unique(np.concatenate([ca, cb]))
+    sig_lookup = {}
+    for b in sig_ds.iter_batches(batch_format="pyarrow"):
+        ids = b[id_col].to_numpy().astype(np.int64)
+        hit = np.isin(ids, involved)
+        if hit.any():
+            sig = (
+                b["sig"].combine_chunks().flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(len(ids), num_perm)
+            )
+            for i in np.nonzero(hit)[0]:
+                sig_lookup[int(ids[i])] = sig[i]
+    CH = 200_000  # bound verification memory: chunked pair batches
+    for i0 in range(0, len(ca), CH):
+        cca = ca[i0 : i0 + CH]
+        ccb = cb[i0 : i0 + CH]
+        sa = np.stack([sig_lookup[int(i)] for i in cca])
+        sb = np.stack([sig_lookup[int(i)] for i in ccb])
+        est = (sa == sb).mean(axis=1)
+        keep = est >= threshold
+        if keep.any():
+            verified_parts.append(
+                pa.table(
+                    {
+                        "a_id": pa.array(cca[keep]),
+                        "b_id": pa.array(ccb[keep]),
+                        "est_jaccard": pa.array(est[keep]),
+                    }
+                )
+            )
+    return ray.data.from_arrow(
+        pa.concat_tables(verified_parts) if verified_parts else _empty_pairs
     )
 
 

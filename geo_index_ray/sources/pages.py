@@ -18,20 +18,6 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-_VOCAB = np.array(
-    (
-        "the of and to in is was for on as with by at from it an be this that or "
-        "which are not have has had were will would can could may might must shall "
-        "data web page site crawl index query search engine token text html link "
-        "url server client cache fetch parse render script style image video audio "
-        "news article blog post comment user account login profile settings help "
-        "about contact terms privacy policy copyright market price stock trade "
-        "science research study result method model test train learn deep neural "
-        "city world country state region local global north south east west "
-        "time year month day hour minute second today tomorrow yesterday now"
-    ).split()
-)
-
 _LANGS = np.array(["en", "de", "fr", "es", "zh", "ru", "pt", "ja"])
 _LANG_W = np.array([0.44, 0.10, 0.09, 0.09, 0.10, 0.07, 0.06, 0.05])
 
@@ -88,8 +74,64 @@ def page_geometry(urls):
     return lon, lat
 
 
-def make_pages_batch(start: int, count: int) -> pa.Table:
-    """Generate rows [start, start+count) of the pages table."""
+_WORD_BYTES: np.ndarray | None = None
+_N_WORDS = 50_000
+_WORD_W = 7  # "wXXXXX " — fixed width so rows assemble without Python loops
+
+
+def _word_bytes() -> np.ndarray:
+    """(50000, 7) uint8 lookup of fixed-width vocabulary words.
+
+    Words are 6 random lowercase letters + space (not zero-padded numbers:
+    numeric words share digit-heavy character n-grams, which collapses
+    shingle diversity and makes every document pair look ~40% similar)."""
+    global _WORD_BYTES
+    if _WORD_BYTES is None:
+        rng = np.random.default_rng(20240817)
+        letters = rng.integers(97, 123, size=(_N_WORDS, _WORD_W - 1), dtype=np.uint8)
+        _WORD_BYTES = np.concatenate(
+            [letters, np.full((_N_WORDS, 1), 32, dtype=np.uint8)], axis=1
+        )
+    return _WORD_BYTES
+
+
+def _mix64(v: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized."""
+    with np.errstate(over="ignore"):
+        v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        v = (v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return v ^ (v >> np.uint64(31))
+
+
+def _texts_for_seeds(body_seed: np.ndarray) -> pa.Array:
+    """Deterministic per-row text: 24–72 independent pseudo-random words
+    from a 50k vocabulary, assembled as one Arrow StringArray straight
+    from numpy buffers — no per-row Python.  Distinct seeds give
+    near-disjoint shingle sets; equal seeds give byte-identical text."""
+    bs = body_seed.astype(np.uint64)
+    n = len(bs)
+    max_w = 72
+    nw = (24 + (bs % np.uint64(49))).astype(np.int64)
+    pos = np.arange(max_w, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        h = _mix64(bs[:, None] * np.uint64(0x9E3779B97F4A7C15) + (pos[None, :] + np.uint64(1)) * np.uint64(0xD1B54A32D192ED03))
+    idx = (h % np.uint64(_N_WORDS)).astype(np.int64)
+    flat = _word_bytes()[idx].reshape(n, max_w * _WORD_W)
+    lens = nw * _WORD_W
+    mask = np.arange(max_w * _WORD_W)[None, :] < lens[:, None]
+    data = flat[mask]  # concatenated rows, vectorized
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(lens, out=offsets[1:])
+    return pa.StringArray.from_buffers(
+        n, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data.tobytes())
+    )
+
+
+def make_pages_batch(start: int, count: int, columns=None) -> pa.Table:
+    """Generate rows [start, start+count) of the pages table.
+
+    ``columns`` optionally restricts generation (html, the expensive
+    field, is skipped entirely when not requested)."""
     rid = np.arange(start, start + count, dtype=np.int64)
     site = (rid * 2654435761 % 1000003) % 100000
     page = rid % 1000000
@@ -100,42 +142,51 @@ def make_pages_batch(start: int, count: int) -> pa.Table:
             0, len(_LANGS) - 1
         )
     ]
-    # diverse deterministic text: 24-72 vocab words chosen by an LCG of the
-    # row id; ~5% of rows exactly duplicate an earlier row's body (real
-    # corpora are full of true duplicates — gives dedup pipelines work)
-    n_words = (rid % 49 + 24).astype(np.int64)
+    # deterministic diverse text: 24-72 independent pseudo-random words per
+    # row from a 50k-word vocabulary (realistic shingle diversity — docs
+    # with distinct seeds share almost no character n-grams); ~5% of rows
+    # exactly duplicate an earlier row's body (real corpora are full of
+    # true duplicates — gives dedup pipelines work)
     body_seed = np.where((rid % 20 == 7) & (rid >= 7), rid - 7, rid)
-    text = []
-    for bs, nw, s, p, lg in zip(body_seed, n_words, site, page, lang):
-        nw = int(24 + (bs % 49))
-        idx = (int(bs) * 2654435761 + np.arange(nw) * 40503) % len(_VOCAB)
-        text.append(" ".join(_VOCAB[idx]))
-    html = [f"<html><body><p>{t}</p></body></html>".encode() for t in text]
-    return pa.table(
-        {
-            "url": pa.array(urls, type=pa.string()),
-            "warc_ts": pa.array(warc_ts, type=pa.timestamp("us")),
-            "html": pa.array(html, type=pa.binary()),
-            "text": pa.array(text, type=pa.string()),
-            "lang": pa.array(lang.tolist(), type=pa.string()),
-        }
-    )
+    text = _texts_for_seeds(body_seed)
+    cols = {
+        "url": pa.array(urls, type=pa.string()),
+        "warc_ts": pa.array(warc_ts, type=pa.timestamp("us")),
+        "text": text,
+        "lang": pa.array(lang.tolist(), type=pa.string()),
+    }
+    if columns is None or "html" in columns:
+        cols["html"] = pa.array(
+            [f"<html><body><p>{t}</p></body></html>".encode() for t in text.to_pylist()],
+            type=pa.binary(),
+        )
+    out = pa.table(cols)
+    if columns is not None:
+        out = out.select([c for c in ["url", "warc_ts", "html", "text", "lang"] if c in columns])
+    return out
 
 
-def pages_dataset(num_rows: int, parallelism: int = 8):
+def pages_dataset(num_rows: int, parallelism: int = 8, columns=None):
     """A Ray Dataset of synthetic pages, generated shard-parallel (each
-    shard is a pure function of its row range — no driver materialization)."""
+    shard is a pure function of its row range — no driver materialization).
+
+    ``override_num_blocks`` pins one block per shard so generation
+    parallelism is exactly ``parallelism`` regardless of Ray's auto
+    block-splitting of the tiny seed items."""
     import ray
     import ray.data
 
     shard = int(np.ceil(num_rows / parallelism))
     spans = [(i * shard, min((i + 1) * shard, num_rows)) for i in range(parallelism)]
     spans = [(a, b) for a, b in spans if b > a]
-    ds = ray.data.from_items([{"start": a, "count": b - a} for a, b in spans])
+    ds = ray.data.from_items(
+        [{"start": a, "count": b - a} for a, b in spans],
+        override_num_blocks=len(spans),
+    )
 
     def expand(batch: pa.Table) -> pa.Table:
         tables = [
-            make_pages_batch(int(s), int(c))
+            make_pages_batch(int(s), int(c), columns=columns)
             for s, c in zip(batch["start"].to_pylist(), batch["count"].to_pylist())
         ]
         return pa.concat_tables(tables)

@@ -56,46 +56,68 @@ class Manifest:
             f.write(json.dumps(record) + "\n")
 
 
-class PartitionedWriter:
-    """map_batches sink: writes each batch as one parquet partition keyed by
-    a deterministic fingerprint of its key column; skips partitions already
-    in the manifest (resume)."""
+def write_partitioned(ds, out_dir: str, stage: str, key_col: str,
+                      num_partitions: int | None = None):
+    """Consume a Dataset into resumable partitioned parquet.
 
-    def __init__(self, out_dir: str, stage: str, key_col: str):
-        self.out_dir = out_dir
-        self.stage = stage
-        self.key_col = key_col
-        self.manifest = Manifest(out_dir)
-        self.done = self.manifest.load_done()
-        os.makedirs(out_dir, exist_ok=True)
+    Partition membership is a *deterministic pure function of the key*
+    (``hash(key) % num_partitions``), never of upstream batch boundaries —
+    so a rerun reproduces the exact same partition contents no matter how
+    Ray re-blocks the input, and completed partitions are recognized and
+    skipped.  One hash shuffle groups each partition's rows; each group is
+    written atomically (tmp + rename) and appends one manifest line
+    ``{stage, partition, input_fingerprint, rows, bytes, wall_s, ts}``.
+    The manifest is plain JSONL on a shared filesystem; O_APPEND keeps
+    concurrent writers line-atomic on POSIX.
 
-    def _fingerprint(self, batch: pa.Table) -> str:
-        import hashlib
+    Returns the (small) per-partition write report as a pandas DataFrame.
+    """
+    import hashlib
 
-        keys = np.sort(batch[self.key_col].to_numpy().astype(np.int64))
-        return hashlib.sha1(keys.tobytes()).hexdigest()[:16]
+    if num_partitions is None:
+        from ..stages.util import reducer_count
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+        num_partitions = reducer_count()
+    manifest = Manifest(out_dir)
+    done = manifest.load_done()
+    os.makedirs(out_dir, exist_ok=True)
+
+    N = num_partitions
+
+    def add_pid(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy().astype(np.int64).view(np.uint64)
+        with np.errstate(over="ignore"):
+            pid = ((k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) % np.uint64(N)
+        return batch.append_column("__pid", pa.array(pid.astype(np.int64)))
+
+    def write_group(g: pa.Table) -> pa.Table:
         t0 = time.time()
-        fp = self._fingerprint(batch)
-        out_path = os.path.join(self.out_dir, f"part-{fp}.parquet")
-        if fp in self.done and os.path.exists(out_path):
+        pid = int(g["__pid"][0].as_py())
+        name = f"{pid:05d}"
+        g = g.drop_columns(["__pid"])
+        out_path = os.path.join(out_dir, f"part-{name}.parquet")
+        if name in done and os.path.exists(out_path):
             return pa.table(
                 {
-                    "partition": pa.array([fp]),
-                    "rows": pa.array([batch.num_rows], pa.int64()),
+                    "partition": pa.array([name]),
+                    "rows": pa.array([g.num_rows], pa.int64()),
                     "skipped": pa.array([True]),
                 }
             )
-        tmp = out_path + ".tmp"
-        pq.write_table(batch, tmp)
+        # canonical row order inside a partition → byte-stable output
+        keys = g[key_col].to_numpy()
+        order = np.argsort(keys, kind="stable").astype(np.int64)
+        g = g.take(order)
+        fp = hashlib.sha1(np.ascontiguousarray(keys[order]).tobytes()).hexdigest()[:16]
+        tmp = out_path + f".tmp.{os.getpid()}"
+        pq.write_table(g, tmp)
         os.replace(tmp, out_path)  # atomic publish
-        self.manifest.append(
+        manifest.append(
             {
-                "stage": self.stage,
-                "partition": fp,
+                "stage": stage,
+                "partition": name,
                 "input_fingerprint": fp,
-                "rows": batch.num_rows,
+                "rows": g.num_rows,
                 "bytes": os.path.getsize(out_path),
                 "wall_s": round(time.time() - t0, 4),
                 "ts": time.time(),
@@ -103,23 +125,16 @@ class PartitionedWriter:
         )
         return pa.table(
             {
-                "partition": pa.array([fp]),
-                "rows": pa.array([batch.num_rows], pa.int64()),
+                "partition": pa.array([name]),
+                "rows": pa.array([g.num_rows], pa.int64()),
                 "skipped": pa.array([False]),
             }
         )
 
-
-def write_partitioned(ds, out_dir: str, stage: str, key_col: str):
-    """Consume a Dataset into resumable partitioned parquet.
-
-    Returns the (small) per-partition write report as a pandas DataFrame.
-    """
-    report = ds.map_batches(
-        PartitionedWriter,
-        fn_constructor_kwargs={"out_dir": out_dir, "stage": stage, "key_col": key_col},
-        batch_format="pyarrow",
-        concurrency=2,
+    report = (
+        ds.map_batches(add_pid, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(write_group, batch_format="pyarrow")
     )
     return report.to_pandas()
 

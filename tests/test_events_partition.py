@@ -237,3 +237,38 @@ class TestKnnBrute:
             knn_pipe.knn(targets2, qxy, 5, id_col="c_custkey", query_ids=nk, method="tree")
         ).sort_values(["query_id", "rank"]).reset_index(drop=True)
         assert (a["target_id"].to_numpy() == b["target_id"].to_numpy()).all()
+
+
+class TestLshCosinePairs:
+    def test_finds_planted_neardup_vectors(self):
+        import ray.data
+
+        from geo_index_ray.pipelines import ann as ann_pipe
+
+        rng = np.random.default_rng(3)
+        base = rng.standard_normal((40, 64))
+        # plant 5 near-dup pairs: id 100+i is a tiny perturbation of id i
+        near = base[:5] + 0.01 * rng.standard_normal((5, 64))
+        ids = np.r_[np.arange(40), 100 + np.arange(5)]
+        mat = np.concatenate([base, near]).astype(np.float32)
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(ids.astype(np.int64)),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(mat.ravel()), 64
+                ),
+            }
+        )
+        got = (
+            ann_pipe.lsh_cosine_pairs(
+                ray.data.from_arrow(tbl), "vec_id", threshold=0.95
+            )
+            .to_pandas()
+        )
+        found = set(zip(got["a_id"], got["b_id"]))
+        want = {(i, 100 + i) for i in range(5)}
+        # LSH is approximate in general, but 0.9995+ cosine pairs collide
+        # in at least one 12-bit bucket with overwhelming probability
+        assert want <= found
+        # and nothing below threshold sneaks in
+        assert (got["cos_sim"] >= 0.95).all()
