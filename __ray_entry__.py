@@ -211,6 +211,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["box_search"] = box_search
 
+    def box_search_str(sf_dir):
+        """Same search, STR-packed tree (SURVEY C5) — identical results."""
+        ds = tables.points_ds(sf_dir, "orders", "o_orderkey")
+        mnx, mny, mxx, mxy = BOX_SEARCH
+
+        def probe(batch: pa.Table) -> pa.Table:
+            x = batch["x"].to_numpy()
+            y = batch["y"].to_numpy()
+            tree = rtree.build_rtree(x, y, x, y, method="str")
+            hits = rtree.search(tree, mnx, mny, mxx, mxy).astype(np.int64)
+            return batch.take(hits)
+
+        return ds.map_batches(probe, batch_format="pyarrow")
+
+    q["box_search_str"] = box_search_str
+
+    def box_search_f32(sf_dir):
+        """f32 tree (outward-cast boxes, SURVEY C9) for candidates, then
+        exact f64 refine — the reference's filter-refine contract, with
+        results identical to the f64 oracle."""
+        ds = tables.points_ds(sf_dir, "orders", "o_orderkey")
+        mnx, mny, mxx, mxy = BOX_SEARCH
+
+        def probe(batch: pa.Table) -> pa.Table:
+            x = batch["x"].to_numpy()
+            y = batch["y"].to_numpy()
+            from geo_index_ray.kernels.geom import f64_box_to_f32
+
+            fx0, fy0, fx1, fy1 = f64_box_to_f32(x, y, x, y)
+            tree = rtree.build_rtree(fx0, fy0, fx1, fy1, dtype=np.float32)
+            cand = rtree.search(
+                tree,
+                np.float32(mnx), np.float32(mny),
+                np.float32(mxx), np.float32(mxy),
+            ).astype(np.int64)
+            keep = (
+                (x[cand] >= mnx) & (x[cand] <= mxx)
+                & (y[cand] >= mny) & (y[cand] <= mxy)
+            )
+            return batch.take(cand[keep])
+
+        return ds.map_batches(probe, batch_format="pyarrow")
+
+    q["box_search_f32"] = box_search_f32
+
     # --- joins ---
     def pip_join(sf_dir):
         pts = tables.point_boxes_ds(sf_dir, "customer", "c_custkey")
@@ -318,6 +363,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ann_pipe.ann_topk(ds, mat, qids, ANN_K, id_col="vec_id")
 
     q["ann_topk"] = ann
+
+    def ann_ivf(sf_dir):
+        mat, qids = _read_queries_for_ann(sf_dir)
+        ds = tables.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        return ann_pipe.ivf_topk(ds, mat, qids, ANN_K, id_col="vec_id",
+                                 nlist=16, nprobe=4)
+
+    q["ann_ivf"] = ann_ivf
 
     def embed_neardup(sf_dir):
         ds = tables.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -547,6 +600,8 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT o_orderkey, {pt('o_orderkey')} FROM orders)
         WHERE x >= {mnx} AND x <= {mxx} AND y >= {mny} AND y <= {mxy}
     """
+    sql["box_search_str"] = sql["box_search"]
+    sql["box_search_f32"] = sql["box_search"]
 
     sql["pip_join"] = f"""
         WITH cust AS (SELECT c_custkey, {pt('c_custkey')} FROM customer),

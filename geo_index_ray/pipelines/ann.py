@@ -269,3 +269,146 @@ def cosine_pairs_exact(ds, threshold: float, id_col: str, emb_col: str = "embedd
     return ds.map_batches(
         _PairProbe(all_ref, threshold, id_col, emb_col), batch_format="pyarrow"
     )
+
+
+def _kmeans_centroids(sample: np.ndarray, nlist: int, iters: int = 8,
+                      seed: int = 5) -> np.ndarray:
+    """Deterministic mini Lloyd's k-means on a (normalized) sample —
+    driver-side, the sample is small.  Returns (nlist, dim) normalized
+    centroids."""
+    rng = np.random.default_rng(seed)
+    n = len(sample)
+    init = rng.choice(n, size=min(nlist, n), replace=False)
+    cent = sample[init].copy()
+    for _ in range(iters):
+        sims = sample @ cent.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                norm = np.linalg.norm(v)
+                if norm > 0:
+                    cent[c] = v / norm
+    return cent
+
+
+class _IvfProbe:
+    """IVF probe: assign each stored vector to its nearest centroid; a
+    query only scores vectors in its ``nprobe`` closest lists.  Broadcast
+    state (centroids + query matrix) resolves lazily from plasma."""
+
+    def __init__(self, state_ref, k: int, nprobe: int, id_col: str, emb_col: str):
+        self.state_ref = state_ref
+        self.loaded = False
+        self.k = k
+        self.nprobe = nprobe
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def _load(self):
+        import ray
+
+        s = ray.get(self.state_ref)
+        self.cent = s["centroids"]
+        self.qids = s["qids"]
+        self.qm = s["qm"]
+        # per query: its nprobe nearest lists
+        qsims = self.qm @ self.cent.T
+        self.qlists = np.argsort(-qsims, axis=1)[:, : self.nprobe]
+        self.loaded = True
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.loaded:
+            self._load()
+        ids = batch[self.id_col].to_numpy().astype(np.int64)
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            }
+        )
+        if len(ids) == 0:
+            return empty
+        m = _emb_matrix(batch, self.emb_col)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        assign = np.argmax(m @ self.cent.T, axis=1)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(self.qids)):
+            cand = np.isin(assign, self.qlists[qi])
+            if not cand.any():
+                continue
+            sub = m[cand]
+            sims = sub @ self.qm[qi]
+            kk = min(self.k, len(sims))
+            top = np.argpartition(-sims, kk - 1)[:kk]
+            out_q.append(np.full(kk, self.qids[qi], dtype=np.int64))
+            out_n.append(ids[cand][top])
+            out_s.append(sims[top])
+        if not out_q:
+            return empty
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_n)),
+                "sim": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+
+def ivf_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray, k: int,
+             id_col: str, emb_col: str = "embedding", nlist: int = 16,
+             nprobe: int = 4, train_rows: int = 10_000):
+    """Approximate cosine top-k via IVF (inverted file) — the scale path
+    for similarity search: each stored vector lands in one centroid list,
+    queries score only ``nprobe`` lists (~nprobe/nlist of the data).
+    ``nprobe = nlist`` degrades gracefully to exact brute force.
+
+    Centroids train driver-side on a streamed sample (small); everything
+    else is one broadcast + per-batch matmuls + the global top-k merge.
+    Returns (query_id, neighbor_id, rank).
+    """
+    import ray
+
+    # deterministic training sample: first train_rows in id order stream
+    got = 0
+    chunks = []
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=8192):
+        chunks.append(_emb_matrix(b, emb_col))
+        got += chunks[-1].shape[0]
+        if got >= train_rows:
+            break
+    sample = np.concatenate(chunks)[:train_rows]
+    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    cent = _kmeans_centroids(sample, nlist)
+
+    qm = np.ascontiguousarray(query_matrix, dtype=np.float64)
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    state_ref = ray.put(
+        {
+            "centroids": cent,
+            "qm": qm,
+            "qids": np.asarray(query_ids, dtype=np.int64),
+        }
+    )
+    cands = ds.map_batches(
+        _IvfProbe(state_ref, k, nprobe, id_col, emb_col), batch_format="pyarrow"
+    )
+
+    from ..stages.util import coalesce_for_shuffle
+
+    cands = coalesce_for_shuffle(cands, 0.25)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"].to_numpy(),
+                "neighbor_id": g["neighbor_id"].to_numpy(),
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+
+    return cands.groupby("query_id").map_groups(merge, batch_format="pandas")

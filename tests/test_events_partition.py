@@ -272,3 +272,49 @@ class TestLshCosinePairs:
         assert want <= found
         # and nothing below threshold sneaks in
         assert (got["cos_sim"] >= 0.95).all()
+
+
+class TestIvf:
+    def test_nprobe_full_equals_exact(self):
+        import pyarrow.parquet as pq
+
+        from geo_index_ray.pipelines import ann as ann_pipe
+        from geo_index_ray.sources import tables
+
+        t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+        vid = t["vec_id"].to_numpy().astype(np.int64)
+        mask = vid % 7 == 0
+        mat = np.stack(t["embedding"].to_pylist()).astype(np.float64)[mask]
+        qids = vid[mask]
+        ds = tables.read_table(SF, "embeddings", columns=["vec_id", "embedding"])
+        exact = _to_df(
+            ann_pipe.ann_topk(ds, mat, qids, 5, id_col="vec_id")
+        ).sort_values(["query_id", "rank"]).reset_index(drop=True)
+        ds2 = tables.read_table(SF, "embeddings", columns=["vec_id", "embedding"])
+        full = _to_df(
+            ann_pipe.ivf_topk(ds2, mat, qids, 5, id_col="vec_id", nlist=8, nprobe=8)
+        ).sort_values(["query_id", "rank"]).reset_index(drop=True)
+        assert (exact["neighbor_id"].to_numpy() == full["neighbor_id"].to_numpy()).all()
+
+    def test_partial_probe_recall(self):
+        import pyarrow.parquet as pq
+
+        from geo_index_ray.pipelines import ann as ann_pipe
+        from geo_index_ray.sources import tables
+
+        t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+        vid = t["vec_id"].to_numpy().astype(np.int64)
+        mask = vid % 7 == 0
+        mat = np.stack(t["embedding"].to_pylist()).astype(np.float64)[mask]
+        qids = vid[mask]
+        ds = tables.read_table(SF, "embeddings", columns=["vec_id", "embedding"])
+        exact = _to_df(ann_pipe.ann_topk(ds, mat, qids, 5, id_col="vec_id"))
+        ds2 = tables.read_table(SF, "embeddings", columns=["vec_id", "embedding"])
+        approx = _to_df(
+            ann_pipe.ivf_topk(ds2, mat, qids, 5, id_col="vec_id", nlist=8, nprobe=4)
+        )
+        e = set(zip(exact["query_id"], exact["neighbor_id"]))
+        a = set(zip(approx["query_id"], approx["neighbor_id"]))
+        recall = len(e & a) / len(e)
+        # probing half the lists should keep recall well above random
+        assert recall >= 0.5, recall
