@@ -310,6 +310,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["token_count"] = token_count
 
+    def token_count_bpe(sf_dir):
+        ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        return ds.map_batches(
+            text_pipe.bpe_token_count_stage("doc_id"), batch_format="pyarrow"
+        )
+
+    q["token_count_bpe"] = token_count_bpe
+
     def text_quality(sf_dir):
         ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
         return ds.map_batches(text_pipe.quality_stage("doc_id"), batch_format="pyarrow")
@@ -433,6 +441,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.map_batches(probe, batch_format="pyarrow")
 
     q["kd_range"] = kd_range
+
+    def kd_within(sf_dir):
+        """KD-tree radius probe (kdbush ``within``, SURVEY Q10)."""
+        ds = tables.points_ds(sf_dir, "customer", "c_custkey")
+
+        def probe(batch: pa.Table) -> pa.Table:
+            x = batch["x"].to_numpy()
+            y = batch["y"].to_numpy()
+            if len(x) == 0:
+                return batch
+            tree = kdtree.build_kdtree(x, y)
+            hits = np.sort(kdtree.within(tree, 0.0, 0.0, WITHIN_R)).astype(np.int64)
+            return batch.take(hits)
+
+        return ds.map_batches(probe, batch_format="pyarrow")
+
+    q["kd_within"] = kd_within
 
     def knn_haversine(sf_dir):
         nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
@@ -700,6 +725,12 @@ def oracle_sql() -> dict[str, str]:
         WHERE x >= {mnx} AND x <= {mxx} AND y >= {mny} AND y <= {mxy}
     """
 
+    sql["kd_within"] = f"""
+        SELECT c_custkey, x, y
+        FROM (SELECT c_custkey, {pt('c_custkey')} FROM customer)
+        WHERE x * x + y * y <= {WITHIN_R} * {WITHIN_R}
+    """
+
     hav = (
         "2.0 * 6378137.0 * ASIN(SQRT(LEAST(1.0, "
         "POWER(SIN(RADIANS(t.y - q.y) / 2), 2) "
@@ -755,6 +786,12 @@ def oracle_sql() -> dict[str, str]:
     sql["token_count"] = r"""
         SELECT doc_id,
                len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens
+        FROM documents
+    """
+
+    sql["token_count_bpe"] = r"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n]+')) AS n_tokens
         FROM documents
     """
 

@@ -41,6 +41,28 @@ def token_count_stage(id_col: str, text_col: str = "text"):
     return fn
 
 
+def bpe_token_count_stage(id_col: str, text_col: str = "text"):
+    """(id, n_tokens): BPE-pretokenizer-style regex token count — runs of
+    word characters or runs of non-word non-space punctuation, the shape
+    GPT-2-style pretokenizers split on.  The pattern compiles ONCE per
+    stage closure (per worker), never per batch.
+
+    SQL twin: ``len(regexp_extract_all(text,
+    '[A-Za-z0-9_]+|[^A-Za-z0-9_ \\t\\n]+'))`` (explicit classes so Python
+    re and DuckDB RE2 agree).
+    """
+    import re
+
+    pat = re.compile(r"[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n]+")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        n = np.array([len(pat.findall(t or "")) for t in texts], dtype=np.int64)
+        return pa.table({id_col: batch[id_col], "n_tokens": pa.array(n)})
+
+    return fn
+
+
 def quality_stage(id_col: str, text_col: str = "text"):
     """(id, n_chars, n_punct, quality_score) — cheap quality signals.
 

@@ -318,3 +318,55 @@ class TestIvf:
         recall = len(e & a) / len(e)
         # probing half the lists should keep recall well above random
         assert recall >= 0.5, recall
+
+
+class TestSkewSplit:
+    def test_skew_split_preserves_join_result(self):
+        """Hot cells raise the shuffle resolution; pair set is invariant."""
+        import ray.data
+
+        from geo_index_ray.pipelines import spatial_join as sj
+
+        rng = np.random.default_rng(11)
+        n = 4000
+        # 80% of points piled into one res-5 cell (hot), rest uniform
+        hot = rng.uniform([10.0, 10.0], [10.5, 10.5], size=(int(n * 0.8), 2))
+        cold = rng.uniform([-170, -80], [170, 80], size=(n - len(hot), 2))
+        xy = np.concatenate([hot, cold])
+        pts = pa.table(
+            {
+                "pid": pa.array(np.arange(n, dtype=np.int64)),
+                "x": pa.array(xy[:, 0]), "y": pa.array(xy[:, 1]),
+                "min_x": pa.array(xy[:, 0]), "min_y": pa.array(xy[:, 1]),
+                "max_x": pa.array(xy[:, 0]), "max_y": pa.array(xy[:, 1]),
+            }
+        )
+        boxes = pa.table(
+            {
+                "bid": pa.array(np.arange(50, dtype=np.int64)),
+                "min_x": pa.array(rng.uniform(-170, 160, 50)),
+                "min_y": pa.array(rng.uniform(-80, 70, 50)),
+            }
+        )
+        boxes = boxes.append_column(
+            "max_x", pa.array(boxes["min_x"].to_numpy() + rng.uniform(1, 30, 50))
+        ).append_column(
+            "max_y", pa.array(boxes["min_y"].to_numpy() + rng.uniform(1, 30, 50))
+        )
+
+        def run(threshold):
+            return (
+                sj.shuffle_spatial_join(
+                    ray.data.from_arrow(pts).repartition(4),
+                    ray.data.from_arrow(boxes),
+                    res=5, how="pip", left_id="pid", right_id="bid",
+                    skew_split_threshold=threshold,
+                )
+                .to_pandas()
+            )
+
+        plain = run(None)
+        split = run(200)  # forces resolution raise (hot cell has 3200 rows)
+        a = set(zip(plain["pid"], plain["bid"]))
+        b = set(zip(split["pid"], split["bid"]))
+        assert a == b and len(a) > 0
