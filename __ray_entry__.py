@@ -536,6 +536,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["multimodal_decode"] = multimodal
 
+    def mm_resize(sf_dir):
+        ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+        def to_payload(batch: pa.Table) -> pa.Table:
+            payloads = [t.encode() for t in batch["text"].to_pylist()]
+            return pa.table(
+                {"doc_id": batch["doc_id"], "payload": pa.array(payloads, pa.binary())}
+            )
+
+        binary_ds = ds.map_batches(to_payload, batch_format="pyarrow")
+        return mm_pipe.resize_images(binary_ds, "doc_id", "payload")
+
+    q["multimodal_resize"] = mm_resize
+
+    def mm_frames(sf_dir):
+        ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+        def to_payload(batch: pa.Table) -> pa.Table:
+            payloads = [t.encode() for t in batch["text"].to_pylist()]
+            return pa.table(
+                {"doc_id": batch["doc_id"], "payload": pa.array(payloads, pa.binary())}
+            )
+
+        binary_ds = ds.map_batches(to_payload, batch_format="pyarrow")
+        return mm_pipe.sample_frames(binary_ds, "doc_id", "payload", every_n=2)
+
+    q["multimodal_frames"] = mm_frames
+
     return q
 
 
