@@ -381,8 +381,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["ann_ivf"] = ann_ivf
 
     def embed_neardup(sf_dir):
+        # threshold sits inside the data's similarity range (max cosine in
+        # the synthetic embeddings ≈ 0.51) so the query exercises real work
         ds = tables.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-        return ann_pipe.lsh_cosine_pairs(ds, "vec_id", threshold=0.8)
+        return ann_pipe.lsh_cosine_pairs(ds, "vec_id", threshold=0.4)
 
     q["embed_neardup"] = embed_neardup
 

@@ -120,18 +120,22 @@ def lsh_cosine_pairs(
     id_col: str,
     emb_col: str = "embedding",
     dim: int = 64,
-    num_planes: int = 12,
+    num_tables: int = 16,
+    planes_per_table: int = 4,
     threshold: float = 0.9,
     seed: int = 13,
 ):
-    """Embedding near-dup pairs: hyperplane-LSH bucket, verify exact cosine.
+    """Embedding near-dup pairs: banded multi-table hyperplane LSH with
+    exact-cosine verification.
 
-    Returns (a_id, b_id, cos_sim) with a_id < b_id, cos_sim ≥ threshold.
-    Approximate: pairs whose sign-bits differ in every bucket are missed
-    (recall grows with fewer planes / more tables).
+    Returns (a_id, b_id, cos_sim) with a_id < b_id, cos_sim ≥ threshold,
+    each pair once.  A pair is a candidate iff ALL planes of SOME table
+    agree — the sign-bit analog of MinHash banding.  At the defaults,
+    recall for cos = 0.4 is ≈ 0.93 and ≈ 1.0 above 0.7, while a random
+    orthogonal pair collides in a table with probability 2^-4.
     """
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, num_planes))
+    planes = rng.standard_normal((dim, num_tables * planes_per_table))
 
     from ..stages.util import reducer_count
 
@@ -141,18 +145,27 @@ def lsh_cosine_pairs(
         ids = batch[id_col].to_numpy().astype(np.int64)
         m = _emb_matrix(batch, emb_col)
         bits = (m @ planes > 0).astype(np.uint64)
-        bucket = np.zeros(len(ids), dtype=np.uint64)
-        for p in range(num_planes):
-            bucket |= bits[:, p] << np.uint64(p)
-        out = pa.table(
+        out_bucket, out_id, out_emb = [], [], []
+        for t in range(num_tables):
+            seg = bits[:, t * planes_per_table : (t + 1) * planes_per_table]
+            bucket = np.full(len(ids), np.uint64(t * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for p in range(planes_per_table):
+                    bucket = (bucket << np.uint64(1)) | seg[:, p]
+                bucket = bucket * np.uint64(0xD1B54A32D192ED03) + np.uint64(t)
+            out_bucket.append(bucket)
+            out_id.append(ids)
+            out_emb.append(m)
+        bucket = np.concatenate(out_bucket)
+        emb = np.concatenate(out_emb)
+        return pa.table(
             {
                 "rkey": pa.array((bucket % np.uint64(R)).astype(np.int64)),
                 "bucket": pa.array(bucket.view(np.int64)),
-                id_col: pa.array(ids),
-                "emb": pa.FixedSizeListArray.from_arrays(pa.array(m.ravel()), m.shape[1]),
+                id_col: pa.array(np.concatenate(out_id)),
+                "emb": pa.FixedSizeListArray.from_arrays(pa.array(emb.ravel()), emb.shape[1]),
             }
         )
-        return out
 
     buckets = ds.map_batches(bucketize, batch_format="pyarrow")
 
@@ -201,7 +214,37 @@ def lsh_cosine_pairs(
             }
         )
 
-    return buckets.groupby("rkey").map_groups(verify_reducer, batch_format="pyarrow")
+    pairs = buckets.groupby("rkey").map_groups(verify_reducer, batch_format="pyarrow")
+
+    # a pair can collide in several tables → dedup on (a_id, b_id) via a
+    # coarse key + one vectorized unique per reducer
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        a = batch["a_id"].to_numpy().view(np.uint64)
+        b = batch["b_id"].to_numpy().view(np.uint64)
+        with np.errstate(over="ignore"):
+            pk = (a * np.uint64(0x9E3779B97F4A7C15) ^ b) % np.uint64(R)
+        return batch.append_column("pkey", pa.array(pk.astype(np.int64)))
+
+    def unique_pairs(g: pa.Table) -> pa.Table:
+        a = g["a_id"].to_numpy()
+        b = g["b_id"].to_numpy()
+        s = g["cos_sim"].to_numpy()
+        order = np.lexsort((b, a))
+        a, b, s = a[order], b[order], s[order]
+        keep = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        return pa.table(
+            {
+                "a_id": pa.array(a[keep]),
+                "b_id": pa.array(b[keep]),
+                "cos_sim": pa.array(s[keep]),
+            }
+        )
+
+    return (
+        pairs.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(unique_pairs, batch_format="pyarrow")
+    )
 
 
 class _PairProbe:
