@@ -473,6 +473,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["knn_haversine"] = knn_haversine
 
+    def knn_boxes(sf_dir):
+        """kNN to BOX targets by exact point-to-geometry distance
+        (reference neighbors_geometry, SURVEY Q5)."""
+        nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+        nk = nation["n_nationkey"].to_numpy().astype(np.int64)
+        qxy = np.stack([geocode.derive_lon(nk), geocode.derive_lat(nk)], axis=1)
+        targets = tables.boxes_ds(sf_dir, "part", "p_partkey")
+        res = knn_pipe.knn_to_boxes(targets, qxy, KNN_K, id_col="p_partkey",
+                                    query_ids=nk)
+        return res.select_columns(["query_id", "target_id", "rank"])
+
+    q["knn_boxes"] = knn_boxes
+
+    def simhash_pairs_q(sf_dir):
+        ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        return dedup_pipe.simhash_pairs(ds, "doc_id", max_hamming=3)
+
+    q["simhash_pairs"] = simhash_pairs_q
+
     def tree_join_parts(sf_dir):
         supp = tables.boxes_ds(sf_dir, "supplier", "s_suppkey")
         part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])
@@ -773,6 +792,29 @@ def oracle_sql() -> dict[str, str]:
              d AS (
                SELECT q.n_nationkey AS query_id, t.c_custkey AS target_id,
                       {hav} AS dist
+               FROM q CROSS JOIN t
+             )
+        SELECT query_id, target_id, rank FROM (
+          SELECT query_id, target_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, target_id) AS rank
+          FROM d
+        ) WHERE rank <= {KNN_K}
+    """
+
+    sql["knn_boxes"] = f"""
+        WITH q AS (SELECT n_nationkey, {pt('n_nationkey')} FROM nation),
+             t AS (
+               SELECT p_partkey,
+                      {lon('p_partkey')} - {geocode.sql_half_w('p_partkey')} AS mnx,
+                      {lat('p_partkey')} - {geocode.sql_half_h('p_partkey')} AS mny,
+                      {lon('p_partkey')} + {geocode.sql_half_w('p_partkey')} AS mxx,
+                      {lat('p_partkey')} + {geocode.sql_half_h('p_partkey')} AS mxy
+               FROM part
+             ),
+             d AS (
+               SELECT q.n_nationkey AS query_id, t.p_partkey AS target_id,
+                      POWER(GREATEST(t.mnx - q.x, 0) + GREATEST(q.x - t.mxx, 0), 2)
+                      + POWER(GREATEST(t.mny - q.y, 0) + GREATEST(q.y - t.mxy, 0), 2) AS dist
                FROM q CROSS JOIN t
              )
         SELECT query_id, target_id, rank FROM (

@@ -561,3 +561,125 @@ def ngram_jaccard_dedup(
         .groupby("pkey")
         .map_groups(unique_pairs, batch_format="pyarrow")
     )
+
+
+def simhash_pairs(ds, id_col: str, text_col: str = "text", max_hamming: int = 3):
+    """Near-duplicate pairs by SimHash Hamming distance — EXACT recall.
+
+    The 64-bit simhash splits into 4 blocks of 16 bits; by pigeonhole any
+    pair with Hamming distance ≤ 3 agrees exactly on at least one block,
+    so block-equality bucketing loses nothing.  Per bucket, candidates
+    verify with a vectorized popcount of the XOR — the 8-byte hash rides
+    the shuffle, nothing else.  Returns (a_id, b_id, hamming), each pair
+    once.
+    """
+    from ..stages.util import coalesce_for_shuffle, reducer_count
+
+    assert max_hamming < 4, "4-block bucketing guarantees recall only for <4"
+    R = reducer_count()
+    sim_stage = simhash_stage(id_col, text_col)
+
+    def to_blocks(batch: pa.Table) -> pa.Table:
+        sb = sim_stage(batch)
+        ids = sb[id_col].to_numpy().astype(np.int64)
+        h = sb["simhash"].to_numpy().view(np.uint64)
+        out_bucket, out_id, out_h = [], [], []
+        for blk in range(4):
+            val = (h >> np.uint64(blk * 16)) & np.uint64(0xFFFF)
+            bucket = (val | np.uint64(blk << 16)).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                bucket = bucket * np.uint64(0x9E3779B97F4A7C15) + np.uint64(blk)
+            out_bucket.append(bucket)
+            out_id.append(ids)
+            out_h.append(h)
+        bucket = np.concatenate(out_bucket)
+        return pa.table(
+            {
+                "rkey": pa.array((bucket % np.uint64(R)).astype(np.int64)),
+                "bucket": pa.array(bucket.view(np.int64)),
+                id_col: pa.array(np.concatenate(out_id)),
+                "simhash": pa.array(np.concatenate(out_h).view(np.int64)),
+            }
+        )
+
+    blocks = coalesce_for_shuffle(ds.map_batches(to_blocks, batch_format="pyarrow"), 0.5)
+
+    _empty = pa.table(
+        {
+            "a_id": pa.array([], pa.int64()),
+            "b_id": pa.array([], pa.int64()),
+            "hamming": pa.array([], pa.int64()),
+        }
+    )
+
+    def pairs_in_reducer(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return _empty
+        ids = g[id_col].to_numpy().astype(np.int64)
+        bucket = g["bucket"].to_numpy()
+        h = g["simhash"].to_numpy().view(np.uint64)
+        order = np.lexsort((ids, bucket))
+        b_s = bucket[order]
+        starts = np.nonzero(np.r_[True, b_s[1:] != b_s[:-1]])[0]
+        sizes = np.diff(np.r_[starts, len(order)])
+        out_a, out_b, out_h = [], [], []
+        # k-offset sweep: all (t, t+k) pairs across buckets, vectorized
+        for k in range(1, int(sizes.max(initial=1))):
+            act = np.nonzero(sizes > k)[0]
+            if not len(act):
+                break
+            cnt = sizes[act] - k
+            t0 = np.repeat(starts[act], cnt) + (
+                np.arange(int(cnt.sum())) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            )
+            ai = order[t0]
+            bi = order[t0 + k]
+            x = h[ai] ^ h[bi]
+            # vectorized popcount via byte-view + lookup
+            ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+            keep = (ham <= max_hamming) & (ids[ai] != ids[bi])
+            if keep.any():
+                a = ids[ai][keep]
+                b = ids[bi][keep]
+                out_a.append(np.minimum(a, b))
+                out_b.append(np.maximum(a, b))
+                out_h.append(ham[keep].astype(np.int64))
+        if not out_a:
+            return _empty
+        return pa.table(
+            {
+                "a_id": pa.array(np.concatenate(out_a)),
+                "b_id": pa.array(np.concatenate(out_b)),
+                "hamming": pa.array(np.concatenate(out_h)),
+            }
+        )
+
+    pairs = blocks.groupby("rkey").map_groups(pairs_in_reducer, batch_format="pyarrow")
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        a = batch["a_id"].to_numpy().view(np.uint64)
+        b = batch["b_id"].to_numpy().view(np.uint64)
+        with np.errstate(over="ignore"):
+            pk = (a * np.uint64(0x9E3779B97F4A7C15) ^ b) % np.uint64(R)
+        return batch.append_column("pkey", pa.array(pk.astype(np.int64)))
+
+    def unique_pairs(g: pa.Table) -> pa.Table:
+        a = g["a_id"].to_numpy()
+        b = g["b_id"].to_numpy()
+        hm = g["hamming"].to_numpy()
+        order = np.lexsort((b, a))
+        a, b, hm = a[order], b[order], hm[order]
+        keep = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        return pa.table(
+            {
+                "a_id": pa.array(a[keep]),
+                "b_id": pa.array(b[keep]),
+                "hamming": pa.array(hm[keep]),
+            }
+        )
+
+    return (
+        pairs.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(unique_pairs, batch_format="pyarrow")
+    )

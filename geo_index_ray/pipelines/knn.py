@@ -174,3 +174,87 @@ def knn(
         return g[["query_id", "target_id", "rank", "dist"]]
 
     return candidates.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
+
+
+class _LocalBoxKnn:
+    """Broadcast-probe kNN where targets are BOXES: per-batch exact
+    point-to-box squared distance (0 inside — the reference's
+    exact-geometry leaf distance, src/rtree/trait.rs:396-500 /
+    axis_dist src/rtree/trait.rs:571-579), vectorized over
+    (batch × queries); lazy plasma resolution of the query set."""
+
+    def __init__(self, queries_ref, k: int, id_col: str):
+        self.queries_ref = queries_ref
+        self.qids = None
+        self.qx = None
+        self.qy = None
+        self.k = k
+        self.id_col = id_col
+
+    def _load(self):
+        import ray
+
+        q = ray.get(self.queries_ref)
+        self.qids = q["ids"]
+        self.qx = np.ascontiguousarray(q["xy"][:, 0])
+        self.qy = np.ascontiguousarray(q["xy"][:, 1])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.qx is None:
+            self._load()
+        ids = batch[self.id_col].to_numpy().astype(np.int64)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "target_id": pa.array([], pa.int64()),
+                    "dist": pa.array([], pa.float64()),
+                }
+            )
+        mnx = batch["min_x"].to_numpy()[:, None]
+        mny = batch["min_y"].to_numpy()[:, None]
+        mxx = batch["max_x"].to_numpy()[:, None]
+        mxy = batch["max_y"].to_numpy()[:, None]
+        qx = self.qx[None, :]
+        qy = self.qy[None, :]
+        dx = np.maximum(mnx - qx, 0.0) + np.maximum(qx - mxx, 0.0)
+        dy = np.maximum(mny - qy, 0.0) + np.maximum(qy - mxy, 0.0)
+        d = dx * dx + dy * dy  # (n_boxes, n_q)
+        kk = min(self.k, len(ids))
+        top = np.argpartition(d, kk - 1, axis=0)[:kk]
+        nq = len(self.qids)
+        qcol = np.broadcast_to(np.arange(nq)[None, :], top.shape)
+        return pa.table(
+            {
+                "query_id": pa.array(np.repeat(self.qids[None, :], top.shape[0], 0).ravel()),
+                "target_id": pa.array(ids[top].ravel()),
+                "dist": pa.array(d[top, qcol].ravel()),
+            }
+        )
+
+
+def knn_to_boxes(targets_ds, query_xy: np.ndarray, k: int, id_col: str,
+                 query_ids: np.ndarray | None = None):
+    """Global top-k nearest BOX targets per query point, by exact
+    point-to-box distance (zero inside the box).  Same union-merge
+    correctness argument as ``knn``.  Returns (query_id, target_id, rank)."""
+    import ray
+
+    xy = np.ascontiguousarray(query_xy, dtype=np.float64)
+    if query_ids is None:
+        query_ids = np.arange(len(xy), dtype=np.int64)
+    queries_ref = ray.put({"xy": xy, "ids": np.asarray(query_ids, dtype=np.int64)})
+    candidates = targets_ds.map_batches(
+        _LocalBoxKnn(queries_ref, k, id_col), batch_format="pyarrow"
+    )
+
+    from ..stages.util import coalesce_for_shuffle
+
+    candidates = coalesce_for_shuffle(candidates, 0.25)
+
+    def merge_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["dist", "target_id"], kind="mergesort").head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g[["query_id", "target_id", "rank", "dist"]]
+
+    return candidates.groupby("query_id").map_groups(merge_topk, batch_format="pandas")

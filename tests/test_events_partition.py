@@ -370,3 +370,31 @@ class TestSkewSplit:
         a = set(zip(plain["pid"], plain["bid"]))
         b = set(zip(split["pid"], split["bid"]))
         assert a == b and len(a) > 0
+
+
+class TestSimhashPairs:
+    def test_exact_recall_vs_brute_force(self):
+        """4-block bucketing guarantees recall for hamming <= 3 — the
+        distributed result must EQUAL the brute-force hamming join."""
+        from geo_index_ray.pipelines import dedup as dd
+        from geo_index_ray.sources import tables
+
+        ds = tables.read_table(SF, "documents", columns=["doc_id", "text"])
+        got = _to_df(dd.simhash_pairs(ds, "doc_id", max_hamming=3))
+
+        ds2 = tables.read_table(SF, "documents", columns=["doc_id", "text"])
+        sh = _to_df(ds2.map_batches(dd.simhash_stage("doc_id"), batch_format="pyarrow"))
+        ids = sh["doc_id"].to_numpy()
+        h = sh["simhash"].to_numpy().view(np.uint64)
+        x = h[:, None] ^ h[None, :]
+        ham = np.unpackbits(
+            x.view(np.uint8).reshape(len(ids), len(ids), 8), axis=2
+        ).sum(axis=2)
+        ii, jj = np.nonzero(np.triu(ham <= 3, k=1))
+        want = set(zip(np.minimum(ids[ii], ids[jj]), np.maximum(ids[ii], ids[jj])))
+        assert set(zip(got["a_id"], got["b_id"])) == want
+        # hamming values correct
+        for _, r in got.iterrows():
+            i = np.nonzero(ids == r["a_id"])[0][0]
+            j = np.nonzero(ids == r["b_id"])[0][0]
+            assert ham[i, j] == r["hamming"]
