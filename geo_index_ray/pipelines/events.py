@@ -87,44 +87,61 @@ def sessionize(ds, gap_us: int, user_col: str = "user_id",
     (user_id, session_seq, n_events, start_us, end_us) — all int64.
     """
 
+    from ..stages.util import coalesce_for_shuffle, reducer_count
+
+    R = reducer_count()
+
     def project(batch: pa.Table) -> pa.Table:
+        uid = batch[user_col].to_numpy().astype(np.int64)
         return pa.table(
             {
+                "rkey": pa.array(
+                    (uid.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                     % np.uint64(R)).astype(np.int64)
+                ),
                 user_col: batch[user_col],
                 "tus": pa.array(_ts_us(batch[ts_col])),
                 id_col: batch[id_col],
             }
         )
 
-    from ..stages.util import coalesce_for_shuffle
-
     lean = coalesce_for_shuffle(
         ds.map_batches(project, batch_format="pyarrow"), 0.25
     )
 
-    def per_user(g: pa.Table) -> pa.Table:
+    # coarse-keyed reduce: ALL of a reducer's users sessionize in one
+    # vectorized pass (lexsort by (user, ts) + run-length session cuts) —
+    # no per-user Python, so millions of users cost what thousands do
+    def sessionize_reducer(g: pa.Table) -> pa.Table:
+        uid = g[user_col].to_numpy().astype(np.int64)
         tus = g["tus"].to_numpy()
         eid = g[id_col].to_numpy()
-        order = np.lexsort((eid, tus))
-        tus = tus[order]
-        is_new = np.empty(len(tus), dtype=np.int64)
-        is_new[0] = 1
-        is_new[1:] = (np.diff(tus) > gap_us).astype(np.int64)
-        seq = np.cumsum(is_new)
+        order = np.lexsort((eid, tus, uid))
+        u = uid[order]
+        t = tus[order]
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        gap = np.r_[True, (t[1:] - t[:-1]) > gap_us]
+        is_new = (new_user | gap).astype(np.int64)
         starts = np.nonzero(is_new)[0]
-        ends = np.r_[starts[1:], len(tus)] - 1
-        uid = g[user_col][0].as_py()
+        ends = np.r_[starts[1:], len(u)] - 1
+        # session_seq within user: global session ordinal minus the user's
+        # first session ordinal + 1
+        sess_ord = np.arange(len(starts), dtype=np.int64)
+        user_first = np.nonzero(new_user[starts])[0]
+        first_of_user = np.repeat(
+            sess_ord[user_first], np.diff(np.r_[user_first, len(starts)])
+        )
         return pa.table(
             {
-                user_col: pa.array(np.full(len(starts), uid, dtype=np.int64)),
-                "session_seq": pa.array(seq[starts]),
+                user_col: pa.array(u[starts]),
+                "session_seq": pa.array(sess_ord - first_of_user + 1),
                 "n_events": pa.array(ends - starts + 1),
-                "start_us": pa.array(tus[starts]),
-                "end_us": pa.array(tus[ends]),
+                "start_us": pa.array(t[starts]),
+                "end_us": pa.array(t[ends]),
             }
         )
 
-    return lean.groupby(user_col).map_groups(per_user, batch_format="pyarrow")
+    return lean.groupby("rkey").map_groups(sessionize_reducer, batch_format="pyarrow")
 
 
 def asof_join(left_ds, right_ds, key_col: str = "user_id", ts_col: str = "ts",
@@ -137,10 +154,19 @@ def asof_join(left_ds, right_ds, key_col: str = "user_id", ts_col: str = "ts",
     per-key sorted ``searchsorted`` — no sort-merge over the full stream.
     """
 
+    from ..stages.util import coalesce_for_shuffle, reducer_count
+
+    R = reducer_count()
+
     def tag(ds, side: int, id_col: str):
         def fn(batch: pa.Table) -> pa.Table:
+            key = batch[key_col].to_numpy().astype(np.int64)
             return pa.table(
                 {
+                    "rkey": pa.array(
+                        (key.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                         % np.uint64(R)).astype(np.int64)
+                    ),
                     key_col: batch[key_col],
                     "tus": pa.array(_ts_us(batch[ts_col])),
                     "rid": batch[id_col],
@@ -152,34 +178,42 @@ def asof_join(left_ds, right_ds, key_col: str = "user_id", ts_col: str = "ts",
 
         return ds.map_batches(fn, batch_format="pyarrow")
 
-    from ..stages.util import coalesce_for_shuffle
-
-    unioned = coalesce_for_shuffle(tag(left_ds, 0, left_id), 0.25).union(
-        coalesce_for_shuffle(tag(right_ds, 1, right_id), 0.25)
+    unioned = coalesce_for_shuffle(tag(left_ds, 1, left_id), 0.25).union(
+        coalesce_for_shuffle(tag(right_ds, 0, right_id), 0.25)
     )
 
     _empty = pa.table(
         {left_id: pa.array([], pa.int64()), right_id: pa.array([], pa.int64())}
     )
 
-    def per_key(g: pa.Table) -> pa.Table:
-        side = g["side"].to_numpy()
-        lmask = side == 0
-        if not lmask.any() or lmask.all():
-            return _empty
+    # coarse-keyed merge-based as-of: one lexsort by (key, ts, side) per
+    # reducer, rights before lefts at equal ts; each left row's match is
+    # the latest right position at or before it, tracked with one global
+    # cummax and invalidated across key boundaries — no per-key Python.
+    def asof_reducer(g: pa.Table) -> pa.Table:
+        key = g[key_col].to_numpy().astype(np.int64)
         tus = g["tus"].to_numpy()
         rid = g["rid"].to_numpy()
-        lt, lid_ = tus[lmask], rid[lmask]
-        rt, rid_ = tus[~lmask], rid[~lmask]
-        order = np.lexsort((rid_, rt))
-        rt, rid_ = rt[order], rid_[order]
-        pos = np.searchsorted(rt, lt, side="right") - 1
-        keep = pos >= 0
+        side = g["side"].to_numpy()  # right=0, left=1
+        lmask = side == 1
+        if not lmask.any() or lmask.all():
+            return _empty
+        # sort by (key, ts, side, rid): rights (side 0) before lefts at
+        # equal ts; rid last so tie order never depends on shuffle order
+        order = np.lexsort((rid, side, tus, key))
+        k_s = key[order]
+        s_s = side[order]
+        r_s = rid[order]
+        pos = np.arange(len(order))
+        last_right = np.maximum.accumulate(np.where(s_s == 0, pos, -1))
+        is_left = s_s == 1
+        lr = last_right[is_left]
+        valid = (lr >= 0) & (k_s[np.maximum(lr, 0)] == k_s[is_left])
         return pa.table(
             {
-                left_id: pa.array(lid_[keep].astype(np.int64)),
-                right_id: pa.array(rid_[pos[keep]].astype(np.int64)),
+                left_id: pa.array(r_s[is_left][valid].astype(np.int64)),
+                right_id: pa.array(r_s[np.maximum(lr, 0)][valid].astype(np.int64)),
             }
         )
 
-    return unioned.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+    return unioned.groupby("rkey").map_groups(asof_reducer, batch_format="pyarrow")

@@ -77,26 +77,47 @@ def spatial_partition(ds, id_col: str, partition_size: int,
         offsets[b["bucket"].to_numpy() + 1] = b["sum(n)"].to_numpy()
     offsets = np.cumsum(offsets)
 
-    # pass 2: exact rank within bucket + broadcast offset.  The offsets
-    # array (≤65k int64 = 512 KB) rides in the serialized closure — exported
-    # once per worker by Ray's function cache, not per group.
+    # pass 2: exact rank within bucket + broadcast offset.  Shuffle on a
+    # coarse reducer key over CONTIGUOUS bucket ranges (bucket >> shift) so
+    # each reducer ranks ALL its buckets in one vectorized pass — no
+    # per-bucket Python.  The offsets array (≤65k int64 = 512 KB) rides in
+    # the serialized closure — exported once per worker by Ray's function
+    # cache, not per group.
     psize = partition_size
+    from ..stages.util import reducer_count
 
-    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
-        order = np.lexsort((g[id_col].to_numpy(), g["hkey"].to_numpy()))
-        g = g.iloc[order]
-        base = offsets[int(g["bucket"].iloc[0])]
-        rank = base + np.arange(len(g), dtype=np.int64)
+    R = reducer_count()
+    shift = max(0, 16 - int(np.ceil(np.log2(max(2, R)))))
+
+    def add_rkey(batch: pa.Table) -> pa.Table:
+        b = batch["bucket"].to_numpy()
+        return batch.append_column("rkey", pa.array(b >> np.int64(shift)))
+
+    def rank_reducer(g: pd.DataFrame) -> pd.DataFrame:
+        bucket = g["bucket"].to_numpy()
+        hkey = g["hkey"].to_numpy()
+        ids = g[id_col].to_numpy()
+        order = np.lexsort((ids, hkey, bucket))
+        b_s = bucket[order]
+        new_b = np.r_[True, b_s[1:] != b_s[:-1]]
+        starts = np.nonzero(new_b)[0]
+        # position within bucket, vectorized run-length
+        within = np.arange(len(order)) - np.repeat(starts, np.diff(np.r_[starts, len(order)]))
+        rank = offsets[b_s] + within
         return pd.DataFrame(
             {
-                id_col: g[id_col].to_numpy(),
+                id_col: ids[order],
                 "partition_id": rank // psize,
-                x_col: g[x_col].to_numpy(),
-                y_col: g[y_col].to_numpy(),
+                x_col: g[x_col].to_numpy()[order],
+                y_col: g[y_col].to_numpy()[order],
             }
         )
 
-    return keyed_ds.groupby("bucket").map_groups(rank_group, batch_format="pandas")
+    return (
+        keyed_ds.map_batches(add_rkey, batch_format="pyarrow")
+        .groupby("rkey")
+        .map_groups(rank_reducer, batch_format="pandas")
+    )
 
 
 def partition_envelopes(part_ds, x_col: str = "x", y_col: str = "y"):
