@@ -271,7 +271,10 @@ def scaling_workload(num_cpus: int, num_rows: int):
     )
     # bands tuned to the 0.9 threshold by the LSH S-curve (8 bands × 8
     # rows: P[candidate | j=0.9] ≈ 0.99, random-pair collisions ~j^8)
-    nd = dedup_pipe.minhash_dedup(docs, "doc_id", threshold=0.9, bands=8)
+    # spread=False: generation already produced num_cpus*4 blocks, so the
+    # pre-signature repartition would only add a barrier + move the text
+    nd = dedup_pipe.minhash_dedup(docs, "doc_id", threshold=0.9, bands=8,
+                                  spread=False)
     rows_done += nd.count()
     return rows_done
 
@@ -282,7 +285,7 @@ def child_main():
     # large enough that per-stage compute dominates the fixed pipeline
     # overheads (shuffle barriers, driver consumption) — the scaling
     # criterion measures compute scaling, not constant-cost amortization
-    num_rows = int(os.environ.get("GRAFT_SCALE_ROWS", "1500000"))
+    num_rows = int(os.environ.get("GRAFT_SCALE_ROWS", "2500000"))
     _init_ray(num_cpus)
     import ray
 

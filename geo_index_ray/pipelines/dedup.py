@@ -134,6 +134,7 @@ def minhash_dedup(
     bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.5,
+    spread: bool = True,
 ):
     """Near-duplicate candidate pairs via MinHash-LSH.
 
@@ -157,9 +158,12 @@ def minhash_dedup(
     rows_per_band = num_perm // bands
     R = reducer_count()
     # signature computation is per-row CPU-bound: spread small inputs
-    # across the cluster before the map; materialized because both the
+    # across the cluster before the map (skip with ``spread=False`` when
+    # the input already has enough blocks — the repartition is a barrier
+    # and moves the full text payload); materialized because both the
     # bucket pass and the verification pass read it
-    sig_ds = ds.repartition(max(2, cluster_cpus())).map_batches(
+    src = ds.repartition(max(2, cluster_cpus())) if spread else ds
+    sig_ds = src.map_batches(
         minhash_signatures_stage(id_col, text_col, num_perm, shingle_k),
         batch_format="pyarrow",
     ).materialize()
@@ -340,18 +344,39 @@ def minhash_dedup(
     ca = np.concatenate(cand_a)
     cb = np.concatenate(cand_b)
     involved = np.unique(np.concatenate([ca, cb]))
+
+    # fetch the involved signatures with a PARALLEL filter over sig_ds —
+    # the full-corpus scan runs in the workers (broadcast id set, np.isin
+    # per batch); only the tiny filtered subset streams to the driver
+    import ray as _ray
+
+    involved_ref = _ray.put(involved)
+
+    class _FilterInvolved:
+        def __init__(self, ref):
+            self.ref = ref
+            self.inv = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self.inv is None:
+                self.inv = _ray.get(self.ref)
+            ids = batch[id_col].to_numpy().astype(np.int64)
+            return batch.filter(pa.array(np.isin(ids, self.inv)))
+
     sig_lookup = {}
-    for b in sig_ds.iter_batches(batch_format="pyarrow"):
+    for b in sig_ds.map_batches(
+        _FilterInvolved(involved_ref), batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
         ids = b[id_col].to_numpy().astype(np.int64)
-        hit = np.isin(ids, involved)
-        if hit.any():
-            sig = (
-                b["sig"].combine_chunks().flatten()
-                .to_numpy(zero_copy_only=False)
-                .reshape(len(ids), num_perm)
-            )
-            for i in np.nonzero(hit)[0]:
-                sig_lookup[int(ids[i])] = sig[i]
+        if not len(ids):
+            continue
+        sig = (
+            b["sig"].combine_chunks().flatten()
+            .to_numpy(zero_copy_only=False)
+            .reshape(len(ids), num_perm)
+        )
+        for i in range(len(ids)):
+            sig_lookup[int(ids[i])] = sig[i]
     CH = 200_000  # bound verification memory: chunked pair batches
     for i0 in range(0, len(ca), CH):
         cca = ca[i0 : i0 + CH]

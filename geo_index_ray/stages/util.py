@@ -34,13 +34,15 @@ def shuffle_block_count() -> int:
     """Number of blocks to feed an all-to-all (groupby/sort) operator.
 
     Ray's sort-based shuffle cost grows superlinearly with input block
-    count (maps × reduces object transfers), so coalesce narrow shuffle
-    payloads to ~CPUs/2 blocks first.  On a big multi-node cluster the same
-    rule holds per the aggregate CPU count — blocks should stay in the
-    tens-of-MB to ~128MB range, not the KB range that per-task overhead
-    turns into the bottleneck.
+    count (maps × reduces object transfers), but reduce-side parallelism
+    is bounded by the block count too — fewer blocks than cores leaves
+    cores idle through the widest stage.  One block per core balances
+    both.  On a big multi-node cluster the same rule holds per the
+    aggregate CPU count — blocks should stay in the tens-of-MB to ~128MB
+    range, not the KB range that per-task overhead turns into the
+    bottleneck.
     """
-    return max(2, cluster_cpus() // 2)
+    return max(2, cluster_cpus())
 
 
 def coalesce_for_shuffle(ds, frac: float = 1.0):
