@@ -340,6 +340,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["lang_hist"] = lang_hist
 
+    def top_docs_by_len(sf_dir):
+        """Global sort + limit: longest documents (ds.sort is the
+        distributed all-to-all sort path)."""
+        ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+        return (
+            ds.sort(["n_chars", "doc_id"], descending=[True, False])
+            .limit(20)
+            .select_columns(["doc_id", "n_chars"])
+        )
+
+    q["top_docs_by_len"] = top_docs_by_len
+
+    def sample_docs(sf_dir):
+        """Deterministic 10% sample by id hash — reproducible under any
+        partitioning / retry (never random_sample in a lineage engine)."""
+        ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+        def pick(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy().astype(np.int64).view(np.uint64)
+            with np.errstate(over="ignore"):
+                h = ids * np.uint64(0x9E3779B97F4A7C15)
+            keep = (h >> np.uint64(56)) < np.uint64(26)  # ≈ 10.2% of 256
+            return batch.filter(pa.array(keep))
+
+        return ds.map_batches(pick, batch_format="pyarrow")
+
+    q["sample_docs"] = sample_docs
+
     def lang_id(sf_dir):
         ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
         return ds.map_batches(text_pipe.lang_id_stage("doc_id"), batch_format="pyarrow")
@@ -873,6 +901,19 @@ def oracle_sql() -> dict[str, str]:
                length(text) - length(regexp_replace(text, '[.,!?]', '', 'g')) AS n_punct,
                length(text) / (length(text) - length(regexp_replace(text, '[.,!?]', '', 'g')) + 1.0) AS quality_score
         FROM documents
+    """
+
+    sql["top_docs_by_len"] = """
+        SELECT doc_id, n_chars FROM documents
+        ORDER BY n_chars DESC, doc_id LIMIT 20
+    """
+
+    # (doc_id * golden64) mod 2^64 computed in HUGEINT; keep iff the top
+    # 8 bits are < 26 (≈10.2%) — bit-identical to the numpy uint64 math
+    sql["sample_docs"] = """
+        SELECT doc_id, lang FROM documents
+        WHERE (CAST(doc_id AS HUGEINT) * 11400714819323198485)
+              % 18446744073709551616 < 1873497444986126336
     """
 
     sql["lang_hist"] = """
