@@ -398,3 +398,29 @@ class TestSimhashPairs:
             i = np.nonzero(ids == r["a_id"])[0][0]
             j = np.nonzero(ids == r["b_id"])[0][0]
             assert ham[i, j] == r["hamming"]
+
+
+class TestIndexByteStability:
+    def test_index_bytes_stable_under_rerun(self):
+        """Per-partition tree bytes are a pure function of the partition's
+        rows — identical across reruns (safe lineage-based retry)."""
+        from geo_index_ray.sources import tables
+        from geo_index_ray.stages.index_build import build_rtree_index_stage
+
+        def build_digests():
+            ds = tables.point_boxes_ds(SF, "customer", "c_custkey").repartition(4)
+            idx = ds.map_batches(
+                build_rtree_index_stage("c_custkey"), batch_format="pyarrow"
+            )
+            out = {}
+            for b in idx.iter_batches(batch_format="pyarrow"):
+                for i in range(b.num_rows):
+                    import hashlib
+
+                    tree = b["index"][i].as_py()
+                    out[hashlib.sha1(tree).hexdigest()] = b["num_items"][i].as_py()
+            return out
+
+        a = build_digests()
+        b = build_digests()
+        assert a == b and len(a) > 0
