@@ -44,6 +44,7 @@ BOX_SEARCH = (-30.0, -20.0, 40.0, 35.0)
 KNN_K = 5
 WITHIN_R = 25.0
 ANN_K = 5
+WITHIN_M = 1_500_000.0  # 1500 km haversine radius
 WINDOW_US = 3_600_000_000  # 1 h tumbling windows
 GAP_US = 1_800_000_000  # 30 min session gap
 COS_THRESHOLD = 0.3
@@ -286,6 +287,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     q["within_radius"] = within_radius
+
+    def within_radius_m(sf_dir):
+        """Great-circle radius join in meters (haversine halo + refine)."""
+        cust = tables.point_boxes_ds(sf_dir, "customer", "c_custkey")
+        supp = tables.point_boxes_ds(sf_dir, "supplier", "s_suppkey")
+        return sj.shuffle_spatial_join(
+            cust, supp, res=RES_STATS, how="dwithin_haversine", radius=WITHIN_M,
+            left_id="c_custkey", right_id="s_suppkey",
+        )
+
+    q["within_radius_m"] = within_radius_m
 
     def knn_query(sf_dir):
         nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
@@ -747,6 +759,20 @@ def oracle_sql() -> dict[str, str]:
         FROM cust c CROSS JOIN supp s
         WHERE (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)
               <= {WITHIN_R} * {WITHIN_R}
+    """
+
+    hav_cs = (
+        "2.0 * 6378137.0 * ASIN(SQRT(LEAST(1.0, "
+        "POWER(SIN(RADIANS(s.y - c.y) / 2), 2) "
+        "+ COS(RADIANS(c.y)) * COS(RADIANS(s.y)) "
+        "* POWER(SIN(RADIANS(s.x - c.x) / 2), 2))))"
+    )
+    sql["within_radius_m"] = f"""
+        WITH cust AS (SELECT c_custkey, {pt('c_custkey')} FROM customer),
+             supp AS (SELECT s_suppkey, {pt('s_suppkey')} FROM supplier)
+        SELECT c.c_custkey, s.s_suppkey
+        FROM cust c CROSS JOIN supp s
+        WHERE {hav_cs} <= {WITHIN_M}
     """
 
     sql["knn_nation_customer"] = f"""

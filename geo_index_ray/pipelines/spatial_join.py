@@ -37,11 +37,18 @@ _EMPTY_PAIRS = pa.table(
 )
 
 
-def _tag_cells(ds, side: int, id_col: str, res: int, replicate: bool, pad: float = 0.0):
+_M_PER_DEG = np.pi * 6378137.0 / 180.0  # meters per degree (WGS84 equatorial)
+
+
+def _tag_cells(ds, side: int, id_col: str, res: int, replicate: bool,
+               pad: float = 0.0, pad_unit: str = "deg"):
     """Project to the lean join schema and assign shuffle cells.
 
     Only (cell, side, rid, 4 box coords) ever enters the shuffle — payload
-    columns are re-attached downstream by id if needed.
+    columns are re-attached downstream by id if needed.  ``pad_unit="m"``
+    interprets ``pad`` as great-circle meters: the latitude pad is
+    constant, the longitude pad widens per row by 1/cos(|lat|+lat_pad)
+    (a safe overestimate of the worst case within the halo).
     """
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -51,7 +58,43 @@ def _tag_cells(ds, side: int, id_col: str, res: int, replicate: bool, pad: float
         mxx = batch["max_x"].to_numpy()
         mxy = batch["max_y"].to_numpy()
         if replicate:
-            rows, cc = cellmod.polyfill_boxes(mnx - pad, mny - pad, mxx + pad, mxy + pad, res)
+            if pad_unit == "m" and pad > 0.0:
+                pad_y = pad / _M_PER_DEG
+                wl = np.clip(np.maximum(np.abs(mny), np.abs(mxy)) + pad_y, 0.0, 89.0)
+                pad_x = pad_y / np.cos(np.radians(wl))
+            else:
+                pad_x = pad
+                pad_y = pad
+            rows, cc = cellmod.polyfill_boxes(
+                mnx - pad_x, mny - pad_y, mxx + pad_x, mxy + pad_y, res
+            )
+            if pad_unit == "m" and pad > 0.0:
+                # great-circle distance wraps the antimeridian; replicate
+                # halo-crossing boxes onto the far side (original coords
+                # are carried — haversine refinement is lon-periodic)
+                extra_rows, extra_cc = [rows], [cc]
+                for sel, shift in (
+                    (mnx - pad_x < -180.0, 360.0),
+                    (mxx + pad_x > 180.0, -360.0),
+                ):
+                    if sel.any():
+                        w = np.nonzero(sel)[0]
+                        r2, c2 = cellmod.polyfill_boxes(
+                            mnx[w] - pad_x[w] + shift,
+                            mny[w] - pad_y,
+                            mxx[w] + pad_x[w] + shift,
+                            mxy[w] + pad_y,
+                            res,
+                        )
+                        extra_rows.append(w[r2])
+                        extra_cc.append(c2)
+                rows = np.concatenate(extra_rows)
+                cc = np.concatenate(extra_cc)
+                # very wide pads (high latitudes) can polyfill the same
+                # cell from both the base box and a wrapped replica —
+                # dedup (row, cell) so no right row enters a cell twice
+                both = np.unique(np.stack([rows, cc.astype(np.int64)]), axis=1)
+                rows, cc = both[0], both[1].astype(cc.dtype)
         else:
             cc = cellmod.lonlat_to_cell(mnx, mny, res)
             rows = np.arange(len(rid), dtype=np.int64)
@@ -79,6 +122,14 @@ def _refine_pairs(how, li, ri, lx0, ly0, lx1, ly1, rx0, ry0, rx1, ry1, radius):
         dx = lx0[li] - (rx0[ri] + rx1[ri]) / 2.0
         dy = ly0[li] - (ry0[ri] + ry1[ri]) / 2.0
         keep = dx * dx + dy * dy <= radius * radius
+        return li[keep], ri[keep]
+    if how == "dwithin_haversine":
+        from ..kernels.geom import haversine
+
+        d = haversine(
+            lx0[li], ly0[li], (rx0[ri] + rx1[ri]) / 2.0, (ry0[ri] + ry1[ri]) / 2.0
+        )
+        keep = d <= radius
         return li[keep], ri[keep]
     raise ValueError(f"unknown predicate {how!r}")
 
@@ -109,7 +160,7 @@ def shuffle_spatial_join(
     before the shuffle.
     """
     if left_are_points is None:
-        left_are_points = how in ("pip", "dwithin")
+        left_are_points = how in ("pip", "dwithin", "dwithin_haversine")
     eff_res = res
     if skew_split_threshold is not None:
         eff_res = _pick_split_res(left_ds, res, skew_split_threshold)
@@ -122,7 +173,11 @@ def shuffle_spatial_join(
         _tag_cells(left_ds, 0, left_id, eff_res, replicate=not left_are_points), 0.5
     )
     tagged_right = coalesce_for_shuffle(
-        _tag_cells(right_ds, 1, right_id, eff_res, replicate=True, pad=radius), 0.5
+        _tag_cells(
+            right_ds, 1, right_id, eff_res, replicate=True, pad=radius,
+            pad_unit="m" if how == "dwithin_haversine" else "deg",
+        ),
+        0.5,
     )
     unioned = tagged_left.union(tagged_right)
 
@@ -147,15 +202,36 @@ def shuffle_spatial_join(
         lrid = rid_all[lmask]
         rrid = rid_all[rmask]
 
-        pad = radius_ if how_ == "dwithin" else 0.0
-        tree = rtree.build_rtree(rx0 - pad, ry0 - pad, rx1 + pad, ry1 + pad)
+        if how_ == "dwithin":
+            pad_x = np.full(len(rx0), radius_)
+            pad_y = pad_x
+        elif how_ == "dwithin_haversine":
+            py = radius_ / _M_PER_DEG
+            wl = np.clip(np.maximum(np.abs(ry0), np.abs(ry1)) + py, 0.0, 89.0)
+            pad_x = py / np.cos(np.radians(wl))
+            pad_y = np.full(len(rx0), py)
+        else:
+            pad_x = np.zeros(len(rx0))
+            pad_y = pad_x
+        tree = rtree.build_rtree(rx0 - pad_x, ry0 - pad_y, rx1 + pad_x, ry1 + pad_y)
         li, ri = rtree.search_batch(tree, lx0, ly0, lx1, ly1)
         li = li.astype(np.int64)
         ri = ri.astype(np.int64)
+        if how_ == "dwithin_haversine":
+            # lon-periodic probe: a left point near one antimeridian side
+            # must also hit right boxes padded around the other side
+            cand = [np.stack([li, ri])]
+            for shift in (360.0, -360.0):
+                l2, r2 = rtree.search_batch(tree, lx0 + shift, ly0, lx1 + shift, ly1)
+                if len(l2):
+                    cand.append(np.stack([l2.astype(np.int64), r2.astype(np.int64)]))
+            both = np.concatenate(cand, axis=1)
+            both = np.unique(both, axis=1)
+            li, ri = both[0], both[1]
 
         # PBSM reference-point dedup: the intersection's min corner decides
         # the owning cell, so replicated pairs are emitted exactly once.
-        if how_ == "dwithin":
+        if how_ in ("dwithin", "dwithin_haversine"):
             # left point is always inside the padded right box → the point
             # itself is the reference point
             ref_x, ref_y = lx0[li], ly0[li]
