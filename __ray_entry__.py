@@ -466,6 +466,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["asof_click_purchase"] = asof_click_purchase
 
+    def value_median(sf_dir):
+        """Exact per-key median (full-group quantile — the honest exact
+        path; approximate sketches would go per-batch)."""
+        ds = tables.read_table(sf_dir, "events", columns=["event_type", "value"])
+
+        def med(g):
+            import pandas as pd
+
+            return pd.DataFrame(
+                {
+                    "event_type": [g["event_type"].iloc[0]],
+                    "median_value": [float(np.median(g["value"].to_numpy()))],
+                    "n_events": [np.int64(len(g))],
+                }
+            )
+
+        return ds.groupby("event_type").map_groups(med, batch_format="pandas")
+
+    q["value_median"] = value_median
+
+    def lang_source_hist(sf_dir):
+        """Two-key grouped aggregate with per-batch combiner."""
+        ds = tables.read_table(sf_dir, "documents", columns=["lang", "source"])
+
+        def partial(batch: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            df = pd.DataFrame(
+                {"lang": batch["lang"].to_pandas(), "source": batch["source"].to_pandas()}
+            )
+            g = df.groupby(["lang", "source"], sort=False).size().reset_index(name="n")
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        partials = ds.map_batches(partial, batch_format="pyarrow")
+        hist = partials.groupby(["lang", "source"]).sum("n")
+        return hist.map_batches(
+            lambda b: b.rename_columns(["lang", "source", "n_docs"]),
+            batch_format="pyarrow",
+        )
+
+    q["lang_source_hist"] = lang_source_hist
+
+    def roundtrip_parquet(sf_dir):
+        """Sink coverage: resumable partitioned parquet write, read back."""
+        import tempfile
+
+        from geo_index_ray.state import checkpoint
+
+        ds = tables.points_ds(sf_dir, "supplier", "s_suppkey")
+        out = tempfile.mkdtemp(prefix="roundtrip_", dir="/tmp")
+        checkpoint.write_partitioned(ds, out, "roundtrip", "s_suppkey")
+        return checkpoint.read_partitioned(out).select_columns(["s_suppkey", "x", "y"])
+
+    q["roundtrip_parquet"] = roundtrip_parquet
+
     # --- more index probes / joins ---
     def kd_range(sf_dir):
         ds = tables.points_ds(sf_dir, "supplier", "s_suppkey")
@@ -813,6 +868,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, session_seq, COUNT(*) AS n_events,
                MIN(tus) AS start_us, MAX(tus) AS end_us
         FROM s GROUP BY 1, 2
+    """
+
+    sql["value_median"] = """
+        SELECT event_type, quantile_cont(value, 0.5) AS median_value,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1
+    """
+
+    sql["lang_source_hist"] = """
+        SELECT lang, source, COUNT(*) AS n_docs FROM documents GROUP BY 1, 2
+    """
+
+    sql["roundtrip_parquet"] = f"""
+        SELECT s_suppkey, {pt('s_suppkey')} FROM supplier
     """
 
     sql["asof_click_purchase"] = """
