@@ -435,6 +435,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["window_agg"] = window_agg
 
+    def hopping_agg(sf_dir):
+        ds = tables.read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+        return events_pipe.hopping_window(ds, WINDOW_US, WINDOW_US // 2)
+
+    q["hopping_agg"] = hopping_agg
+
+    def distinct_users(sf_dir):
+        ds = tables.read_table(sf_dir, "events", columns=["event_type", "user_id"])
+        return events_pipe.distinct_count(ds, "event_type", "user_id")
+
+    q["distinct_users"] = distinct_users
+
     def sessionize(sf_dir):
         ds = tables.read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
         return events_pipe.sessionize(ds, GAP_US)
@@ -621,6 +633,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return part_pipe.partition_envelopes(parts)
 
     q["partition_boxes"] = partition_boxes
+
+    def pruned_search(sf_dir):
+        """Two-level global index: per-partition packed trees, probes
+        skip partitions by envelope before touching any tree."""
+        ds = tables.points_ds(sf_dir, "customer", "c_custkey")
+        idx = part_pipe.build_partitioned_index(ds, "c_custkey", 256)
+        mnx, mny, mxx, mxy = BOX_SEARCH
+        return part_pipe.pruned_box_search(idx, mnx, mny, mxx, mxy, id_col="c_custkey")
+
+    q["pruned_box_search"] = pruned_search
 
     # --- exact similarity ---
     def cosine_exact(sf_dir):
@@ -849,6 +871,30 @@ def oracle_sql() -> dict[str, str]:
         SELECT epoch_us(ts) // {WINDOW_US} AS window_id, event_type,
                COUNT(*) AS n_events, MIN(value) AS min_value, MAX(value) AS max_value
         FROM events GROUP BY 1, 2
+    """
+
+    hop = WINDOW_US // 2
+    sql["hopping_agg"] = f"""
+        WITH e AS (SELECT epoch_us(ts) AS tus, event_type, value FROM events),
+        w AS (
+          SELECT tus // {hop} AS window_id, event_type, value FROM e
+          UNION ALL
+          SELECT tus // {hop} - 1 AS window_id, event_type, value FROM e
+        )
+        SELECT window_id, event_type, COUNT(*) AS n_events,
+               MIN(value) AS min_value, MAX(value) AS max_value
+        FROM w GROUP BY 1, 2
+    """
+
+    sql["distinct_users"] = """
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+        FROM events GROUP BY 1
+    """
+
+    sql["pruned_box_search"] = f"""
+        SELECT c_custkey
+        FROM (SELECT c_custkey, {pt('c_custkey')} FROM customer)
+        WHERE x >= {mnx} AND x <= {mxx} AND y >= {mny} AND y <= {mxy}
     """
 
     sql["sessionize"] = f"""

@@ -217,3 +217,101 @@ def asof_join(left_ds, right_ds, key_col: str = "user_id", ts_col: str = "ts",
         )
 
     return unioned.groupby("rkey").map_groups(asof_reducer, batch_format="pyarrow")
+
+
+def hopping_window(ds, size_us: int, hop_us: int, key_col: str = "event_type",
+                   ts_col: str = "ts", value_col: str = "value"):
+    """Hopping (overlapping) windows: every event lands in size/hop
+    windows; windows emit (window_id, key, n_events, min_value, max_value)
+    where window w covers [w*hop, w*hop + size).
+
+    The per-batch combiner emits one partial row per (window, key) — the
+    fan-out multiplies the PARTIALS, never the events, and the shuffle
+    still only moves aggregated rows.
+    """
+    assert size_us % hop_us == 0, "size must be a multiple of hop"
+    fanout = size_us // hop_us
+
+    from ..stages.util import coalesce_for_shuffle, reducer_count
+
+    R = reducer_count()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tus = _ts_us(batch[ts_col])
+        key = batch[key_col].to_pandas()
+        val = batch[value_col].to_numpy()
+        last = tus // hop_us  # last window whose start is <= t
+        frames = []
+        for j in range(fanout):
+            wid = last - j  # window [wid*hop, wid*hop+size) contains t
+            ok = tus - wid * hop_us < size_us
+            frames.append(
+                pd.DataFrame({"window_id": wid[ok], key_col: key[ok], "v": val[ok]})
+            )
+        df = pd.concat(frames, ignore_index=True)
+        g = df.groupby(["window_id", key_col], sort=False).agg(
+            n_events=("v", "size"), min_value=("v", "min"), max_value=("v", "max")
+        ).reset_index()
+        g.insert(0, "rkey", g["window_id"].to_numpy() % R)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = coalesce_for_shuffle(
+        ds.map_batches(partial, batch_format="pyarrow"), 0.25
+    )
+
+    def merge_many(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["window_id", key_col], sort=False).agg(
+            n_events=("n_events", "sum"),
+            min_value=("min_value", "min"),
+            max_value=("max_value", "max"),
+        ).reset_index()
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    return partials.groupby("rkey").map_groups(merge_many, batch_format="pandas")
+
+
+def distinct_count(ds, key_col: str, distinct_col: str, ts_col: str | None = None):
+    """Exact per-key distinct count: per-batch (key, value) dedup partials,
+    one shuffle on the pair, then a run-length count — the two-level
+    exact-distinct pattern (the approximate path would swap the pair
+    shuffle for per-batch HLL sketches merged in one tiny groupby)."""
+    from ..stages.util import coalesce_for_shuffle, reducer_count
+
+    R = reducer_count()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                key_col: batch[key_col].to_pandas(),
+                distinct_col: batch[distinct_col].to_pandas(),
+            }
+        ).drop_duplicates()
+        v = df[distinct_col].to_numpy().astype(np.int64)
+        df.insert(0, "rkey", (v.view(np.uint64) % np.uint64(R)).astype(np.int64))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = coalesce_for_shuffle(
+        ds.map_batches(partial, batch_format="pyarrow"), 0.25
+    )
+
+    # dedup (key, value) within each reducer (a value hashes to one
+    # reducer, so global dedup holds), then count per key
+    def count_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates([key_col, distinct_col])
+        out = d.groupby(key_col, sort=False).size().reset_index(name="partial_n")
+        return out
+
+    per_reducer = partials.groupby("rkey").map_groups(
+        count_distinct, batch_format="pandas"
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                key_col: [g[key_col].iloc[0]],
+                "n_distinct": [np.int64(g["partial_n"].sum())],
+            }
+        )
+
+    return per_reducer.groupby(key_col).map_groups(merge, batch_format="pandas")

@@ -157,3 +157,73 @@ def partition_envelopes(part_ds, x_col: str = "x", y_col: str = "y"):
         return out
 
     return partials.groupby("rkey").map_groups(merge_many, batch_format="pandas")
+
+
+def build_partitioned_index(ds, id_col: str, partition_size: int,
+                            x_col: str = "x", y_col: str = "y"):
+    """Two-level global index: Hilbert-partition the rows, then build one
+    packed R-tree per partition (the reference's partitions() + per-leaf
+    build, python/src/rtree/partitions.rs:17-132, as a real pipeline).
+
+    Returns a Dataset with one row per partition:
+    (partition_id, num_items, index:binary, ids:binary,
+     min_x, min_y, max_x, max_y) — the envelope columns ARE the top level
+    of the index: probes broadcast-filter on them before touching a tree.
+    """
+    import hashlib  # noqa: F401  (parity with stages.index_build imports)
+
+    parts = spatial_partition(ds, id_col, partition_size, x_col, y_col)
+
+    def build_group(g: pd.DataFrame) -> pd.DataFrame:
+        from ..kernels import rtree
+
+        ids = g[id_col].to_numpy().astype(np.int64)
+        x = g[x_col].to_numpy()
+        y = g[y_col].to_numpy()
+        order = np.argsort(ids, kind="stable")  # canonical insertion order
+        ids, x, y = ids[order], x[order], y[order]
+        buf = rtree.build_rtree(x, y, x, y)
+        return pd.DataFrame(
+            {
+                "partition_id": [np.int64(g["partition_id"].iloc[0])],
+                "num_items": [np.int64(len(ids))],
+                "index": [buf.tobytes()],
+                "ids": [ids.tobytes()],
+                "min_x": [x.min() if len(x) else 0.0],
+                "min_y": [y.min() if len(y) else 0.0],
+                "max_x": [x.max() if len(x) else 0.0],
+                "max_y": [y.max() if len(y) else 0.0],
+            }
+        )
+
+    return parts.groupby("partition_id").map_groups(build_group, batch_format="pandas")
+
+
+def pruned_box_search(index_ds, min_x: float, min_y: float,
+                      max_x: float, max_y: float, id_col: str = "id"):
+    """Probe a partitioned index: partitions whose ENVELOPE misses the
+    query box are skipped without deserializing their tree (the
+    partition-envelope table is the global index's top level).  Returns a
+    Dataset of matching item ids."""
+
+    def probe(batch: pa.Table) -> pa.Table:
+        from ..kernels import rtree
+
+        out = []
+        env_hit = (
+            (batch["min_x"].to_numpy() <= max_x)
+            & (batch["max_x"].to_numpy() >= min_x)
+            & (batch["min_y"].to_numpy() <= max_y)
+            & (batch["max_y"].to_numpy() >= min_y)
+        )
+        for i in np.nonzero(env_hit)[0]:
+            buf = np.frombuffer(batch["index"][i].as_py(), dtype=np.uint8)
+            ids = np.frombuffer(batch["ids"][i].as_py(), dtype=np.int64)
+            hits = rtree.search(buf, min_x, min_y, max_x, max_y).astype(np.int64)
+            if len(hits):
+                out.append(ids[hits])
+        if not out:
+            return pa.table({id_col: pa.array([], pa.int64())})
+        return pa.table({id_col: pa.array(np.concatenate(out))})
+
+    return index_ds.map_batches(probe, batch_format="pyarrow")
