@@ -63,16 +63,16 @@ class _BruteCosine:
         m = m / np.linalg.norm(m, axis=1, keepdims=True)
         sims = m @ self.qm.T  # (batch, nq)
         k = min(self.k, len(ids))
-        top = np.argpartition(-sims, k - 1, axis=0)[:k]  # (k, nq)
-        nq = sims.shape[1]
-        out_q = np.repeat(self.qids, k)
-        out_n = ids[top.T.ravel()]
-        out_s = sims[top.T.ravel(), np.repeat(np.arange(nq), k)]
+        # keep every row tied with the k-th similarity so a tied smaller-id
+        # neighbor is never dropped before the global merge (matches the
+        # oracle's ORDER BY sim DESC, neighbor_id)
+        kth = -np.partition(-sims, k - 1, axis=0)[k - 1]  # (nq,)
+        ti, qi = np.nonzero(sims >= kth[None, :])
         return pa.table(
             {
-                "query_id": pa.array(out_q),
-                "neighbor_id": pa.array(out_n),
-                "sim": pa.array(out_s),
+                "query_id": pa.array(self.qids[qi]),
+                "neighbor_id": pa.array(ids[ti]),
+                "sim": pa.array(sims[ti, qi]),
             }
         )
 
@@ -385,8 +385,11 @@ class _IvfProbe:
             sub = m[cand]
             sims = sub @ self.qm[qi]
             kk = min(self.k, len(sims))
-            top = np.argpartition(-sims, kk - 1)[:kk]
-            out_q.append(np.full(kk, self.qids[qi], dtype=np.int64))
+            # include k-th-similarity ties (deterministic global tie-break
+            # by neighbor_id happens in the merge)
+            kth = -np.partition(-sims, kk - 1)[kk - 1]
+            top = np.nonzero(sims >= kth)[0]
+            out_q.append(np.full(len(top), self.qids[qi], dtype=np.int64))
             out_n.append(ids[cand][top])
             out_s.append(sims[top])
         if not out_q:

@@ -110,19 +110,18 @@ class _LocalKnn:
             )
         d = self._dist_matrix(x, y)
         kk = min(self.k, len(ids))
-        if kk < len(ids):
-            top = np.argpartition(d, kk - 1, axis=0)[:kk]  # (k, n_q)
-        else:
-            top = np.broadcast_to(
-                np.arange(len(ids))[:, None], (len(ids), len(self.qx))
-            )
-        nq = len(self.qx)
-        qcol = np.broadcast_to(np.arange(nq)[None, :], top.shape)
+        # keep every row tied with the k-th distance: argpartition alone
+        # keeps an arbitrary subset of ties, which can drop a smaller-id
+        # target before the global merge and diverge from the oracle's
+        # ORDER BY dist, target_id tie-break.  The (dist <= kth) mask emits
+        # a few extra rows only on exact ties; the merge re-sorts and cuts.
+        kth = np.partition(d, kk - 1, axis=0)[kk - 1]  # (n_q,)
+        ti, qi = np.nonzero(d <= kth[None, :])
         return pa.table(
             {
-                "query_id": pa.array(np.repeat(self.qids[None, :], top.shape[0], 0).ravel()),
-                "target_id": pa.array(ids[top].ravel()),
-                "dist": pa.array(d[top, qcol].ravel()),
+                "query_id": pa.array(self.qids[qi]),
+                "target_id": pa.array(ids[ti]),
+                "dist": pa.array(d[ti, qi]),
             }
         )
 
@@ -221,14 +220,14 @@ class _LocalBoxKnn:
         dy = np.maximum(mny - qy, 0.0) + np.maximum(qy - mxy, 0.0)
         d = dx * dx + dy * dy  # (n_boxes, n_q)
         kk = min(self.k, len(ids))
-        top = np.argpartition(d, kk - 1, axis=0)[:kk]
-        nq = len(self.qids)
-        qcol = np.broadcast_to(np.arange(nq)[None, :], top.shape)
+        # include all k-th-distance ties (see _LocalKnn.__call__)
+        kth = np.partition(d, kk - 1, axis=0)[kk - 1]
+        ti, qi = np.nonzero(d <= kth[None, :])
         return pa.table(
             {
-                "query_id": pa.array(np.repeat(self.qids[None, :], top.shape[0], 0).ravel()),
-                "target_id": pa.array(ids[top].ravel()),
-                "dist": pa.array(d[top, qcol].ravel()),
+                "query_id": pa.array(self.qids[qi]),
+                "target_id": pa.array(ids[ti]),
+                "dist": pa.array(d[ti, qi]),
             }
         )
 

@@ -60,8 +60,14 @@ def _tag_cells(ds, side: int, id_col: str, res: int, replicate: bool,
         if replicate:
             if pad_unit == "m" and pad > 0.0:
                 pad_y = pad / _M_PER_DEG
-                wl = np.clip(np.maximum(np.abs(mny), np.abs(mxy)) + pad_y, 0.0, 89.0)
+                wl_raw = np.maximum(np.abs(mny), np.abs(mxy)) + pad_y
+                wl = np.clip(wl_raw, 0.0, 89.0)
                 pad_x = pad_y / np.cos(np.radians(wl))
+                # a circle whose halo reaches the pole (|lat|+pad ≥ 90-ε)
+                # spans ALL longitudes of its latitude band — no finite
+                # longitude pad is safe there, so replicate those rows to
+                # the full band instead of clamping at 89°
+                pad_x = np.where(wl_raw >= 89.0, 360.0, pad_x)
             else:
                 pad_x = pad
                 pad_y = pad

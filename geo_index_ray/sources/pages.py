@@ -120,6 +120,14 @@ def _texts_for_seeds(body_seed: np.ndarray) -> pa.Array:
     lens = nw * _WORD_W
     mask = np.arange(max_w * _WORD_W)[None, :] < lens[:, None]
     data = flat[mask]  # concatenated rows, vectorized
+    total = int(lens.sum())
+    if total > np.iinfo(np.int32).max:
+        # int32 StringArray offsets would wrap silently — refuse and tell
+        # the caller to generate smaller shards (or switch to large_string)
+        raise ValueError(
+            f"generation shard holds {total} text bytes > int32 offset max; "
+            "reduce rows-per-shard below ~4.2M"
+        )
     offsets = np.zeros(n + 1, dtype=np.int32)
     np.cumsum(lens, out=offsets[1:])
     return pa.StringArray.from_buffers(

@@ -33,8 +33,9 @@ class Manifest:
         self.out_dir = out_dir
         self.path = os.path.join(out_dir, MANIFEST_NAME)
 
-    def load_done(self) -> set[str]:
-        done = set()
+    def load_done(self) -> dict[str, str]:
+        """partition name → last recorded input_fingerprint."""
+        done: dict[str, str] = {}
         if os.path.exists(self.path):
             with open(self.path) as f:
                 for line in f:
@@ -45,7 +46,7 @@ class Manifest:
                         rec = json.loads(line)
                     except json.JSONDecodeError:
                         continue  # torn write from a killed run — redo it
-                    done.add(rec["partition"])
+                    done[rec["partition"]] = rec.get("input_fingerprint", "")
         return done
 
     def append(self, record: dict) -> None:
@@ -96,7 +97,18 @@ def write_partitioned(ds, out_dir: str, stage: str, key_col: str,
         name = f"{pid:05d}"
         g = g.drop_columns(["__pid"])
         out_path = os.path.join(out_dir, f"part-{name}.parquet")
-        if name in done and os.path.exists(out_path):
+        # canonical row order inside a partition → byte-stable output; the
+        # fingerprint covers the FULL payload (IPC bytes of the ordered
+        # table), so a changed upstream input into the same out_dir is
+        # detected and the stale partition is rewritten, not silently kept
+        keys = g[key_col].to_numpy()
+        order = np.argsort(keys, kind="stable").astype(np.int64)
+        g = g.take(order)
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, g.schema) as w:
+            w.write_table(g)
+        fp = hashlib.sha1(sink.getvalue()).hexdigest()[:16]
+        if done.get(name) == fp and os.path.exists(out_path):
             return pa.table(
                 {
                     "partition": pa.array([name]),
@@ -104,11 +116,6 @@ def write_partitioned(ds, out_dir: str, stage: str, key_col: str,
                     "skipped": pa.array([True]),
                 }
             )
-        # canonical row order inside a partition → byte-stable output
-        keys = g[key_col].to_numpy()
-        order = np.argsort(keys, kind="stable").astype(np.int64)
-        g = g.take(order)
-        fp = hashlib.sha1(np.ascontiguousarray(keys[order]).tobytes()).hexdigest()[:16]
         tmp = out_path + f".tmp.{os.getpid()}"
         pq.write_table(g, tmp)
         os.replace(tmp, out_path)  # atomic publish
