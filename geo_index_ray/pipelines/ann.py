@@ -124,6 +124,7 @@ def lsh_cosine_pairs(
     planes_per_table: int = 4,
     threshold: float = 0.9,
     seed: int = 13,
+    planes: np.ndarray | None = None,
 ):
     """Embedding near-dup pairs: banded multi-table hyperplane LSH with
     exact-cosine verification.
@@ -133,10 +134,23 @@ def lsh_cosine_pairs(
     agree — the sign-bit analog of MinHash banding.  At the defaults,
     recall for cos = 0.4 is ≈ 0.93 and ≈ 1.0 above 0.7, while a random
     orthogonal pair collides in a table with probability 2^-4.
-    """
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, num_tables * planes_per_table))
 
+    Scale shape: the bucket shuffle carries only 24 B/row
+    ``(rkey, bucket, id)`` — embeddings NEVER ride the all-to-all.  Exact
+    cosine verification happens afterwards, per candidate pair, via an
+    id-hash payload join (stages.pairjoin) that ships each involved
+    embedding once.  ``planes`` may be given explicitly (e.g. derived from
+    fixed data rows so an external oracle can reproduce the buckets);
+    default is seeded Gaussian.
+    """
+    if planes is None:
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((dim, num_tables * planes_per_table))
+    else:
+        planes = np.ascontiguousarray(planes, dtype=np.float64)
+        num_tables = planes.shape[1] // planes_per_table
+
+    from ..stages.pairjoin import verify_pairs
     from ..stages.util import reducer_count
 
     R = reducer_count()
@@ -145,76 +159,71 @@ def lsh_cosine_pairs(
         ids = batch[id_col].to_numpy().astype(np.int64)
         m = _emb_matrix(batch, emb_col)
         bits = (m @ planes > 0).astype(np.uint64)
-        out_bucket, out_id, out_emb = [], [], []
+        out_bucket, out_id = [], []
         for t in range(num_tables):
             seg = bits[:, t * planes_per_table : (t + 1) * planes_per_table]
-            bucket = np.full(len(ids), np.uint64(t * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+            bucket = np.full(
+                len(ids),
+                np.uint64(t * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF),
+                dtype=np.uint64,
+            )
             with np.errstate(over="ignore"):
                 for p in range(planes_per_table):
                     bucket = (bucket << np.uint64(1)) | seg[:, p]
                 bucket = bucket * np.uint64(0xD1B54A32D192ED03) + np.uint64(t)
             out_bucket.append(bucket)
             out_id.append(ids)
-            out_emb.append(m)
         bucket = np.concatenate(out_bucket)
-        emb = np.concatenate(out_emb)
         return pa.table(
             {
                 "rkey": pa.array((bucket % np.uint64(R)).astype(np.int64)),
                 "bucket": pa.array(bucket.view(np.int64)),
                 id_col: pa.array(np.concatenate(out_id)),
-                "emb": pa.FixedSizeListArray.from_arrays(pa.array(emb.ravel()), emb.shape[1]),
             }
         )
 
     buckets = ds.map_batches(bucketize, batch_format="pyarrow")
 
-    _empty = pa.table(
-        {
-            "a_id": pa.array([], pa.int64()),
-            "b_id": pa.array([], pa.int64()),
-            "cos_sim": pa.array([], pa.float64()),
-        }
+    _empty_ab = pa.table(
+        {"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64())}
     )
 
-    def verify_reducer(g: pa.Table) -> pa.Table:
-        """Exact-cosine verification for every non-singleton bucket of the
-        reducer — one vectorized call per reducer, not per bucket."""
+    def pairs_in_reducer(g: pa.Table) -> pa.Table:
+        """All in-bucket candidate pairs of this reducer, via the
+        vectorized k-offset sweep — ids only, no embeddings here."""
         if g.num_rows < 2:
-            return _empty
+            return _empty_ab
         ids = g[id_col].to_numpy().astype(np.int64)
         bucket = g["bucket"].to_numpy()
-        flat = g["emb"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
-        m = flat.reshape(len(ids), -1)
-        m = m / np.linalg.norm(m, axis=1, keepdims=True)
         order = np.lexsort((ids, bucket))
         b_s = bucket[order]
         starts = np.nonzero(np.r_[True, b_s[1:] != b_s[:-1]])[0]
-        ends = np.r_[starts[1:], len(order)]
-        out_a, out_b, out_s = [], [], []
-        for s, e in zip(starts, ends):
-            if e - s < 2:
-                continue
-            idx = order[s:e]
-            mm = m[idx]
-            sims = mm @ mm.T
-            ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
-            if len(ii):
-                lids = ids[idx]
-                out_a.append(np.minimum(lids[ii], lids[jj]))
-                out_b.append(np.maximum(lids[ii], lids[jj]))
-                out_s.append(sims[ii, jj])
+        sizes = np.diff(np.r_[starts, len(order)])
+        out_a, out_b = [], []
+        for k in range(1, int(sizes.max(initial=1))):
+            act = np.nonzero(sizes > k)[0]
+            if not len(act):
+                break
+            cnt = sizes[act] - k
+            t0 = np.repeat(starts[act], cnt) + (
+                np.arange(int(cnt.sum())) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            )
+            a = ids[order[t0]]
+            b = ids[order[t0 + k]]
+            keep = a != b
+            if keep.any():
+                out_a.append(np.minimum(a[keep], b[keep]))
+                out_b.append(np.maximum(a[keep], b[keep]))
         if not out_a:
-            return _empty
+            return _empty_ab
         return pa.table(
             {
                 "a_id": pa.array(np.concatenate(out_a)),
                 "b_id": pa.array(np.concatenate(out_b)),
-                "cos_sim": pa.array(np.concatenate(out_s)),
             }
         )
 
-    pairs = buckets.groupby("rkey").map_groups(verify_reducer, batch_format="pyarrow")
+    pairs = buckets.groupby("rkey").map_groups(pairs_in_reducer, batch_format="pyarrow")
 
     # a pair can collide in several tables → dedup on (a_id, b_id) via a
     # coarse key + one vectorized unique per reducer
@@ -228,23 +237,46 @@ def lsh_cosine_pairs(
     def unique_pairs(g: pa.Table) -> pa.Table:
         a = g["a_id"].to_numpy()
         b = g["b_id"].to_numpy()
-        s = g["cos_sim"].to_numpy()
         order = np.lexsort((b, a))
-        a, b, s = a[order], b[order], s[order]
+        a, b = a[order], b[order]
         keep = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
-        return pa.table(
-            {
-                "a_id": pa.array(a[keep]),
-                "b_id": pa.array(b[keep]),
-                "cos_sim": pa.array(s[keep]),
-            }
-        )
+        return pa.table({"a_id": pa.array(a[keep]), "b_id": pa.array(b[keep])})
 
-    return (
+    deduped = (
         pairs.map_batches(add_pkey, batch_format="pyarrow")
         .groupby("pkey")
         .map_groups(unique_pairs, batch_format="pyarrow")
     )
+
+    _empty = pa.table(
+        {
+            "a_id": pa.array([], pa.int64()),
+            "b_id": pa.array([], pa.int64()),
+            "cos_sim": pa.array([], pa.float64()),
+        }
+    )
+
+    sch = ds.schema()
+    payload_type = dict(zip(sch.names, sch.types))[emb_col]
+
+    def verify_red(a, b, apay, bpay) -> pa.Table:
+        if len(a) == 0:
+            return _empty
+        ma = apay.flatten().to_numpy(zero_copy_only=False).reshape(len(a), -1).astype(np.float64)
+        mb = bpay.flatten().to_numpy(zero_copy_only=False).reshape(len(b), -1).astype(np.float64)
+        ma = ma / np.linalg.norm(ma, axis=1, keepdims=True)
+        mb = mb / np.linalg.norm(mb, axis=1, keepdims=True)
+        sims = np.einsum("ij,ij->i", ma, mb)
+        keep = sims >= threshold
+        return pa.table(
+            {
+                "a_id": pa.array(a[keep]),
+                "b_id": pa.array(b[keep]),
+                "cos_sim": pa.array(sims[keep]),
+            }
+        )
+
+    return verify_pairs(deduped, ds, id_col, emb_col, payload_type, verify_red)
 
 
 class _PairProbe:
@@ -356,9 +388,10 @@ class _IvfProbe:
         self.cent = s["centroids"]
         self.qids = s["qids"]
         self.qm = s["qm"]
-        # per query: its nprobe nearest lists
+        # per query: its nprobe nearest lists (stable → ties break to the
+        # lowest centroid index, reproducible by an external oracle)
         qsims = self.qm @ self.cent.T
-        self.qlists = np.argsort(-qsims, axis=1)[:, : self.nprobe]
+        self.qlists = np.argsort(-qsims, axis=1, kind="stable")[:, : self.nprobe]
         self.loaded = True
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -405,29 +438,55 @@ class _IvfProbe:
 
 def ivf_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray, k: int,
              id_col: str, emb_col: str = "embedding", nlist: int = 16,
-             nprobe: int = 4, train_rows: int = 10_000):
+             nprobe: int = 4, train_rows: int = 10_000,
+             centroid_ids: np.ndarray | None = None):
     """Approximate cosine top-k via IVF (inverted file) — the scale path
     for similarity search: each stored vector lands in one centroid list,
     queries score only ``nprobe`` lists (~nprobe/nlist of the data).
     ``nprobe = nlist`` degrades gracefully to exact brute force.
 
-    Centroids train driver-side on a streamed sample (small); everything
-    else is one broadcast + per-batch matmuls + the global top-k merge.
+    Centroids either train driver-side with k-means on a streamed sample
+    (default), or — with ``centroid_ids`` — are the normalized embeddings
+    of those fixed rows in ascending id order (a fully deterministic,
+    SQL-reproducible flat-centroid mode).  Everything else is one
+    broadcast + per-batch matmuls + the global top-k merge.
     Returns (query_id, neighbor_id, rank).
     """
     import ray
 
-    # deterministic training sample: first train_rows in id order stream
-    got = 0
-    chunks = []
-    for b in ds.iter_batches(batch_format="pyarrow", batch_size=8192):
-        chunks.append(_emb_matrix(b, emb_col))
-        got += chunks[-1].shape[0]
-        if got >= train_rows:
-            break
-    sample = np.concatenate(chunks)[:train_rows]
-    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
-    cent = _kmeans_centroids(sample, nlist)
+    if centroid_ids is not None:
+        cid = np.unique(np.asarray(centroid_ids, dtype=np.int64))
+        cid_set = cid
+
+        def keep_cent(b: pa.Table) -> pa.Table:
+            return b.filter(
+                pa.array(np.isin(b[id_col].to_numpy().astype(np.int64), cid_set))
+            )
+
+        got_ids, got_mat = [], []
+        for b in ds.map_batches(keep_cent, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            if b.num_rows:
+                got_ids.append(b[id_col].to_numpy().astype(np.int64))
+                got_mat.append(_emb_matrix(b, emb_col))
+        ids_found = np.concatenate(got_ids)
+        mat_found = np.concatenate(got_mat)
+        order = np.argsort(ids_found, kind="stable")
+        cent = mat_found[order]
+        cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    else:
+        # deterministic training sample: first train_rows in id order stream
+        got = 0
+        chunks = []
+        for b in ds.iter_batches(batch_format="pyarrow", batch_size=8192):
+            chunks.append(_emb_matrix(b, emb_col))
+            got += chunks[-1].shape[0]
+            if got >= train_rows:
+                break
+        sample = np.concatenate(chunks)[:train_rows]
+        sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+        cent = _kmeans_centroids(sample, nlist)
 
     qm = np.ascontiguousarray(query_matrix, dtype=np.float64)
     qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)

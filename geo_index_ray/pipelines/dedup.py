@@ -99,21 +99,69 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     return np.unique(h)
 
 
+def _batch_shingle_hashes(texts, k: int):
+    """All shingle hashes of every text in ONE vectorized pass.
+
+    Texts are concatenated (each padded to at least ``k`` bytes) and hashed
+    with a single k-column rolling FNV over the whole buffer; windows that
+    straddle a document boundary are masked out.  Returns
+    ``(hashes, doc_of_hash, doc_starts)`` with hashes grouped doc-major in
+    scan order — no per-row Python in the hot path.
+    """
+    enc = [t.encode() if t else b"" for t in texts]
+    padded = [t.ljust(k, b"\x00") for t in enc]
+    lens = np.array([len(t) for t in padded], dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(lens)])
+    data = np.frombuffer(b"".join(padded), dtype=np.uint8)
+    if len(data) < k:
+        data = np.pad(data, (0, k - len(data)))
+    win = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
+    h = np.full(len(win), np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for col in range(k):
+            h = (h ^ win[:, col]) * np.uint64(1099511628211)
+    pos = np.arange(len(win))
+    doc = np.searchsorted(starts, pos, side="right") - 1
+    valid = pos + k <= starts[doc + 1]
+    h, doc = h[valid], doc[valid]
+    n_docs = len(texts)
+    doc_h_starts = np.searchsorted(doc, np.arange(n_docs))
+    return h, doc, doc_h_starts
+
+
 def minhash_signatures_stage(
     id_col: str, text_col: str = "text", num_perm: int = 64, shingle_k: int = 5
 ):
-    """Stage: (id, sig list<uint64 as int64>) minhash signatures."""
+    """Stage: (id, sig list<uint64 as int64>) minhash signatures.
+
+    One batch-wide rolling hash + per-permutation ``minimum.reduceat`` —
+    no per-document Python.  Permutations run in chunks to bound the
+    (n_shingles × chunk) intermediate.  (Minhash is multiset-invariant, so
+    skipping per-doc unique changes nothing.)
+    """
     a, b = _minhash_params(num_perm)
+    CHUNK = 16
 
     def fn(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy().astype(np.int64)
-        sigs = np.empty((len(ids), num_perm), dtype=np.uint64)
-        for i, t in enumerate(batch[text_col].to_pylist()):
-            sh = _shingle_hashes(t or "", shingle_k)
-            with np.errstate(over="ignore"):
-                # (a * h + b) mod p61 per permutation; min over shingles
-                vals = (a[None, :] * (sh[:, None] % _P61) + b[None, :]) % _P61
-            sigs[i] = vals.min(axis=0)
+        n = len(ids)
+        if n == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "sig": pa.nulls(0, pa.list_(pa.int64(), num_perm)),
+                }
+            )
+        h, _doc, doc_starts = _batch_shingle_hashes(
+            batch[text_col].to_pylist(), shingle_k
+        )
+        h61 = h % _P61
+        sigs = np.empty((n, num_perm), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for c0 in range(0, num_perm, CHUNK):
+                c1 = min(num_perm, c0 + CHUNK)
+                vals = (a[None, c0:c1] * h61[:, None] + b[None, c0:c1]) % _P61
+                sigs[:, c0:c1] = np.minimum.reduceat(vals, doc_starts, axis=0)
         return pa.table(
             {
                 id_col: pa.array(ids),
@@ -324,102 +372,77 @@ def minhash_dedup(
         .map_groups(unique_pairs, batch_format="pyarrow")
     )
 
-    # exact verification of the (rare) distinct-signature candidates:
-    # gather the candidates (small), fetch only the involved signatures in
-    # one streamed pass, verify vectorized, union with the exact-dup pairs
-    verified_parts = []
-    cand_a, cand_b = [], []
-    for b in deduped.iter_batches(batch_format="pyarrow"):
-        e = b["est_jaccard"].to_numpy()
-        nanmask = np.isnan(e)
-        if (~nanmask).any():
-            verified_parts.append(b.filter(pa.array(~nanmask)))
-        if nanmask.any():
-            cand_a.append(b["a_id"].to_numpy()[nanmask])
-            cand_b.append(b["b_id"].to_numpy()[nanmask])
-    if not cand_a:
-        return ray.data.from_arrow(
-            pa.concat_tables(verified_parts) if verified_parts else _empty_pairs
-        )
-    ca = np.concatenate(cand_a)
-    cb = np.concatenate(cand_b)
-    involved = np.unique(np.concatenate([ca, cb]))
+    # exact verification of the (rare) distinct-signature candidates runs
+    # entirely in workers: candidates hash-shuffle-join their two
+    # signatures by id (stages.pairjoin), the reducer compares signatures
+    # vectorized.  The driver never gathers pairs or builds lookups.
+    from ..stages.pairjoin import verify_pairs
 
-    # fetch the involved signatures with a PARALLEL filter over sig_ds —
-    # the full-corpus scan runs in the workers (broadcast id set, np.isin
-    # per batch); only the tiny filtered subset streams to the driver
-    import ray as _ray
+    deduped = deduped.materialize()  # consumed twice below; pairs are tiny
 
-    involved_ref = _ray.put(involved)
+    def keep_exact(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(~np.isnan(batch["est_jaccard"].to_numpy())))
 
-    class _FilterInvolved:
-        def __init__(self, ref):
-            self.ref = ref
-            self.inv = None
+    def keep_cand(batch: pa.Table) -> pa.Table:
+        m = np.isnan(batch["est_jaccard"].to_numpy())
+        f = batch.filter(pa.array(m))
+        return pa.table({"a_id": f["a_id"], "b_id": f["b_id"]})
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if self.inv is None:
-                self.inv = _ray.get(self.ref)
-            ids = batch[id_col].to_numpy().astype(np.int64)
-            return batch.filter(pa.array(np.isin(ids, self.inv)))
+    exact = deduped.map_batches(keep_exact, batch_format="pyarrow")
+    cands = deduped.map_batches(keep_cand, batch_format="pyarrow")
 
-    sig_lookup = {}
-    for b in sig_ds.map_batches(
-        _FilterInvolved(involved_ref), batch_format="pyarrow"
-    ).iter_batches(batch_format="pyarrow"):
-        ids = b[id_col].to_numpy().astype(np.int64)
-        if not len(ids):
-            continue
-        sig = (
-            b["sig"].combine_chunks().flatten()
-            .to_numpy(zero_copy_only=False)
-            .reshape(len(ids), num_perm)
-        )
-        for i in range(len(ids)):
-            sig_lookup[int(ids[i])] = sig[i]
-    CH = 200_000  # bound verification memory: chunked pair batches
-    for i0 in range(0, len(ca), CH):
-        cca = ca[i0 : i0 + CH]
-        ccb = cb[i0 : i0 + CH]
-        sa = np.stack([sig_lookup[int(i)] for i in cca])
-        sb = np.stack([sig_lookup[int(i)] for i in ccb])
+    sig_type = pa.list_(pa.int64(), num_perm)
+
+    def verify_red(a, b, apay, bpay) -> pa.Table:
+        if len(a) == 0:
+            return _empty_pairs
+        sa = apay.flatten().to_numpy(zero_copy_only=False).reshape(len(a), num_perm)
+        sb = bpay.flatten().to_numpy(zero_copy_only=False).reshape(len(b), num_perm)
         est = (sa == sb).mean(axis=1)
         keep = est >= threshold
-        if keep.any():
-            verified_parts.append(
-                pa.table(
-                    {
-                        "a_id": pa.array(cca[keep]),
-                        "b_id": pa.array(ccb[keep]),
-                        "est_jaccard": pa.array(est[keep]),
-                    }
-                )
-            )
-    return ray.data.from_arrow(
-        pa.concat_tables(verified_parts) if verified_parts else _empty_pairs
-    )
+        return pa.table(
+            {
+                "a_id": pa.array(a[keep]),
+                "b_id": pa.array(b[keep]),
+                "est_jaccard": pa.array(est[keep]),
+            }
+        )
+
+    verified = verify_pairs(cands, sig_ds, id_col, "sig", sig_type, verify_red)
+    return exact.union(verified)
 
 
 # --- SimHash ----------------------------------------------------------------
 
 
 def simhash_stage(id_col: str, text_col: str = "text"):
-    """Stage: (id, simhash int64) — sign aggregate of token hashes."""
+    """Stage: (id, simhash int64) — sign aggregate of token hashes.
+
+    Vectorized batch-wide: every token of every row hashes in ONE padded
+    byte-matrix pass; per-row bit votes come from a cumulative-sum
+    difference over the flat token axis (handles empty rows exactly) —
+    no per-document Python in the hot path.
+    """
+    shifts = np.arange(64, dtype=np.uint64)
 
     def fn(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy().astype(np.int64)
-        out = np.zeros(len(ids), dtype=np.uint64)
-        for i, t in enumerate(batch[text_col].to_pylist()):
-            toks = (t or "").split()
-            if not toks:
-                continue
-            th = _text_hash64(toks)
-            bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-                np.int64
-            )
-            votes = (2 * bits - 1).sum(axis=0)
+        n = len(ids)
+        tok_lists = [(t or "").split() for t in batch[text_col].to_pylist()]
+        counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
+        flat = [tok for toks in tok_lists for tok in toks]
+        out = np.zeros(n, dtype=np.uint64)
+        if flat:
+            th = _text_hash64(flat)
+            bits = ((th[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            signs = 2 * bits - 1  # (n_tokens, 64)
+            cum = np.zeros((len(flat) + 1, 64), dtype=np.int64)
+            np.cumsum(signs, axis=0, out=cum[1:])
+            ends = np.cumsum(counts)
+            starts = ends - counts
+            votes = cum[ends] - cum[starts]  # (n_rows, 64); empty rows → 0
             sign_bits = (votes > 0).astype(np.uint64)
-            out[i] = np.bitwise_or.reduce(sign_bits << np.arange(64, dtype=np.uint64))
+            out = np.bitwise_or.reduce(sign_bits << shifts[None, :], axis=1)
         return pa.table({id_col: pa.array(ids), "simhash": pa.array(out.view(np.int64))})
 
     return fn
@@ -435,130 +458,159 @@ def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def shingle_sets_stage(id_col: str, text_col: str = "text", shingle_k: int = 5):
+    """Stage: (id, shingles list<int64 asc>, n) — each doc's UNIQUE shingle
+    hashes in ascending order, computed batch-wide (one rolling-hash pass +
+    one lexsort, no per-document Python)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        n_docs = len(ids)
+        if n_docs == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "shingles": pa.nulls(0, pa.list_(pa.int64())),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        h, doc, _ = _batch_shingle_hashes(batch[text_col].to_pylist(), shingle_k)
+        order = np.lexsort((h, doc))
+        hd, dd = h[order], doc[order]
+        keep = np.r_[True, (dd[1:] != dd[:-1]) | (hd[1:] != hd[:-1])]
+        hu, du = hd[keep], dd[keep]
+        counts = np.bincount(du, minlength=n_docs).astype(np.int64)
+        offsets = np.zeros(n_docs + 1, dtype=np.int32)
+        offsets[1:] = np.cumsum(counts).astype(np.int32)
+        shingles = pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(hu.view(np.int64))
+        )
+        return pa.table(
+            {id_col: pa.array(ids), "shingles": shingles, "n": pa.array(counts)}
+        )
+
+    return fn
+
+
 def ngram_jaccard_dedup(
     ds,
     id_col: str,
     threshold: float = 0.5,
     text_col: str = "text",
-    num_perm: int = 64,
-    bands: int = 16,
     shingle_k: int = 5,
 ):
-    """Near-duplicate pairs by *exact* character-n-gram Jaccard, with
-    MinHash-LSH bucketing as the candidate generator (only candidate
-    buckets, never all pairs, are compared).
+    """Near-duplicate pairs by *exact* character-n-gram Jaccard with
+    prefix-filter candidate generation (AllPairs/PPJoin-family, public:
+    Bayardo et al. WWW'07, Xiao et al. WWW'08) — EXACT recall for
+    jaccard >= threshold, never all-pairs.
 
-    Each row carries its unique shingle-hash set (uint64 list) through the
-    bucket shuffle; per bucket, exact ``|A∩B| / |A∪B|`` is computed via
-    sorted-array intersection — no text moves, and the result is exact
-    (bucketing only affects recall, tuned by bands/num_perm).
-    Returns (a_id, b_id) pairs with exact Jaccard >= threshold, deduped.
+    Scale shape — three lean shuffles, no full sets and no text in any of
+    them except the final per-candidate payload join:
+
+    1. candidates: each doc ships only its PREFIX shingle hashes — the
+       first ``n - (ceil(t/(1+t)·n) - 1)`` in ascending hash order, 8 B
+       each.  Any pair with J ≥ t shares a hash in BOTH prefixes (the two
+       suffixes together hold < t/(1+t)·(na+nb) ≤ |A∩B| elements), so
+       bucketing by prefix hash loses nothing.  Inside each reducer a
+       size filter (t·max ≤ min) prunes, then a vectorized k-offset pair
+       sweep emits candidates — no Python pair loop.
+    2. pair dedup on a coarse key (vectorized unique per reducer).
+    3. exact verify: the two full shingle sets join the (rare) candidate
+       pairs by id hash (stages.pairjoin); intersection counts come from
+       ONE lexsort over (pair, value) across all of a reducer's pairs.
+
+    Returns (a_id, b_id, jaccard), each qualifying pair exactly once.
     """
-    rows_per_band = num_perm // bands
-    a_params, b_params = _minhash_params(num_perm)
-
-    def to_bucketed_shingles(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy().astype(np.int64)
-        texts = batch[text_col].to_pylist()
-        out_bucket, out_id, out_sh = [], [], []
-        for i, t in enumerate(texts):
-            sh = np.unique(_shingle_hashes(t, shingle_k))
-            if len(sh) == 0:
-                continue
-            with np.errstate(over="ignore"):
-                phi = (a_params[:, None] * sh[None, :] + b_params[:, None])
-            sig = phi.min(axis=1)
-            for band in range(bands):
-                seg = sig[band * rows_per_band : (band + 1) * rows_per_band]
-                with np.errstate(over="ignore"):
-                    h = np.uint64(band + 1)
-                    for v in seg:
-                        h = (h ^ v) * np.uint64(1099511628211)
-                out_bucket.append(np.int64(h.astype(np.int64)))
-                out_id.append(ids[i])
-                out_sh.append(sh.view(np.int64))
-        if not out_id:
-            return pa.table(
-                {
-                    "rkey": pa.array([], pa.int64()),
-                    "bucket": pa.array([], pa.int64()),
-                    id_col: pa.array([], pa.int64()),
-                    "shingles": pa.array([], pa.list_(pa.int64())),
-                }
-            )
-        bucket = np.asarray(out_bucket)
-        return pa.table(
-            {
-                "rkey": pa.array(
-                    (bucket.view(np.uint64) % np.uint64(R)).astype(np.int64)
-                ),
-                "bucket": pa.array(bucket),
-                id_col: pa.array(np.asarray(out_id)),
-                "shingles": pa.array([s.tolist() for s in out_sh], pa.list_(pa.int64())),
-            }
-        )
-
+    from ..stages.pairjoin import verify_pairs
     from ..stages.util import coalesce_for_shuffle, reducer_count
 
     R = reducer_count()
-    buckets = coalesce_for_shuffle(
-        ds.map_batches(to_bucketed_shingles, batch_format="pyarrow"), 0.5
-    )
+    beta = threshold / (1.0 + threshold)
+    sets_stage = shingle_sets_stage(id_col, text_col, shingle_k)
+    # lazily recomputed per consumer (prefix pass + the two payload-join
+    # passes) — at scale, recomputing the cheap hash pass streams better
+    # than materializing a corpus-sized shingle table in the object store
+    sets_ds = ds.map_batches(sets_stage, batch_format="pyarrow")
 
-    _empty = pa.table(
-        {
-            "a_id": pa.array([], pa.int64()),
-            "b_id": pa.array([], pa.int64()),
-            "jaccard": pa.array([], pa.float64()),
-        }
-    )
-
-    def pairs_in_reducer(g: pa.Table) -> pa.Table:
-        """Exact Jaccard for every non-singleton bucket of this reducer."""
-        if g.num_rows < 2:
-            return _empty
-        ids_all = g[id_col].to_numpy().astype(np.int64)
-        bucket_all = g["bucket"].to_numpy()
-        sh_col = g["shingles"].combine_chunks()
-        order = np.lexsort((ids_all, bucket_all))
-        b_sorted = bucket_all[order]
-        starts = np.nonzero(np.r_[True, b_sorted[1:] != b_sorted[:-1]])[0]
-        ends = np.r_[starts[1:], len(order)]
-        out_a, out_b, out_j = [], [], []
-        for s, e in zip(starts, ends):
-            if e - s < 2:
-                continue
-            idx = order[s:e]
-            sets = [
-                sh_col[int(i)].values.to_numpy(zero_copy_only=False) for i in idx
-            ]
-            lids = ids_all[idx]
-            for pi in range(len(idx)):
-                for pj in range(pi + 1, len(idx)):
-                    if lids[pi] == lids[pj]:
-                        continue
-                    inter = np.intersect1d(
-                        sets[pi], sets[pj], assume_unique=True
-                    ).size
-                    union = sets[pi].size + sets[pj].size - inter
-                    jac = inter / union if union else 0.0
-                    if jac >= threshold:
-                        out_a.append(min(lids[pi], lids[pj]))
-                        out_b.append(max(lids[pi], lids[pj]))
-                        out_j.append(jac)
-        if not out_a:
-            return _empty
+    def emit_prefix(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        n = batch["n"].to_numpy().astype(np.int64)
+        sh_col = batch["shingles"].combine_chunks()
+        values = sh_col.flatten().to_numpy(zero_copy_only=False)
+        suffix = np.maximum(np.ceil(beta * n).astype(np.int64) - 1, 0)
+        plen = n - suffix
+        doc_idx = np.repeat(np.arange(len(ids)), n)
+        starts = np.concatenate([[0], np.cumsum(n)])[:-1]
+        pos_in_doc = np.arange(len(values)) - np.repeat(starts, n)
+        keep = pos_in_doc < plen[doc_idx]
+        sh = values[keep]
+        di = doc_idx[keep]
+        with np.errstate(over="ignore"):
+            rkey = (sh.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(R)
         return pa.table(
             {
-                "a_id": pa.array(np.asarray(out_a, dtype=np.int64)),
-                "b_id": pa.array(np.asarray(out_b, dtype=np.int64)),
-                "jaccard": pa.array(np.asarray(out_j)),
+                "rkey": pa.array(rkey.astype(np.int64)),
+                "sh": pa.array(sh),
+                id_col: pa.array(ids[di]),
+                "n": pa.array(n[di]),
             }
         )
 
-    pairs = buckets.groupby("rkey").map_groups(pairs_in_reducer, batch_format="pyarrow")
+    prefix_rows = coalesce_for_shuffle(
+        sets_ds.map_batches(emit_prefix, batch_format="pyarrow"), 0.5
+    )
 
-    # dedup (a_id, b_id) across bands: coarse key + vectorized unique
+    _empty_ab = pa.table(
+        {"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64())}
+    )
+
+    def pairs_in_reducer(g: pa.Table) -> pa.Table:
+        """Candidate pairs for every shingle-bucket of this reducer in one
+        vectorized k-offset sweep (cf. simhash_pairs)."""
+        if g.num_rows < 2:
+            return _empty_ab
+        ids = g[id_col].to_numpy().astype(np.int64)
+        sh = g["sh"].to_numpy()
+        nn = g["n"].to_numpy().astype(np.int64)
+        order = np.lexsort((ids, sh))
+        s_s = sh[order]
+        starts = np.nonzero(np.r_[True, s_s[1:] != s_s[:-1]])[0]
+        sizes = np.diff(np.r_[starts, len(order)])
+        out_a, out_b = [], []
+        for k in range(1, int(sizes.max(initial=1))):
+            act = np.nonzero(sizes > k)[0]
+            if not len(act):
+                break
+            cnt = sizes[act] - k
+            t0 = np.repeat(starts[act], cnt) + (
+                np.arange(int(cnt.sum())) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            )
+            ai, bi = order[t0], order[t0 + k]
+            na, nb = nn[ai], nn[bi]
+            lo = np.minimum(na, nb)
+            hi = np.maximum(na, nb)
+            # J >= t ⟹ t·max <= |A∩B| <= min; small slack keeps float
+            # rounding from ever dropping a true pair
+            keep = (ids[ai] != ids[bi]) & (lo >= threshold * hi - 1e-9)
+            if keep.any():
+                a = ids[ai][keep]
+                b = ids[bi][keep]
+                out_a.append(np.minimum(a, b))
+                out_b.append(np.maximum(a, b))
+        if not out_a:
+            return _empty_ab
+        return pa.table(
+            {
+                "a_id": pa.array(np.concatenate(out_a)),
+                "b_id": pa.array(np.concatenate(out_b)),
+            }
+        )
+
+    pairs = prefix_rows.groupby("rkey").map_groups(
+        pairs_in_reducer, batch_format="pyarrow"
+    )
+
+    # dedup (a_id, b_id) across buckets: coarse key + vectorized unique
     def add_pkey(batch: pa.Table) -> pa.Table:
         a = batch["a_id"].to_numpy().view(np.uint64)
         b = batch["b_id"].to_numpy().view(np.uint64)
@@ -569,22 +621,54 @@ def ngram_jaccard_dedup(
     def unique_pairs(g: pa.Table) -> pa.Table:
         a = g["a_id"].to_numpy()
         b = g["b_id"].to_numpy()
-        j = g["jaccard"].to_numpy()
         order = np.lexsort((b, a))
-        a, b, j = a[order], b[order], j[order]
+        a, b = a[order], b[order]
         keep = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        return pa.table({"a_id": pa.array(a[keep]), "b_id": pa.array(b[keep])})
+
+    deduped = (
+        pairs.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(unique_pairs, batch_format="pyarrow")
+    )
+
+    _empty_j = pa.table(
+        {
+            "a_id": pa.array([], pa.int64()),
+            "b_id": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+
+    def verify_red(a, b, apay, bpay) -> pa.Table:
+        if len(a) == 0:
+            return _empty_j
+        import pyarrow.compute as pc
+
+        la = pc.list_value_length(apay).to_numpy().astype(np.int64)
+        lb = pc.list_value_length(bpay).to_numpy().astype(np.int64)
+        av = apay.flatten().to_numpy(zero_copy_only=False)
+        bv = bpay.flatten().to_numpy(zero_copy_only=False)
+        p = np.concatenate([np.repeat(np.arange(len(a)), la),
+                            np.repeat(np.arange(len(b)), lb)])
+        v = np.concatenate([av, bv])
+        order = np.lexsort((v, p))
+        ps, vs = p[order], v[order]
+        dup = (ps[1:] == ps[:-1]) & (vs[1:] == vs[:-1])
+        inter = np.bincount(ps[1:][dup], minlength=len(a))
+        union = la + lb - inter
+        jac = inter / np.maximum(union, 1)
+        keep = jac >= threshold
         return pa.table(
             {
                 "a_id": pa.array(a[keep]),
                 "b_id": pa.array(b[keep]),
-                "jaccard": pa.array(j[keep]),
+                "jaccard": pa.array(jac[keep]),
             }
         )
 
-    return (
-        pairs.map_batches(add_pkey, batch_format="pyarrow")
-        .groupby("pkey")
-        .map_groups(unique_pairs, batch_format="pyarrow")
+    return verify_pairs(
+        deduped, sets_ds, id_col, "shingles", pa.list_(pa.int64()), verify_red
     )
 
 
