@@ -49,6 +49,10 @@ WINDOW_US = 3_600_000_000  # 1 h tumbling windows
 GAP_US = 1_800_000_000  # 30 min session gap
 COS_THRESHOLD = 0.3
 PARTITION_SIZE = 1024
+IVF_CENT_MOD = 31   # flat centroids: embeddings of vec_id % 31 == 0
+IVF_NPROBE = 4
+LSH_PLANE_MOD = 7   # hyperplanes: first 64 embeddings of vec_id % 7 == 0
+NEARDUP_T = 0.4
 
 
 # ---------------------------------------------------------------------------
@@ -413,18 +417,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["ann_topk"] = ann
 
     def ann_ivf(sf_dir):
+        """IVF probe with the deterministic flat-centroid mode (centroids
+        = embeddings of vec_id % 31 == 0, ascending) so a DuckDB oracle
+        reproduces list assignment, probing and ranking exactly."""
         mat, qids = _read_queries_for_ann(sf_dir)
         ds = tables.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+        vid = t["vec_id"].to_numpy().astype(np.int64)
+        cid = vid[vid % IVF_CENT_MOD == 0]
         return ann_pipe.ivf_topk(ds, mat, qids, ANN_K, id_col="vec_id",
-                                 nlist=16, nprobe=4)
+                                 nprobe=IVF_NPROBE, centroid_ids=cid)
 
     q["ann_ivf"] = ann_ivf
 
     def embed_neardup(sf_dir):
         # threshold sits inside the data's similarity range (max cosine in
-        # the synthetic embeddings ≈ 0.51) so the query exercises real work
+        # the synthetic embeddings ≈ 0.51) so the query exercises real work.
+        # Hyperplanes derive from fixed data rows (vec_id % LSH_PLANE_MOD
+        # == 0, first 64 ascending) — a tiny indexed read — so the DuckDB
+        # oracle reproduces the buckets bit-for-bit.
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        vid = t["vec_id"].to_numpy().astype(np.int64)
+        emb = t["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        dim = len(emb) // len(vid)
+        mat = emb.reshape(len(vid), dim)
+        sel = np.nonzero(vid % LSH_PLANE_MOD == 0)[0]
+        order = sel[np.argsort(vid[sel], kind="stable")][:64]
+        planes = mat[order].astype(np.float64).T  # (dim, 64) = 16 tables × 4
         ds = tables.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-        return ann_pipe.lsh_cosine_pairs(ds, "vec_id", threshold=0.4)
+        return ann_pipe.lsh_cosine_pairs(
+            ds, "vec_id", threshold=0.4, planes=planes
+        ).select_columns(["a_id", "b_id"])
 
     q["embed_neardup"] = embed_neardup
 
@@ -684,7 +707,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
 
         binary_ds = ds.map_batches(to_payload, batch_format="pyarrow")
-        return mm_pipe.resize_images(binary_ds, "doc_id", "payload")
+        out = mm_pipe.resize_images(binary_ds, "doc_id", "payload")
+
+        # the pipeline's payload column is binary; the oracle gate compares
+        # a utf8 view of it (payloads here derive from ASCII text) so both
+        # engines hash one canonical primitive type
+        def as_utf8(batch: pa.Table) -> pa.Table:
+            return batch.set_column(
+                batch.schema.get_field_index("payload"),
+                "payload",
+                batch["payload"].cast(pa.string()),
+            )
+
+        return out.map_batches(as_utf8, batch_format="pyarrow")
 
     q["multimodal_resize"] = mm_resize
 
@@ -698,7 +733,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
 
         binary_ds = ds.map_batches(to_payload, batch_format="pyarrow")
-        return mm_pipe.sample_frames(binary_ds, "doc_id", "payload", every_n=2)
+        out = mm_pipe.sample_frames(binary_ds, "doc_id", "payload", every_n=2)
+
+        def as_utf8(batch: pa.Table) -> pa.Table:
+            return batch.set_column(
+                batch.schema.get_field_index("frame"),
+                "frame",
+                batch["frame"].cast(pa.string()),
+            )
+
+        return out.map_batches(as_utf8, batch_format="pyarrow")
 
     q["multimodal_frames"] = mm_frames
 
@@ -1059,6 +1103,159 @@ def oracle_sql() -> dict[str, str]:
 
     sql["lang_hist"] = """
         SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+    """
+
+    # --- text/hash kernel twins (functions.sqltext) -----------------------
+    from geo_index_ray.functions import sqltext
+    from geo_index_ray.pipelines.dedup import _minhash_params
+    from geo_index_ray.pipelines.text import _LANG_MARKERS
+
+    sql["fingerprint"] = (
+        f"SELECT doc_id, {sqltext.u64_to_i64('fp0')} AS fp FROM "
+        f"(SELECT doc_id, {sqltext.sql_fnv1a_of('text')} AS fp0 FROM documents)"
+    )
+
+    sql["lang_id"] = sqltext.sql_lang_id("documents", "doc_id", _LANG_MARKERS)
+
+    _simhash_sel = sqltext.sql_simhash_select("documents", "doc_id")
+    sql["simhash"] = _simhash_sel
+    sql["simhash_pairs"] = f"""
+        WITH sh AS ({_simhash_sel})
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+    _mh_a, _mh_b = _minhash_params(64)
+    sql["minhash_pairs"] = sqltext.sql_minhash_pairs(
+        "documents", "doc_id", _mh_a, _mh_b, num_perm=64, rows_per_band=4,
+        threshold=0.35,
+    )
+
+    sql["ngram_jaccard_pairs"] = sqltext.sql_ngram_jaccard_pairs(
+        "documents", "doc_id", threshold=0.3
+    )
+
+    # --- multimodal fake-decode twins (byte math over the text payload) ---
+    _checksum = " + ".join(
+        f"CAST(COALESCE(unicode(substr(text, {i + 1}, 1)), 0) AS HUGEINT)"
+        f" * {1 << (8 * i)}"
+        for i in range(8)
+    )
+    sql["multimodal_decode"] = f"""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_bytes,
+               CAST(COALESCE(unicode(substr(text, 1, 1)), 0) * 16 + 64 AS BIGINT) AS width,
+               CAST(COALESCE(unicode(substr(text, 2, 1)), 0) * 16 + 64 AS BIGINT) AS height,
+               CAST(({_checksum}) % 9223372036854775808 AS BIGINT) AS checksum
+        FROM documents
+    """
+    sql["multimodal_resize"] = """
+        SELECT doc_id,
+               substr(repeat(text, CAST(49 // GREATEST(length(text), 1) AS INT) + 1),
+                      1, 49) AS payload,
+               CAST(224 AS BIGINT) AS width, CAST(224 AS BIGINT) AS height
+        FROM documents
+    """
+    sql["multimodal_frames"] = """
+        SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+               substr(text, CAST(fi * 64 + 1 AS INT), 64) AS frame
+        FROM documents,
+             UNNEST(generate_series(0,
+                    CAST(GREATEST(length(text) // 64, 1) - 1 AS BIGINT), 2)) AS t(fi)
+    """
+
+    # --- embedding twins --------------------------------------------------
+    sql["embed_neardup"] = f"""
+        WITH planes AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS p,
+                 CAST(embedding AS DOUBLE[]) AS pl
+          FROM embeddings WHERE vec_id % {LSH_PLANE_MOD} = 0
+          ORDER BY vec_id LIMIT 64
+        ),
+        bits AS (
+          SELECT e.vec_id, pl.p,
+                 CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), pl.pl) > 0
+                      THEN 1 ELSE 0 END AS b
+          FROM embeddings e CROSS JOIN planes pl
+        ),
+        codes AS (
+          SELECT vec_id, p // 4 AS tbl, SUM(b * (1 << CAST(p % 4 AS INT))) AS code
+          FROM bits GROUP BY 1, 2
+        ),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+          FROM codes a JOIN codes b
+            ON a.tbl = b.tbl AND a.code = b.code AND a.vec_id < b.vec_id
+        )
+        SELECT a_id, b_id FROM cand
+        JOIN embeddings ea ON ea.vec_id = a_id
+        JOIN embeddings eb ON eb.vec_id = b_id
+        WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                     CAST(eb.embedding AS DOUBLE[])) >= {NEARDUP_T}
+    """
+
+    sql["ann_ivf"] = f"""
+        WITH cent AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx,
+                 CAST(embedding AS DOUBLE[]) AS c
+          FROM embeddings WHERE vec_id % {IVF_CENT_MOD} = 0
+        ),
+        assign AS (
+          SELECT vec_id, cidx FROM (
+            SELECT e.vec_id, c.cidx,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c)
+                              DESC, c.cidx) AS rn
+            FROM embeddings e CROSS JOIN cent c
+          ) WHERE rn = 1
+        ),
+        q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+              FROM embeddings WHERE vec_id % 97 = 0),
+        qprobe AS (
+          SELECT qid, cidx FROM (
+            SELECT q.qid, c.cidx,
+                   ROW_NUMBER() OVER (PARTITION BY q.qid
+                     ORDER BY list_cosine_similarity(q.qe, c.c) DESC, c.cidx) AS rn
+            FROM q CROSS JOIN cent c
+          ) WHERE rn <= {IVF_NPROBE}
+        ),
+        scored AS (
+          SELECT q.qid AS query_id, a.vec_id AS neighbor_id,
+                 list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS sim
+          FROM qprobe qp JOIN q ON q.qid = qp.qid
+          JOIN assign a ON a.cidx = qp.cidx
+          JOIN embeddings e ON e.vec_id = a.vec_id
+        )
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, neighbor_id) AS rank
+          FROM scored
+        ) WHERE rank <= {ANN_K}
+    """
+
+    # --- spatial partitioning twins (Hilbert rank windowing) --------------
+    _hx, _hy = geocode.sql_hilbert_grid("x", "y")
+    _hsel = geocode.sql_hilbert_select(
+        f"SELECT c_custkey, x, y, {_hx} AS hx, {_hy} AS hy FROM "
+        f"(SELECT c_custkey, {pt('c_custkey')} FROM customer)",
+        ["c_custkey", "x", "y"],
+    )
+    sql["spatial_partition"] = f"""
+        SELECT c_custkey,
+               CAST((ROW_NUMBER() OVER (ORDER BY hkey, c_custkey) - 1)
+                    // {PARTITION_SIZE} AS BIGINT) AS partition_id,
+               x, y
+        FROM ({_hsel})
+    """
+    sql["partition_boxes"] = f"""
+        WITH sp AS ({sql['spatial_partition']})
+        SELECT partition_id, COUNT(*) AS n_rows,
+               MIN(x) AS min_x, MAX(x) AS max_x,
+               MIN(y) AS min_y, MAX(y) AS max_y
+        FROM sp GROUP BY 1
     """
 
     sql["ann_topk"] = f"""
