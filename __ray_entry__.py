@@ -657,6 +657,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["partition_boxes"] = partition_boxes
 
+    def knn_pruned(sf_dir):
+        """Sub-linear kNN: two-level index + envelope ring expansion
+        (partition.knn_partitioned) — must equal the brute-force oracle."""
+        nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+        nk = nation["n_nationkey"].to_numpy().astype(np.int64)
+        qxy = np.stack([geocode.derive_lon(nk), geocode.derive_lat(nk)], axis=1)
+        targets = tables.points_ds(sf_dir, "customer", "c_custkey")
+        idx = part_pipe.build_partitioned_index(targets, "c_custkey", 256)
+        res = part_pipe.knn_partitioned(idx, qxy, KNN_K, query_ids=nk)
+        return res[["query_id", "target_id", "rank"]]
+
+    q["knn_pruned"] = knn_pruned
+
     def pruned_search(sf_dir):
         """Two-level global index: per-partition packed trees, probes
         skip partitions by envelope before touching any tree."""
@@ -910,6 +923,8 @@ def oracle_sql() -> dict[str, str]:
           FROM d
         ) WHERE rank <= {KNN_K}
     """
+
+    sql["knn_pruned"] = sql["knn_nation_customer"]
 
     sql["window_agg"] = f"""
         SELECT epoch_us(ts) // {WINDOW_US} AS window_id, event_type,

@@ -360,6 +360,7 @@ def neighbors(
     max_results: int | None = None,
     max_distance: float | None = None,
     metric: str = "squared",
+    return_distances: bool = False,
 ) -> np.ndarray:
     """kNN by best-first traversal; exact port of the reference algorithm.
 
@@ -373,6 +374,8 @@ def neighbors(
     """
     meta, boxes, indices = _attach(data)
     if meta.num_items == 0:
+        if return_distances:
+            return np.empty(0, dtype=np.uint32), np.empty(0, dtype=np.float64)
         return np.empty(0, dtype=np.uint32)
 
     if metric == "squared":
@@ -408,6 +411,7 @@ def neighbors(
     outer = len(boxes) - 4
     heap: list[tuple[float, int]] = []
     results: list[int] = []
+    dists: list[float] = []
 
     while outer is not None:
         end = min(outer + node_span, _upper_bound(outer, level_bounds))
@@ -431,8 +435,9 @@ def neighbors(
             if heap[0][0] > max_distance:
                 stop = True
                 break
-            _, iid = heapq.heappop(heap)
+            d, iid = heapq.heappop(heap)
             results.append(iid >> 1)
+            dists.append(d)
             if max_results is not None and len(results) == max_results:
                 stop = True
                 break
@@ -440,6 +445,8 @@ def neighbors(
             break
         outer = (heapq.heappop(heap)[1] >> 1) if heap else None
 
+    if return_distances:
+        return np.asarray(results, dtype=np.uint32), np.asarray(dists)
     return np.asarray(results, dtype=np.uint32)
 
 

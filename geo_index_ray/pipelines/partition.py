@@ -199,6 +199,179 @@ def build_partitioned_index(ds, id_col: str, partition_size: int,
     return parts.groupby("partition_id").map_groups(build_group, batch_format="pandas")
 
 
+def _env_dist(qx, qy, mnx, mny, mxx, mxy):
+    """Squared point-to-envelope distance, vectorized (queries × parts)."""
+    dx = np.maximum(mnx[None, :] - qx[:, None], 0.0) + np.maximum(
+        qx[:, None] - mxx[None, :], 0.0
+    )
+    dy = np.maximum(mny[None, :] - qy[:, None], 0.0) + np.maximum(
+        qy[:, None] - mxy[None, :], 0.0
+    )
+    return dx * dx + dy * dy
+
+
+class _PartitionKnnProbe:
+    """Probe stage: each partition row runs the best-first kNN traversal
+    (kernels.rtree.neighbors) for just the queries its envelope can still
+    serve, per the broadcast plan.  Lazy plasma resolution."""
+
+    def __init__(self, state_ref, k: int):
+        self.state_ref = state_ref
+        self.state = None
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        from ..kernels import rtree
+
+        if self.state is None:
+            self.state = ray.get(self.state_ref)
+        plan = self.state["plan"]
+        qx, qy = self.state["qx"], self.state["qy"]
+        qids = self.state["qids"]
+        bounds = self.state["bounds"]
+        out_q, out_t, out_d = [], [], []
+        pids = batch["partition_id"].to_numpy().astype(np.int64)
+        for i in np.nonzero(np.isin(pids, self.state["pids"]))[0]:
+            qlist = plan[int(pids[i])]
+            buf = np.frombuffer(batch["index"][i].as_py(), dtype=np.uint8)
+            ids = np.frombuffer(batch["ids"][i].as_py(), dtype=np.int64)
+            for qi in qlist:
+                nb, dd = rtree.neighbors(
+                    buf,
+                    float(qx[qi]),
+                    float(qy[qi]),
+                    max_results=self.k,
+                    max_distance=float(bounds[qi]),
+                    return_distances=True,
+                )
+                if len(nb):
+                    out_q.append(np.full(len(nb), qids[qi], dtype=np.int64))
+                    out_t.append(ids[nb.astype(np.int64)])
+                    out_d.append(dd)
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "target_id": pa.array([], pa.int64()),
+                    "dist": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "target_id": pa.array(np.concatenate(out_t)),
+                "dist": pa.array(np.concatenate(out_d)),
+            }
+        )
+
+
+def knn_partitioned(index_ds, query_xy: np.ndarray, k: int,
+                    query_ids: np.ndarray | None = None,
+                    return_stats: bool = False):
+    """Sub-linear global kNN through the two-level index (ring expansion).
+
+    The partition-envelope table IS the top level of the global index
+    (reference sub-linear traversal src/rtree/trait.rs:198-302, lifted one
+    level up): the driver plans on envelopes only —
+
+    1. phase A probes, per query, the single nearest-envelope partition's
+       packed tree for a k-th-distance upper bound;
+    2. phase B probes only partitions whose envelope distance can still
+       beat that bound (ties inclusive, so the (dist, id) tie-break stays
+       oracle-exact); everything farther is never deserialized.
+
+    Partitions touched ≈ the few envelopes intersecting each query's kNN
+    ring — independent of total data size.  Returns
+    (query_id, target_id, rank, dist); with ``return_stats`` also a dict
+    with partitions_total / probes_a / probes_b.
+    """
+    import ray
+
+    import pandas as pd
+
+    xy = np.ascontiguousarray(query_xy, dtype=np.float64)
+    nq = len(xy)
+    if query_ids is None:
+        query_ids = np.arange(nq, dtype=np.int64)
+    query_ids = np.asarray(query_ids, dtype=np.int64)
+
+    index_ds = index_ds.materialize()
+    env = index_ds.select_columns(
+        ["partition_id", "num_items", "min_x", "min_y", "max_x", "max_y"]
+    ).to_pandas()
+    pid = env["partition_id"].to_numpy().astype(np.int64)
+    nitems = env["num_items"].to_numpy().astype(np.int64)
+    nonempty = nitems > 0
+    d_env = _env_dist(
+        xy[:, 0], xy[:, 1],
+        env["min_x"].to_numpy(), env["min_y"].to_numpy(),
+        env["max_x"].to_numpy(), env["max_y"].to_numpy(),
+    )  # (nq, nparts)
+    d_env[:, ~nonempty] = np.inf
+
+    def launch(plan: dict[int, list[int]], bounds: np.ndarray):
+        state_ref = ray.put(
+            {
+                "plan": plan,
+                "pids": np.array(sorted(plan), dtype=np.int64),
+                "qx": xy[:, 0],
+                "qy": xy[:, 1],
+                "qids": query_ids,
+                "bounds": bounds,
+            }
+        )
+        return index_ds.map_batches(
+            _PartitionKnnProbe(state_ref, k), batch_format="pyarrow"
+        ).to_pandas()
+
+    # phase A: nearest envelope per query → upper bound on the k-th dist
+    near = np.argmin(d_env, axis=1)
+    plan_a: dict[int, list[int]] = {}
+    for qi in range(nq):
+        plan_a.setdefault(int(pid[near[qi]]), []).append(qi)
+    res_a = launch(plan_a, np.full(nq, np.inf))
+
+    bounds = np.full(nq, np.inf)
+    qid_to_qi = {int(q): i for i, q in enumerate(query_ids)}
+    for q, grp in res_a.groupby("query_id"):
+        if len(grp) >= k:
+            bounds[qid_to_qi[int(q)]] = np.sort(grp["dist"].to_numpy())[k - 1]
+
+    # phase B: every other partition whose envelope can still matter
+    plan_b: dict[int, list[int]] = {}
+    probed_a = {(int(pid[near[qi]]), qi) for qi in range(nq)}
+    cand_q, cand_p = np.nonzero(d_env <= bounds[:, None])
+    for qi, pj in zip(cand_q, cand_p):
+        if (int(pid[pj]), qi) in probed_a:
+            continue
+        plan_b.setdefault(int(pid[pj]), []).append(int(qi))
+    parts = [res_a]
+    n_probes_b = sum(len(v) for v in plan_b.values())
+    if plan_b:
+        parts.append(launch(plan_b, bounds))
+    cands = pd.concat(parts, ignore_index=True)
+
+    def merge_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["dist", "target_id"], kind="mergesort").head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g[["query_id", "target_id", "rank", "dist"]]
+
+    out = (
+        cands.groupby("query_id", group_keys=False)[cands.columns]
+        .apply(merge_topk)
+        .reset_index(drop=True)
+    )
+    if return_stats:
+        return out, {
+            "partitions_total": int(len(pid)),
+            "probes_a": int(nq),
+            "probes_b": int(n_probes_b),
+        }
+    return out
+
+
 def pruned_box_search(index_ds, min_x: float, min_y: float,
                       max_x: float, max_y: float, id_col: str = "id"):
     """Probe a partitioned index: partitions whose ENVELOPE misses the

@@ -424,3 +424,53 @@ class TestIndexByteStability:
         a = build_digests()
         b = build_digests()
         assert a == b and len(a) > 0
+
+
+class TestKnnPartitioned:
+    def test_equals_brute_knn_and_prunes(self):
+        """Ring-expansion kNN over the two-level index must equal the
+        broadcast brute-force path, while probing far fewer partitions
+        than exist."""
+        from geo_index_ray.pipelines import knn as knn_pipe
+        from geo_index_ray.pipelines import partition as pp
+        from geo_index_ray.sources import tables
+
+        rng = np.random.default_rng(11)
+        qxy = np.stack(
+            [rng.uniform(-170, 170, 12), rng.uniform(-80, 80, 12)], axis=1
+        )
+        qids = np.arange(100, 112, dtype=np.int64)
+        targets = tables.points_ds(SF, "customer", "c_custkey")
+        idx = pp.build_partitioned_index(targets, "c_custkey", 32)
+        got, stats = pp.knn_partitioned(idx, qxy, 4, query_ids=qids,
+                                        return_stats=True)
+        want = _to_df(
+            knn_pipe.knn(targets, qxy, 4, id_col="c_custkey", query_ids=qids)
+        )
+        cols = ["query_id", "target_id", "rank"]
+        a = got[cols].sort_values(cols).reset_index(drop=True)
+        b = want[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+        # sub-linear: phase B never probes every remaining partition
+        assert stats["probes_b"] < stats["partitions_total"] * len(qids) * 0.5
+
+    def test_tie_at_kth_distance_matches_oracle_order(self):
+        """Equidistant targets at the k-th rank must resolve by smaller id
+        (the documented ORDER BY dist, target_id tie-break)."""
+        import ray.data
+
+        from geo_index_ray.pipelines import knn as knn_pipe
+
+        # four targets at exactly distance 1 from the origin query
+        t = pa.table(
+            {
+                "tid": pa.array([10, 2, 7, 1], pa.int64()),
+                "x": pa.array([1.0, -1.0, 0.0, 0.0]),
+                "y": pa.array([0.0, 0.0, 1.0, -1.0]),
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        got = _to_df(
+            knn_pipe.knn(ds, np.array([[0.0, 0.0]]), 2, id_col="tid")
+        ).sort_values("rank")
+        assert got["target_id"].tolist() == [1, 2]
