@@ -616,6 +616,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["knn_boxes"] = knn_boxes
 
+    def knn_polygons(sf_dir):
+        """kNN to convex POLYGON targets by exact point-to-geometry
+        distance (full Q5 / neighbors_geometry parity: bbox candidates
+        refine against the true ring, 0 inside)."""
+        from geo_index_ray.kernels import geom
+
+        nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+        nk = nation["n_nationkey"].to_numpy().astype(np.int64)
+        qxy = np.stack([geocode.derive_lon(nk), geocode.derive_lat(nk)], axis=1)
+        ds = tables.read_table(sf_dir, "part", columns=["p_partkey"])
+
+        def to_verts(batch: pa.Table) -> pa.Table:
+            pk = batch["p_partkey"].to_numpy().astype(np.int64)
+            verts = geom.pentagon_vertices(
+                geocode.derive_lon(pk), geocode.derive_lat(pk),
+                geocode.derive_half_w(pk), geocode.derive_half_h(pk),
+            )
+            cols = {"p_partkey": pa.array(pk)}
+            for j in range(5):
+                cols[f"vx{j}"] = pa.array(verts[:, j, 0])
+                cols[f"vy{j}"] = pa.array(verts[:, j, 1])
+            return pa.table(cols)
+
+        targets = ds.map_batches(to_verts, batch_format="pyarrow")
+        res = knn_pipe.knn_to_polygons(
+            targets, qxy, KNN_K, id_col="p_partkey", query_ids=nk
+        )
+        return res.select_columns(["query_id", "target_id", "rank"])
+
+    q["knn_polygons"] = knn_polygons
+
     def simhash_pairs_q(sf_dir):
         ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
         return dedup_pipe.simhash_pairs(ds, "doc_id", max_hamming=3)
@@ -1049,6 +1080,65 @@ def oracle_sql() -> dict[str, str]:
           SELECT query_id, target_id,
                  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, target_id) AS rank
           FROM d
+        ) WHERE rank <= {KNN_K}
+    """
+
+    # knn_polygons: pentagon vertices + exact point-to-convex-polygon
+    # distance, formula order mirroring kernels.geom verbatim
+    from geo_index_ray.kernels.geom import PENTAGON_OFFSETS
+
+    _vcols = ", ".join(
+        f"cx + rx * {ox} AS vx{j}, cy + ry * {oy} AS vy{j}"
+        for j, (ox, oy) in enumerate(PENTAGON_OFFSETS)
+    )
+    _edge_lvl1 = []
+    for j in range(5):
+        b = (j + 1) % 5
+        abx = f"(vx{b} - vx{j})"
+        aby = f"(vy{b} - vy{j})"
+        apx = f"(q.x - vx{j})"
+        apy = f"(q.y - vy{j})"
+        _edge_lvl1.append(
+            f"{abx} * {apy} - {aby} * {apx} AS cr{j}, "
+            f"LEAST(GREATEST(({apx} * {abx} + {apy} * {aby}) / "
+            f"({abx} * {abx} + {aby} * {aby}), 0.0), 1.0) AS t{j}"
+        )
+    _edge_lvl2 = ", ".join(
+        f"(x - (vx{j} + t{j} * (vx{(j + 1) % 5} - vx{j}))) * "
+        f"(x - (vx{j} + t{j} * (vx{(j + 1) % 5} - vx{j}))) + "
+        f"(y - (vy{j} + t{j} * (vy{(j + 1) % 5} - vy{j}))) * "
+        f"(y - (vy{j} + t{j} * (vy{(j + 1) % 5} - vy{j}))) AS d{j}"
+        for j in range(5)
+    )
+    _inside = " AND ".join(f"cr{j} >= 0.0" for j in range(5))
+    sql["knn_polygons"] = f"""
+        WITH q AS (SELECT n_nationkey, {pt('n_nationkey')} FROM nation),
+        pv AS (
+          SELECT p_partkey, {_vcols} FROM (
+            SELECT p_partkey,
+                   {lon('p_partkey')} AS cx, {lat('p_partkey')} AS cy,
+                   {geocode.sql_half_w('p_partkey')} AS rx,
+                   {geocode.sql_half_h('p_partkey')} AS ry
+            FROM part
+          )
+        ),
+        lvl1 AS (
+          SELECT q.n_nationkey AS query_id, pv.p_partkey AS target_id,
+                 q.x AS x, q.y AS y, pv.*,
+                 {', '.join(_edge_lvl1)}
+          FROM q CROSS JOIN pv
+        ),
+        lvl2 AS (
+          SELECT query_id, target_id,
+                 CASE WHEN {_inside} THEN 0.0
+                      ELSE LEAST({', '.join(f'd{j}' for j in range(5))}) END AS dist
+          FROM (SELECT *, {_edge_lvl2} FROM lvl1)
+        )
+        SELECT query_id, target_id, rank FROM (
+          SELECT query_id, target_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY dist, target_id) AS rank
+          FROM lvl2
         ) WHERE rank <= {KNN_K}
     """
 

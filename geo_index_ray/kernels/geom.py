@@ -100,3 +100,63 @@ def points_in_polygon(px: np.ndarray, py: np.ndarray, poly: np.ndarray) -> np.nd
 def points_in_boxes(px, py, bminx, bminy, bmaxx, bmaxy):
     """Vectorized elementwise point-in-bbox (closed box)."""
     return (px >= bminx) & (px <= bmaxx) & (py >= bminy) & (py <= bmaxy)
+
+
+# unit pentagon, counter-clockwise from the top vertex; fixed 3-decimal
+# literals so an external SQL oracle reproduces every float exactly
+PENTAGON_OFFSETS = (
+    (0.0, 1.0),
+    (-0.951, 0.309),
+    (-0.588, -0.809),
+    (0.588, -0.809),
+    (0.951, 0.309),
+)
+
+
+def pentagon_vertices(cx, cy, rx, ry):
+    """Deterministic convex pentagon per row: center ± radius × the fixed
+    unit offsets.  Returns (n, 5, 2) float64 vertices (CCW)."""
+    cx = np.asarray(cx, dtype=np.float64)
+    cy = np.asarray(cy, dtype=np.float64)
+    rx = np.asarray(rx, dtype=np.float64)
+    ry = np.asarray(ry, dtype=np.float64)
+    out = np.empty((len(cx), 5, 2), dtype=np.float64)
+    for j, (ox, oy) in enumerate(PENTAGON_OFFSETS):
+        out[:, j, 0] = cx + rx * ox
+        out[:, j, 1] = cy + ry * oy
+    return out
+
+
+def point_to_convex_poly_dist2(px, py, verts):
+    """Exact squared point-to-convex-polygon distance, 0 inside.
+
+    The engine's geometry-accessor refinement (reference
+    GeometryAccessor leaf distance, src/rtree/distance.rs:145-160):
+    candidates from the bbox tree refine against the true geometry.
+    ``px/py`` are (q,) query points, ``verts`` is (n, k, 2) CCW convex
+    rings; returns (n, q).  Formula order is mirrored verbatim by the SQL
+    oracle — keep both in lockstep.
+    """
+    px = np.asarray(px, dtype=np.float64)[None, :]
+    py = np.asarray(py, dtype=np.float64)[None, :]
+    n, k, _ = verts.shape
+    inside = np.ones((n, px.shape[1]), dtype=bool)
+    best = np.full((n, px.shape[1]), np.inf)
+    for j in range(k):
+        ax = verts[:, j, 0][:, None]
+        ay = verts[:, j, 1][:, None]
+        bx = verts[:, (j + 1) % k, 0][:, None]
+        by = verts[:, (j + 1) % k, 1][:, None]
+        abx = bx - ax
+        aby = by - ay
+        apx = px - ax
+        apy = py - ay
+        inside &= abx * apy - aby * apx >= 0.0
+        denom = abx * abx + aby * aby
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (apx * abx + apy * aby) / denom
+        t = np.clip(np.where(np.isfinite(t), t, 0.0), 0.0, 1.0)
+        dx = px - (ax + t * abx)
+        dy = py - (ay + t * aby)
+        best = np.minimum(best, dx * dx + dy * dy)
+    return np.where(inside, 0.0, best)

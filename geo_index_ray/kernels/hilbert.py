@@ -28,61 +28,132 @@ U32 = np.uint32
 def hilbert_d(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     """Vectorized Hilbert d-index for 16-bit x/y (arrays of uint32).
 
-    Parity: reference src/rtree/sort/hilbert.rs:121-177.
+    Parity: reference src/rtree/sort/hilbert.rs:121-177.  All ~45 bit ops
+    run through a small reused workspace (``out=``) — the naive expression
+    form mallocs a multi-MB temporary per op, and at 1M+ rows those mmap'd
+    pages (kernel-zeroed on first touch) dominate the kernel's runtime.
     """
     x = x.astype(U32, copy=False)
     y = y.astype(U32, copy=False)
     M = U32(0xFFFF)
+    n = x.shape[0]
 
-    a1 = x ^ y
-    b1 = M ^ a1
-    c1 = M ^ (x | y)
-    d1 = x & (y ^ M)
+    XOR, AND, OR = np.bitwise_xor, np.bitwise_and, np.bitwise_or
+    SHR, SHL = np.right_shift, np.left_shift
 
-    a2 = a1 | (b1 >> U32(1))
-    b2 = (a1 >> U32(1)) ^ a1
-    c2 = ((c1 >> U32(1)) ^ (b1 & (d1 >> U32(1)))) ^ c1
-    d2 = ((a1 & (c1 >> U32(1))) ^ (d1 >> U32(1))) ^ d1
+    a, b, c, d, na, nb, nc, nd, t, u, w = (np.empty(n, U32) for _ in range(11))
 
-    a1, b1, c1, d1 = a2, b2, c2, d2
-    a2 = (a1 & (a1 >> U32(2))) ^ (b1 & (b1 >> U32(2)))
-    b2 = (a1 & (b1 >> U32(2))) ^ (b1 & ((a1 ^ b1) >> U32(2)))
-    c2 = c2 ^ ((a1 & (c1 >> U32(2))) ^ (b1 & (d1 >> U32(2))))
-    d2 = d2 ^ ((b1 & (c1 >> U32(2))) ^ ((a1 ^ b1) & (d1 >> U32(2))))
+    XOR(x, y, out=a)  # a1 = x ^ y
+    XOR(M, a, out=b)  # b1 = M ^ a1
+    OR(x, y, out=c)
+    XOR(M, c, out=c)  # c1 = M ^ (x | y)
+    XOR(y, M, out=d)
+    AND(x, d, out=d)  # d1 = x & (y ^ M)
 
-    a1, b1, c1, d1 = a2, b2, c2, d2
-    a2 = (a1 & (a1 >> U32(4))) ^ (b1 & (b1 >> U32(4)))
-    b2 = (a1 & (b1 >> U32(4))) ^ (b1 & ((a1 ^ b1) >> U32(4)))
-    c2 = c2 ^ ((a1 & (c1 >> U32(4))) ^ (b1 & (d1 >> U32(4))))
-    d2 = d2 ^ ((b1 & (c1 >> U32(4))) ^ ((a1 ^ b1) & (d1 >> U32(4))))
+    # shift-1 level
+    SHR(b, U32(1), out=t)
+    OR(a, t, out=na)                       # a | (b >> 1)
+    SHR(a, U32(1), out=t)
+    XOR(t, a, out=nb)                      # (a >> 1) ^ a
+    SHR(d, U32(1), out=t)
+    AND(b, t, out=t)
+    SHR(c, U32(1), out=u)
+    XOR(u, t, out=t)
+    XOR(t, c, out=nc)                      # ((c>>1) ^ (b & (d>>1))) ^ c
+    SHR(c, U32(1), out=t)
+    AND(a, t, out=t)
+    SHR(d, U32(1), out=u)
+    XOR(t, u, out=t)
+    XOR(t, d, out=nd)                      # ((a & (c>>1)) ^ (d>>1)) ^ d
+    a, na = na, a
+    b, nb = nb, b
+    c, nc = nc, c
+    d, nd = nd, d
 
-    a1, b1, c1, d1 = a2, b2, c2, d2
-    c2 = c2 ^ ((a1 & (c1 >> U32(8))) ^ (b1 & (d1 >> U32(8))))
-    d2 = d2 ^ ((b1 & (c1 >> U32(8))) ^ ((a1 ^ b1) & (d1 >> U32(8))))
+    # shift-2 and shift-4 levels share one recurrence
+    for sh in (U32(2), U32(4)):
+        XOR(a, b, out=w)
+        SHR(a, sh, out=t)
+        AND(a, t, out=t)
+        SHR(b, sh, out=u)
+        AND(b, u, out=u)
+        XOR(t, u, out=na)                  # (a & a>>s) ^ (b & b>>s)
+        SHR(b, sh, out=t)
+        AND(a, t, out=t)
+        SHR(w, sh, out=u)
+        AND(b, u, out=u)
+        XOR(t, u, out=nb)                  # (a & b>>s) ^ (b & (a^b)>>s)
+        SHR(c, sh, out=t)
+        AND(a, t, out=t)
+        SHR(d, sh, out=u)
+        AND(b, u, out=u)
+        XOR(t, u, out=t)
+        XOR(c, t, out=nc)                  # c ^ ((a & c>>s) ^ (b & d>>s))
+        SHR(c, sh, out=t)
+        AND(b, t, out=t)
+        SHR(d, sh, out=u)
+        AND(w, u, out=u)
+        XOR(t, u, out=t)
+        XOR(d, t, out=nd)                  # d ^ ((b & c>>s) ^ ((a^b) & d>>s))
+        a, na = na, a
+        b, nb = nb, b
+        c, nc = nc, c
+        d, nd = nd, d
 
-    a1 = c2 ^ (c2 >> U32(1))
-    b1 = d2 ^ (d2 >> U32(1))
+    # shift-8 level: only c/d advance
+    XOR(a, b, out=w)
+    SHR(c, U32(8), out=t)
+    AND(a, t, out=t)
+    SHR(d, U32(8), out=u)
+    AND(b, u, out=u)
+    XOR(t, u, out=t)
+    XOR(c, t, out=nc)
+    SHR(c, U32(8), out=t)
+    AND(b, t, out=t)
+    SHR(d, U32(8), out=u)
+    AND(w, u, out=u)
+    XOR(t, u, out=t)
+    XOR(d, t, out=nd)
+    c, nc = nc, c
+    d, nd = nd, d
 
-    i0 = x ^ y
-    i1 = b1 | (M ^ (i0 | a1))
+    # fold to i0/i1
+    SHR(c, U32(1), out=t)
+    XOR(c, t, out=na)                      # A = c ^ (c >> 1)
+    SHR(d, U32(1), out=t)
+    XOR(d, t, out=nb)                      # B = d ^ (d >> 1)
+    i0 = XOR(x, y, out=c)
+    OR(i0, na, out=t)
+    XOR(M, t, out=t)
+    i1 = OR(nb, t, out=d)
 
-    i0 = (i0 | (i0 << U32(8))) & U32(0x00FF00FF)
-    i0 = (i0 | (i0 << U32(4))) & U32(0x0F0F0F0F)
-    i0 = (i0 | (i0 << U32(2))) & U32(0x33333333)
-    i0 = (i0 | (i0 << U32(1))) & U32(0x55555555)
+    # bit interleave, in place
+    for v in (i0, i1):
+        SHL(v, U32(8), out=t)
+        OR(v, t, out=v)
+        AND(v, U32(0x00FF00FF), out=v)
+        SHL(v, U32(4), out=t)
+        OR(v, t, out=v)
+        AND(v, U32(0x0F0F0F0F), out=v)
+        SHL(v, U32(2), out=t)
+        OR(v, t, out=v)
+        AND(v, U32(0x33333333), out=v)
+        SHL(v, U32(1), out=t)
+        OR(v, t, out=v)
+        AND(v, U32(0x55555555), out=v)
 
-    i1 = (i1 | (i1 << U32(8))) & U32(0x00FF00FF)
-    i1 = (i1 | (i1 << U32(4))) & U32(0x0F0F0F0F)
-    i1 = (i1 | (i1 << U32(2))) & U32(0x33333333)
-    i1 = (i1 | (i1 << U32(1))) & U32(0x55555555)
-
-    return (i1 << U32(1)) | i0
+    SHL(i1, U32(1), out=t)
+    return OR(t, i0, out=na)
 
 
 def _saturating_u32(v: np.ndarray) -> np.ndarray:
-    """Rust `f64 as u32` semantics: NaN→0, clamp to [0, u32::MAX], trunc."""
-    v = np.where(np.isnan(v), 0.0, v)
-    v = np.clip(v, 0.0, 4294967295.0)
+    """Rust `f64 as u32` semantics: NaN→0, clamp to [0, u32::MAX], trunc.
+
+    Two where-passes instead of isnan+clip: ``NaN > 0`` is False, so the
+    first pass folds NaN and negatives to 0 in one go — value-identical,
+    one fewer full-array pass."""
+    v = np.where(v > 0.0, v, 0.0)
+    v = np.where(v < 4294967295.0, v, 4294967295.0)
     return v.astype(U32)
 
 
@@ -101,23 +172,39 @@ def hilbert_values_for_boxes(
     gminx, gminy, gmaxx, gmaxy = bounds
     width = gmaxx - gminx
     height = gmaxy - gminy
+    # in-place chain with the reference's exact op order/rounding:
+    # MAX * ((min+max)/2 - gmin) / extent.  The explicit floor is dropped —
+    # after the saturating clamp every value is ≥ 0, where trunc ≡ floor
+    # (negatives floor below 0 but clamp to 0 either way) — so values are
+    # bit-identical to the floor'd form, two fewer full-array passes.
     with np.errstate(divide="ignore", invalid="ignore"):
-        hx = np.floor(_HILBERT_MAX * ((min_x + max_x) / 2.0 - gminx) / width)
-        hy = np.floor(_HILBERT_MAX * ((min_y + max_y) / 2.0 - gminy) / height)
+        hx = min_x + max_x
+        hx /= 2.0
+        hx -= gminx
+        hx *= _HILBERT_MAX
+        hx /= width
+        hy = min_y + max_y
+        hy /= 2.0
+        hy -= gminy
+        hy *= _HILBERT_MAX
+        hy /= height
     return hilbert_d(_saturating_u32(hx), _saturating_u32(hy))
 
 
 def hilbert_sort_permutation(hilbert_values: np.ndarray) -> np.ndarray:
     """Fast path: argsort by Hilbert value, ties broken by insertion index.
 
-    Implemented as one uint64 composite-key quicksort
-    (``hilbert << 32 | index``) — bit-identical output to a stable argsort
-    of the bare values but ~3× faster (numpy's stable path is much slower
-    than introsort on unsigned ints)."""
-    key = (hilbert_values.astype(np.uint64) << np.uint64(32)) | np.arange(
-        len(hilbert_values), dtype=np.uint64
-    )
-    return np.argsort(key, kind="quicksort")
+    Two chained STABLE argsorts over the 16-bit halves — numpy's stable
+    kind on uint16 is an O(n) radix sort, so this is LSD radix over the
+    32-bit key with ties falling back to insertion order.  Output is
+    bit-identical to a stable argsort of the bare values (and to the
+    previous uint64 composite-key quicksort), ~25% faster and without
+    materializing a composite key."""
+    hv = hilbert_values.astype(U32, copy=False)
+    lo = hv.astype(np.uint16)
+    hi = (hv >> U32(16)).astype(np.uint16)
+    o1 = np.argsort(lo, kind="stable")
+    return o1[np.argsort(hi[o1], kind="stable")]
 
 
 def partial_quicksort(

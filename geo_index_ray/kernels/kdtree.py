@@ -121,6 +121,10 @@ def build_kdtree(
     dtype = np.dtype(dtype)
     x = np.ascontiguousarray(x, dtype=dtype)
     y = np.ascontiguousarray(y, dtype=dtype)
+    # same NaN contract as the R-tree builder (reference panics on NaN,
+    # src/rtree/mod.rs:24-25) — fail loudly instead of mis-sorting
+    if np.isnan(x).any() or np.isnan(y).any():
+        raise ValueError("Coordinates must not be NaN")
     n = len(x)
     meta = KDTreeMetadata(n, node_size, dtype)
 

@@ -154,6 +154,14 @@ def build_rtree(
     min_y = np.ascontiguousarray(min_y, dtype=dtype)
     max_x = np.ascontiguousarray(max_x, dtype=dtype)
     max_y = np.ascontiguousarray(max_y, dtype=dtype)
+    # NaN contract pinned to the reference: building with NaN coordinates
+    # is a programmer error and must fail loudly (src/rtree/mod.rs:24-25
+    # panics "Coordinates must not be NaN"), never silently misplace boxes
+    if (
+        np.isnan(min_x).any() or np.isnan(min_y).any()
+        or np.isnan(max_x).any() or np.isnan(max_y).any()
+    ):
+        raise ValueError("Coordinates must not be NaN")
     n = len(min_x)
     meta = RTreeMetadata(n, node_size, dtype)
 
@@ -223,6 +231,20 @@ def build_rtree(
     return data
 
 
+def _permute_rows(leaf, indices, n, perm):
+    """Reorder the interleaved leaf boxes + index column by ``perm``.
+
+    ``np.take(..., out=, mode='clip')`` hits numpy's fast contiguous
+    gather (~5× faster than fancy row indexing); the contiguous copy back
+    into the buffer view is a plain memcpy."""
+    rows = np.empty((n, 4), dtype=leaf.dtype)
+    np.take(leaf.reshape(-1, 4), perm, axis=0, out=rows, mode="clip")
+    leaf[:] = rows.ravel()
+    idx = np.empty(n, dtype=indices.dtype)
+    np.take(indices[:n], perm, out=idx, mode="clip")
+    indices[:n] = idx
+
+
 def _sort_leaves(leaf, indices, n, node_size, method, bounds, dtype):
     mnx, mny, mxx, mxy = leaf[0::4], leaf[1::4], leaf[2::4], leaf[3::4]
     if method == "none":
@@ -230,8 +252,7 @@ def _sort_leaves(leaf, indices, n, node_size, method, bounds, dtype):
     if method == "hilbert":
         hv = hilbert_values_for_boxes(mnx, mny, mxx, mxy, bounds)
         perm = hilbert_sort_permutation(hv)
-        leaf[:] = leaf.reshape(-1, 4)[perm].ravel()
-        indices[:n] = indices[:n][perm]
+        _permute_rows(leaf, indices, n, perm)
     elif method == "hilbert_parity":
         hv = hilbert_values_for_boxes(mnx, mny, mxx, mxy, bounds).copy()
         partial_quicksort(hv, leaf, indices[:n], node_size)
@@ -253,8 +274,7 @@ def _sort_leaves(leaf, indices, n, node_size, method, bounds, dtype):
                 break
             sub = np.argsort(cy_sorted[lo:hi], kind="stable")
             perm[lo:hi] = perm[lo:hi][sub]
-        leaf[:] = leaf.reshape(-1, 4)[perm].ravel()
-        indices[:n] = indices[:n][perm]
+        _permute_rows(leaf, indices, n, perm)
     elif method == "str_parity":
         cx = ((mnx + mxx) / 2).astype(dtype)
         partial_quicksort(cx, leaf, indices[:n], node_size)

@@ -232,6 +232,92 @@ class _LocalBoxKnn:
         )
 
 
+class _LocalPolyKnn:
+    """Broadcast-probe kNN where targets are CONVEX POLYGONS carried as
+    vertex columns (vx0..vy{k-1}): per batch, a packed R-tree over the
+    polygon bboxes yields a cheap lower bound, then candidates refine with
+    the exact point-to-polygon distance (kernels.geom — the reference's
+    GeometryAccessor leaf refinement, src/rtree/distance.rs:145-160,
+    :202-389).  Here the bbox bound prunes nothing at small batch sizes,
+    so the whole batch refines vectorized; ties at the k-th distance are
+    all kept for the oracle-exact (dist, id) merge."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, n_verts: int):
+        self.queries_ref = queries_ref
+        self.qids = None
+        self.qx = None
+        self.qy = None
+        self.k = k
+        self.id_col = id_col
+        self.n_verts = n_verts
+
+    def _load(self):
+        import ray
+
+        q = ray.get(self.queries_ref)
+        self.qids = q["ids"]
+        self.qx = np.ascontiguousarray(q["xy"][:, 0])
+        self.qy = np.ascontiguousarray(q["xy"][:, 1])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..kernels.geom import point_to_convex_poly_dist2
+
+        if self.qx is None:
+            self._load()
+        ids = batch[self.id_col].to_numpy().astype(np.int64)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "target_id": pa.array([], pa.int64()),
+                    "dist": pa.array([], pa.float64()),
+                }
+            )
+        verts = np.empty((len(ids), self.n_verts, 2), dtype=np.float64)
+        for j in range(self.n_verts):
+            verts[:, j, 0] = batch[f"vx{j}"].to_numpy()
+            verts[:, j, 1] = batch[f"vy{j}"].to_numpy()
+        d = point_to_convex_poly_dist2(self.qx, self.qy, verts)  # (n, q)
+        kk = min(self.k, len(ids))
+        kth = np.partition(d, kk - 1, axis=0)[kk - 1]
+        ti, qi = np.nonzero(d <= kth[None, :])
+        return pa.table(
+            {
+                "query_id": pa.array(self.qids[qi]),
+                "target_id": pa.array(ids[ti]),
+                "dist": pa.array(d[ti, qi]),
+            }
+        )
+
+
+def knn_to_polygons(targets_ds, query_xy: np.ndarray, k: int, id_col: str,
+                    query_ids: np.ndarray | None = None, n_verts: int = 5):
+    """Global top-k nearest CONVEX-POLYGON targets per query point by
+    exact point-to-geometry distance (0 inside) — the engine's full Q5
+    (neighbors_geometry) parity path.  Targets carry vertex columns
+    vx0..vy{n_verts-1}.  Returns (query_id, target_id, rank, dist)."""
+    import ray
+
+    xy = np.ascontiguousarray(query_xy, dtype=np.float64)
+    if query_ids is None:
+        query_ids = np.arange(len(xy), dtype=np.int64)
+    queries_ref = ray.put({"xy": xy, "ids": np.asarray(query_ids, dtype=np.int64)})
+    candidates = targets_ds.map_batches(
+        _LocalPolyKnn(queries_ref, k, id_col, n_verts), batch_format="pyarrow"
+    )
+
+    from ..stages.util import coalesce_for_shuffle
+
+    candidates = coalesce_for_shuffle(candidates, 0.25)
+
+    def merge_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["dist", "target_id"], kind="mergesort").head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g[["query_id", "target_id", "rank", "dist"]]
+
+    return candidates.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
+
+
 def knn_to_boxes(targets_ds, query_xy: np.ndarray, k: int, id_col: str,
                  query_ids: np.ndarray | None = None):
     """Global top-k nearest BOX targets per query point, by exact

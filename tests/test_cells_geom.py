@@ -1,6 +1,7 @@
 """Cell grid + geometry kernel tests."""
 
 import numpy as np
+import pytest
 
 from geo_index_ray.kernels import cells, geom
 
@@ -106,3 +107,78 @@ class TestGeom:
         assert geom.axis_dist(5.0, 10.0, 20.0) == 5.0
         assert geom.axis_dist(15.0, 10.0, 20.0) == 0.0
         assert geom.axis_dist(25.0, 10.0, 20.0) == 5.0
+
+
+class TestPolygonDistance:
+    """Exact geometry refinement (Q5 / neighbors_geometry parity) and the
+    rstar-equivalence candidate-set test on a synthetic polygon fixture
+    (mirrors the intent of reference src/rtree/traversal.rs:402-484, which
+    checks tree-join candidates against an independent implementation on a
+    real 85-polygon set)."""
+
+    def _polys(self, n=85, seed=4):
+        rng = np.random.default_rng(seed)
+        cx = rng.uniform(-170, 170, n)
+        cy = rng.uniform(-80, 80, n)
+        rx = rng.uniform(0.5, 8.0, n)
+        ry = rng.uniform(0.5, 8.0, n)
+        return geom.pentagon_vertices(cx, cy, rx, ry)
+
+    def test_tree_join_candidates_equal_bruteforce(self):
+        from geo_index_ray.kernels import rtree
+
+        verts = self._polys()
+        mnx = verts[:, :, 0].min(axis=1)
+        mxx = verts[:, :, 0].max(axis=1)
+        mny = verts[:, :, 1].min(axis=1)
+        mxy = verts[:, :, 1].max(axis=1)
+        tree = rtree.build_rtree(mnx, mny, mxx, mxy)
+        li, ri = rtree.tree_join(tree, tree)
+        got = {(int(a), int(b)) for a, b in zip(li, ri)}
+        want = set()
+        n = len(mnx)
+        for i in range(n):
+            hit = geom.boxes_intersect(
+                mnx[i], mny[i], mxx[i], mxy[i], mnx, mny, mxx, mxy
+            )
+            for j in np.nonzero(hit)[0]:
+                want.add((i, int(j)))
+        assert got == want
+
+    def test_dist2_zero_iff_inside(self):
+        verts = self._polys(n=40)
+        rng = np.random.default_rng(9)
+        px = rng.uniform(-175, 175, 300)
+        py = rng.uniform(-85, 85, 300)
+        d2 = geom.point_to_convex_poly_dist2(px, py, verts)
+        for i in range(len(verts)):
+            inside = geom.points_in_polygon(px, py, verts[i])
+            # ray-cast and half-plane tests agree except exactly on edges
+            assert np.array_equal(d2[i] == 0.0, inside)
+
+    def test_dist2_matches_scalar_reference(self):
+        verts = self._polys(n=25)
+        rng = np.random.default_rng(2)
+        px = rng.uniform(-175, 175, 60)
+        py = rng.uniform(-85, 85, 60)
+        d2 = geom.point_to_convex_poly_dist2(px, py, verts)
+
+        def scalar_dist2(x, y, ring):
+            best = np.inf
+            for j in range(len(ring)):
+                ax, ay = ring[j]
+                bx, by = ring[(j + 1) % len(ring)]
+                abx, aby = bx - ax, by - ay
+                t = ((x - ax) * abx + (y - ay) * aby) / (abx * abx + aby * aby)
+                t = min(max(t, 0.0), 1.0)
+                dx, dy = x - (ax + t * abx), y - (ay + t * aby)
+                best = min(best, dx * dx + dy * dy)
+            return best
+
+        for i in range(len(verts)):
+            for qi in range(len(px)):
+                if d2[i, qi] == 0.0:
+                    continue
+                assert d2[i, qi] == pytest.approx(
+                    scalar_dist2(px[qi], py[qi], verts[i]), rel=0, abs=0.0
+                )

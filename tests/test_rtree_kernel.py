@@ -248,3 +248,24 @@ class TestF32:
         ids = rtree.search(buf, 40, 40, 60, 60)
         got = sorted(np.concatenate([arr[i] for i in ids]).tolist())
         assert got == SEARCH_40_60_EXPECTED
+
+
+class TestNaNContract:
+    def test_rtree_rejects_nan(self):
+        import pytest
+
+        from geo_index_ray.kernels import rtree
+
+        x = np.array([1.0, np.nan, 3.0])
+        with pytest.raises(ValueError, match="NaN"):
+            rtree.build_rtree(x, x, x, x)
+
+    def test_kdtree_rejects_nan(self):
+        import pytest
+
+        from geo_index_ray.kernels import kdtree
+
+        x = np.array([1.0, 2.0])
+        y = np.array([np.nan, 2.0])
+        with pytest.raises(ValueError, match="NaN"):
+            kdtree.build_kdtree(x, y)
