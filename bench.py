@@ -150,11 +150,57 @@ def run_queries(sf_dir: str, num_cpus: int):
     return timings, rows
 
 
+def run_micros() -> dict:
+    """Single-core kernel micros, like-for-like with the reference's
+    published bench shape (1M boxes; per-query box search; kNN):
+    no Ray involved — this is the per-core floor the cluster multiplies.
+    """
+    import numpy as np
+
+    from geo_index_ray.kernels import rtree
+
+    n = 1_000_000
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 100, n)
+    y = rng.uniform(0, 100, n)
+    w = rng.uniform(0, 0.1, n)
+    h = rng.uniform(0, 0.1, n)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        buf = rtree.build_rtree(x, y, x + w, y + h)
+        best = min(best, time.perf_counter() - t0)
+    out = {"build_1m_boxes_per_sec": round(n / best, 1)}
+
+    qs = [
+        (qx, qy, qx + 1.0, qy + 1.0)
+        for qx, qy in zip(rng.uniform(0, 99, 200), rng.uniform(0, 99, 200))
+    ]
+    t0 = time.perf_counter()
+    for q in qs:
+        rtree.search(buf, *q)
+    out["search_us_per_query"] = round((time.perf_counter() - t0) / len(qs) * 1e6, 1)
+    qarr = np.array(qs)
+    t0 = time.perf_counter()
+    rtree.search_batch(buf, qarr[:, 0], qarr[:, 1], qarr[:, 2], qarr[:, 3])
+    out["search_batched_us_per_query"] = round(
+        (time.perf_counter() - t0) / len(qs) * 1e6, 1
+    )
+    t0 = time.perf_counter()
+    for qx, qy in zip(rng.uniform(0, 100, 50), rng.uniform(0, 100, 50)):
+        rtree.neighbors(buf, qx, qy, max_results=100)
+    out["neighbors_k100_us_per_query"] = round((time.perf_counter() - t0) / 50 * 1e6, 1)
+    return out
+
+
 def main():
     if "--scaling" in sys.argv:
         return scaling_main()
     if "--child" in sys.argv:
         return child_main()
+    if "--micro" in sys.argv:
+        print(json.dumps({"metric": "kernel_micro", **run_micros()}))
+        return
 
     sf_dir = _sf_dir()
     num_cpus = _num_cpus()
@@ -174,6 +220,7 @@ def main():
         "index_build_boxes_per_sec": round(built / timings["index_build"], 1)
         if timings.get("index_build")
         else None,
+        "micro": run_micros(),
         "sf": sf_dir,
         "num_cpus": num_cpus,
     }

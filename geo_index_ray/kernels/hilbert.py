@@ -172,6 +172,13 @@ def hilbert_values_for_boxes(
     gminx, gminy, gmaxx, gmaxy = bounds
     width = gmaxx - gminx
     height = gmaxy - gminy
+    if not np.issubdtype(min_x.dtype, np.floating):
+        # integer coord trees: widen before the center math (int8 "+"
+        # would wrap; the float paths keep their native dtype for parity)
+        min_x = min_x.astype(np.float64)
+        min_y = min_y.astype(np.float64)
+        max_x = max_x.astype(np.float64)
+        max_y = max_y.astype(np.float64)
     # in-place chain with the reference's exact op order/rounding:
     # MAX * ((min+max)/2 - gmin) / extent.  The explicit floor is dropped —
     # after the saturating clamp every value is ≥ 0, where trunc ≡ floor

@@ -36,11 +36,21 @@ MAGIC = 0xFB
 VERSION = 3
 DEFAULT_NODE_SIZE = 16
 
-# flatbush-JS array-type order (reference src/type.rs:15-85); we support the
-# same subset as the reference's Python bindings (f32/f64,
-# python/src/coord_type.rs:6-9).
-_TYPE_INDEX = {"float32": 7, "float64": 8}
-_DTYPE_FOR_TYPE_INDEX = {7: np.dtype("float32"), 8: np.dtype("float64")}
+# flatbush-JS array-type order (reference src/type.rs:15-85): the full
+# integer set the reference core supports plus f32/f64 (the reference's
+# Python bindings expose only f32/f64, python/src/coord_type.rs:6-9 —
+# the integer nibbles here give core parity).
+_TYPE_INDEX = {
+    "int8": 0,
+    "uint8": 1,
+    "int16": 3,
+    "uint16": 4,
+    "int32": 5,
+    "uint32": 6,
+    "float32": 7,
+    "float64": 8,
+}
+_DTYPE_FOR_TYPE_INDEX = {v: np.dtype(k) for k, v in _TYPE_INDEX.items()}
 
 
 class RTreeMetadata:
@@ -157,7 +167,7 @@ def build_rtree(
     # NaN contract pinned to the reference: building with NaN coordinates
     # is a programmer error and must fail loudly (src/rtree/mod.rs:24-25
     # panics "Coordinates must not be NaN"), never silently misplace boxes
-    if (
+    if np.issubdtype(dtype, np.floating) and (
         np.isnan(min_x).any() or np.isnan(min_y).any()
         or np.isnan(max_x).any() or np.isnan(max_y).any()
     ):
@@ -211,10 +221,15 @@ def build_rtree(
         pad = num_parents * node_size - num_children
         if pad:
             padding = np.empty((pad, 4), dtype=dtype)
-            padding[:, 0] = np.inf
-            padding[:, 1] = np.inf
-            padding[:, 2] = -np.inf
-            padding[:, 3] = -np.inf
+            if np.issubdtype(dtype, np.floating):
+                lo, hi = -np.inf, np.inf
+            else:  # integer coord types: saturate instead of ±inf
+                info = np.iinfo(dtype)
+                lo, hi = info.min, info.max
+            padding[:, 0] = hi
+            padding[:, 1] = hi
+            padding[:, 2] = lo
+            padding[:, 3] = lo
             child_boxes = np.concatenate([child_boxes, padding])
         grouped = child_boxes.reshape(num_parents, node_size, 4)
         parent = np.empty((num_parents, 4), dtype=dtype)

@@ -223,30 +223,9 @@ def lsh_cosine_pairs(
             }
         )
 
+    # multi-table duplicate candidates die inside the verification join's
+    # first reducer — no separate pair-dedup shuffle needed
     pairs = buckets.groupby("rkey").map_groups(pairs_in_reducer, batch_format="pyarrow")
-
-    # a pair can collide in several tables → dedup on (a_id, b_id) via a
-    # coarse key + one vectorized unique per reducer
-    def add_pkey(batch: pa.Table) -> pa.Table:
-        a = batch["a_id"].to_numpy().view(np.uint64)
-        b = batch["b_id"].to_numpy().view(np.uint64)
-        with np.errstate(over="ignore"):
-            pk = (a * np.uint64(0x9E3779B97F4A7C15) ^ b) % np.uint64(R)
-        return batch.append_column("pkey", pa.array(pk.astype(np.int64)))
-
-    def unique_pairs(g: pa.Table) -> pa.Table:
-        a = g["a_id"].to_numpy()
-        b = g["b_id"].to_numpy()
-        order = np.lexsort((b, a))
-        a, b = a[order], b[order]
-        keep = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
-        return pa.table({"a_id": pa.array(a[keep]), "b_id": pa.array(b[keep])})
-
-    deduped = (
-        pairs.map_batches(add_pkey, batch_format="pyarrow")
-        .groupby("pkey")
-        .map_groups(unique_pairs, batch_format="pyarrow")
-    )
 
     _empty = pa.table(
         {
@@ -276,7 +255,7 @@ def lsh_cosine_pairs(
             }
         )
 
-    return verify_pairs(deduped, ds, id_col, emb_col, payload_type, verify_red)
+    return verify_pairs(pairs, ds, id_col, emb_col, payload_type, verify_red)
 
 
 class _PairProbe:

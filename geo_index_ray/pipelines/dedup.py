@@ -210,7 +210,17 @@ def minhash_dedup(
     # the input already has enough blocks — the repartition is a barrier
     # and moves the full text payload); materialized because both the
     # bucket pass and the verification pass read it
-    src = ds.repartition(max(2, cluster_cpus())) if spread else ds
+    target_blocks = max(2, cluster_cpus())
+    if spread:
+        try:  # planned block count known for read/materialized inputs —
+            # don't pay the repartition barrier when already spread enough
+            spread = ds.num_blocks() < target_blocks
+        except Exception:
+            pass
+    src = ds.repartition(target_blocks) if spread else ds
+    # materialized: both the bucket pass and the verification payload join
+    # read it — recomputing lazily was measured slower (duplicate read +
+    # signature work outweighs the materialize barrier)
     sig_ds = src.map_batches(
         minhash_signatures_stage(id_col, text_col, num_perm, shingle_k),
         batch_format="pyarrow",
@@ -252,27 +262,23 @@ def minhash_dedup(
         sig_ds.map_batches(to_buckets, batch_format="pyarrow"), 0.5
     )
 
-    _empty_pairs = pa.table(
-        {
-            "a_id": pa.array([], pa.int64()),
-            "b_id": pa.array([], pa.int64()),
-            "est_jaccard": pa.array([], pa.float64()),
-        }
+    _empty_ab = pa.table(
+        {"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64())}
     )
 
     def pairs_in_reducer(g: pa.Table) -> pa.Table:
         """All LSH buckets of one reducer in one vectorized pass.
 
         Rows sort by (bucket, sighash, id); identical-sighash runs link
-        members to their min-id representative with pure run-length numpy
-        (est = 1.0, exact by construction).  Buckets with ≥2 distinct
-        sighashes emit representative candidate pairs with est = NaN for
-        the downstream exact-verification pass; buckets larger than 2048
+        members to their min-id representative with pure run-length numpy.
+        Buckets with ≥2 distinct sighashes emit representative candidate
+        pairs via the vectorized k-offset sweep; buckets larger than 2048
         reps chain-link to the min-id rep instead of all-pairs (precision
         is unaffected — verification filters — only in-bucket recall of a
-        pathological bucket degrades)."""
+        pathological bucket degrades).  Ids only; duplicates across bands
+        are deduped inside the verification join's first reducer."""
         if g.num_rows < 2:
-            return _empty_pairs
+            return _empty_ab
         ids_all = g[id_col].to_numpy().astype(np.int64)
         bucket_all = g["bucket"].to_numpy()
         sighash_all = g["sighash"].to_numpy()
@@ -290,7 +296,6 @@ def minhash_dedup(
         nonhead = ~new_run
         out_a = [i_s[head_of_row[nonhead]]]
         out_b = [i_s[nonhead]]
-        out_e = [np.ones(int(nonhead.sum()))]
 
         # distinct-sighash reps per bucket → candidates needing exact est.
         # Pair generation sweeps the pair OFFSET k (few iterations — max
@@ -316,7 +321,6 @@ def minhash_dedup(
                 b = rep_ids[t0 + k]
                 out_a.append(np.minimum(a, b))
                 out_b.append(np.maximum(a, b))
-                out_e.append(np.full(len(a), np.nan))
         # pathological giant buckets (> 2048 distinct signatures): chain-
         # link to the bucket's min-id rep — precision is unaffected (exact
         # verification filters), only in-bucket recall degrades gracefully
@@ -326,76 +330,35 @@ def minhash_dedup(
             b = rids[1:]
             out_a.append(np.minimum(a, b))
             out_b.append(np.maximum(a, b))
-            out_e.append(np.full(len(a), np.nan))
         a = np.concatenate(out_a)
         if not len(a):
-            return _empty_pairs
+            return _empty_ab
         return pa.table(
-            {
-                "a_id": pa.array(a),
-                "b_id": pa.array(np.concatenate(out_b)),
-                "est_jaccard": pa.array(np.concatenate(out_e)),
-            }
+            {"a_id": pa.array(a), "b_id": pa.array(np.concatenate(out_b))}
         )
 
     pairs = buckets.groupby("rkey").map_groups(pairs_in_reducer, batch_format="pyarrow")
 
-    # a pair can match in several bands → dedup on (a_id, b_id), again via
-    # a coarse reducer key + one vectorized unique per reducer.  A pair's
-    # est is identical in every band row (1.0 iff sighash equal), so
-    # keeping the first occurrence is deterministic.
-    def add_pkey(batch: pa.Table) -> pa.Table:
-        a = batch["a_id"].to_numpy().view(np.uint64)
-        b = batch["b_id"].to_numpy().view(np.uint64)
-        with np.errstate(over="ignore"):
-            pk = (a * np.uint64(0x9E3779B97F4A7C15) ^ b) % np.uint64(R)
-        return batch.append_column("pkey", pa.array(pk.astype(np.int64)))
-
-    def unique_pairs(g: pa.Table) -> pa.Table:
-        a = g["a_id"].to_numpy()
-        b = g["b_id"].to_numpy()
-        e = g["est_jaccard"].to_numpy()
-        order = np.lexsort((b, a))
-        a, b, e = a[order], b[order], e[order]
-        keep = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
-        return pa.table(
-            {
-                "a_id": pa.array(a[keep]),
-                "b_id": pa.array(b[keep]),
-                "est_jaccard": pa.array(e[keep]),
-            }
-        )
-
-    deduped = (
-        pairs.map_batches(add_pkey, batch_format="pyarrow")
-        .groupby("pkey")
-        .map_groups(unique_pairs, batch_format="pyarrow")
-    )
-
-    # exact verification of the (rare) distinct-signature candidates runs
-    # entirely in workers: candidates hash-shuffle-join their two
-    # signatures by id (stages.pairjoin), the reducer compares signatures
-    # vectorized.  The driver never gathers pairs or builds lookups.
+    # exact verification runs entirely in workers: ONE payload shuffle
+    # attaches both signatures to every candidate pair (stages.pairjoin;
+    # band-duplicate pairs die inside the join's first reducer), the
+    # second reducer compares signatures vectorized.  The driver never
+    # gathers pairs or builds lookups; est = matching-fraction ≥ threshold
+    # (identical-signature pairs come out at exactly 1.0).
     from ..stages.pairjoin import verify_pairs
 
-    deduped = deduped.materialize()  # consumed twice below; pairs are tiny
-
-    def keep_exact(batch: pa.Table) -> pa.Table:
-        return batch.filter(pa.array(~np.isnan(batch["est_jaccard"].to_numpy())))
-
-    def keep_cand(batch: pa.Table) -> pa.Table:
-        m = np.isnan(batch["est_jaccard"].to_numpy())
-        f = batch.filter(pa.array(m))
-        return pa.table({"a_id": f["a_id"], "b_id": f["b_id"]})
-
-    exact = deduped.map_batches(keep_exact, batch_format="pyarrow")
-    cands = deduped.map_batches(keep_cand, batch_format="pyarrow")
-
+    _empty_out = pa.table(
+        {
+            "a_id": pa.array([], pa.int64()),
+            "b_id": pa.array([], pa.int64()),
+            "est_jaccard": pa.array([], pa.float64()),
+        }
+    )
     sig_type = pa.list_(pa.int64(), num_perm)
 
     def verify_red(a, b, apay, bpay) -> pa.Table:
         if len(a) == 0:
-            return _empty_pairs
+            return _empty_out
         sa = apay.flatten().to_numpy(zero_copy_only=False).reshape(len(a), num_perm)
         sb = bpay.flatten().to_numpy(zero_copy_only=False).reshape(len(b), num_perm)
         est = (sa == sb).mean(axis=1)
@@ -408,8 +371,7 @@ def minhash_dedup(
             }
         )
 
-    verified = verify_pairs(cands, sig_ds, id_col, "sig", sig_type, verify_red)
-    return exact.union(verified)
+    return verify_pairs(pairs, sig_ds, id_col, "sig", sig_type, verify_red)
 
 
 # --- SimHash ----------------------------------------------------------------
@@ -606,30 +568,10 @@ def ngram_jaccard_dedup(
             }
         )
 
+    # duplicate candidates across buckets die inside the verification
+    # join's first reducer — no separate pair-dedup shuffle needed
     pairs = prefix_rows.groupby("rkey").map_groups(
         pairs_in_reducer, batch_format="pyarrow"
-    )
-
-    # dedup (a_id, b_id) across buckets: coarse key + vectorized unique
-    def add_pkey(batch: pa.Table) -> pa.Table:
-        a = batch["a_id"].to_numpy().view(np.uint64)
-        b = batch["b_id"].to_numpy().view(np.uint64)
-        with np.errstate(over="ignore"):
-            pk = (a * np.uint64(0x9E3779B97F4A7C15) ^ b) % np.uint64(R)
-        return batch.append_column("pkey", pa.array(pk.astype(np.int64)))
-
-    def unique_pairs(g: pa.Table) -> pa.Table:
-        a = g["a_id"].to_numpy()
-        b = g["b_id"].to_numpy()
-        order = np.lexsort((b, a))
-        a, b = a[order], b[order]
-        keep = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
-        return pa.table({"a_id": pa.array(a[keep]), "b_id": pa.array(b[keep])})
-
-    deduped = (
-        pairs.map_batches(add_pkey, batch_format="pyarrow")
-        .groupby("pkey")
-        .map_groups(unique_pairs, batch_format="pyarrow")
     )
 
     _empty_j = pa.table(
@@ -668,7 +610,7 @@ def ngram_jaccard_dedup(
         )
 
     return verify_pairs(
-        deduped, sets_ds, id_col, "shingles", pa.list_(pa.int64()), verify_red
+        pairs, sets_ds, id_col, "shingles", pa.list_(pa.int64()), verify_red
     )
 
 

@@ -1,21 +1,23 @@
 """Distributed candidate-pair verification: hash-shuffle payload joins.
 
 Near-dup pipelines (MinHash, hyperplane LSH, n-gram Jaccard) all end the
-same way: a small set of candidate ``(a_id, b_id)`` pairs must be checked
-against a per-id payload (signature / embedding / shingle set) that is far
-too large to broadcast and must never ride the bucket shuffle.  This
-module verifies the pairs with two id-hash shuffle joins, entirely inside
-workers — the driver never touches data:
+same way: candidate ``(a_id, b_id)`` pairs must be checked against a
+per-id payload (signature / embedding / shingle set) that is far too
+large to broadcast and must never ride the bucket shuffle.  This module
+verifies the pairs entirely inside workers — the driver never touches
+data — with exactly TWO shuffles, and the payload table moves only once:
 
-1. requests ``(a_id, b_id)`` are keyed by ``hash(a_id)``; payload rows
-   ``(id, payload)`` by ``hash(id)``; one groupby co-locates them and the
-   reducer attaches ``a_payload`` by a vectorized sorted lookup;
-2. the half-joined rows re-key by ``hash(b_id)``, union with the payload
-   rows again, and the second reducer attaches ``b_payload`` and calls the
-   caller's vectorized verifier on the whole group at once.
+1. each pair emits two request rows, keyed by ``hash(a_id)`` and
+   ``hash(b_id)``; payload rows ``(id, payload)`` key by ``hash(id)``.
+   One groupby co-locates them; the reducer dedups the requests (every
+   duplicate of a pair lands in the same group per side, so band/bucket
+   duplicates die here — callers need NO separate pair-dedup pass) and
+   attaches the side's payload by a vectorized sorted lookup;
+2. the half-rows re-key by a pair hash; the second reducer zips the two
+   sides and calls the caller's vectorized verifier per group.
 
-A payload travels the network only for ids that actually appear in a
-candidate pair side — O(candidates), not O(corpus).
+A payload travels the network once per id that appears in any candidate
+pair — O(distinct candidate ids), not O(corpus), and never twice.
 """
 
 from __future__ import annotations
@@ -23,7 +25,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .util import reducer_count
+from .util import coalesce_for_shuffle, reducer_count
 
 
 def hash_mod(ids: np.ndarray, R: int) -> np.ndarray:
@@ -33,41 +35,13 @@ def hash_mod(ids: np.ndarray, R: int) -> np.ndarray:
     return ((h >> np.uint64(17)) % np.uint64(R)).astype(np.int64)
 
 
-def _emit_payload(id_col: str, payload_col: str, R: int):
-    def fn(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy().astype(np.int64)
-        n = len(ids)
-        ptype = batch.schema.field(payload_col).type
-        return pa.table(
-            {
-                "jkey": pa.array(hash_mod(ids, R)),
-                "kind": pa.array(np.zeros(n, dtype=np.int8)),
-                "pid": pa.array(ids),
-                "pay": batch[payload_col],
-                "a_id": pa.array(np.zeros(n, dtype=np.int64)),
-                "b_id": pa.array(np.zeros(n, dtype=np.int64)),
-                "apay": pa.nulls(n, ptype),
-            }
+def pair_hash_mod(a: np.ndarray, b: np.ndarray, R: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        h = (
+            a.astype(np.int64).view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            ^ b.astype(np.int64).view(np.uint64) * np.uint64(0xD1B54A32D192ED03)
         )
-
-    return fn
-
-
-def _gather_payload(g: pa.Table, req_ids: np.ndarray):
-    """Vectorized payload lookup: group rows with kind==0 are the payload
-    shard; return (found_mask, arrow payload values) for ``req_ids``."""
-    kind = g["kind"].to_numpy()
-    pmask = kind == 0
-    pids = g["pid"].to_numpy().astype(np.int64)[pmask]
-    pay = g["pay"].combine_chunks()
-    if len(pids) == 0:
-        return np.zeros(len(req_ids), dtype=bool), pay.take(pa.array([], pa.int64()))
-    ppos = np.nonzero(pmask)[0]
-    order = np.argsort(pids, kind="stable")
-    pos = np.clip(np.searchsorted(pids[order], req_ids), 0, len(pids) - 1)
-    found = pids[order][pos] == req_ids
-    take_idx = ppos[order[pos[found]]]
-    return found, pay.take(pa.array(take_idx, pa.int64()))
+    return ((h >> np.uint64(13)) % np.uint64(R)).astype(np.int64)
 
 
 def verify_pairs(
@@ -81,10 +55,11 @@ def verify_pairs(
 ):
     """Attach each pair's two payloads and run ``pair_reducer`` per group.
 
-    ``pairs_ds`` needs int64 ``a_id``/``b_id``; ``payload_ds`` needs
-    ``id_col`` + ``payload_col``.  ``pair_reducer(a_id, b_id, a_pay, b_pay)``
-    receives numpy id arrays + arrow payload arrays for one reducer's pairs
-    at once (possibly empty) and returns a ``pa.Table``.
+    ``pairs_ds`` needs int64 ``a_id``/``b_id`` — duplicates allowed (they
+    are deduped in the first reducer).  ``payload_ds`` needs ``id_col`` +
+    ``payload_col``.  ``pair_reducer(a_id, b_id, a_pay, b_pay)`` receives
+    numpy id arrays + arrow payload arrays for one reducer's pairs at once
+    (possibly empty) and returns a ``pa.Table``.
     """
     if R is None:
         R = reducer_count()
@@ -93,79 +68,137 @@ def verify_pairs(
         a = batch["a_id"].to_numpy().astype(np.int64)
         b = batch["b_id"].to_numpy().astype(np.int64)
         n = len(a)
+        jkey = np.concatenate([hash_mod(a, R), hash_mod(b, R)])
+        side = np.concatenate(
+            [np.zeros(n, dtype=np.int8), np.ones(n, dtype=np.int8)]
+        )
+        aa = np.concatenate([a, a])
+        bb = np.concatenate([b, b])
         return pa.table(
             {
-                "jkey": pa.array(hash_mod(a, R)),
-                "kind": pa.array(np.ones(n, dtype=np.int8)),
-                "pid": pa.array(np.zeros(n, dtype=np.int64)),
-                "pay": pa.nulls(n, payload_type),
-                "a_id": pa.array(a),
-                "b_id": pa.array(b),
-                "apay": pa.nulls(n, payload_type),
+                "jkey": pa.array(jkey),
+                "kind": pa.array(np.ones(2 * n, dtype=np.int8)),
+                "side": pa.array(side),
+                "pid": pa.array(np.zeros(2 * n, dtype=np.int64)),
+                "pay": pa.nulls(2 * n, payload_type),
+                "a_id": pa.array(aa),
+                "b_id": pa.array(bb),
             }
         )
 
-    payload_emit = payload_ds.map_batches(
-        _emit_payload(id_col, payload_col, R), batch_format="pyarrow"
-    )
-    stage1_in = pairs_ds.map_batches(emit_requests, batch_format="pyarrow").union(
-        payload_emit
+    def emit_payload(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        n = len(ids)
+        return pa.table(
+            {
+                "jkey": pa.array(hash_mod(ids, R)),
+                "kind": pa.array(np.zeros(n, dtype=np.int8)),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "pid": pa.array(ids),
+                "pay": batch[payload_col],
+                "a_id": pa.array(np.zeros(n, dtype=np.int64)),
+                "b_id": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    # coalesce before each exchange: Ray's sort shuffle cost grows with
+    # input-block × output-partition pairs, and the union doubles blocks
+    stage1_in = coalesce_for_shuffle(
+        pairs_ds.map_batches(emit_requests, batch_format="pyarrow").union(
+            payload_ds.map_batches(emit_payload, batch_format="pyarrow")
+        ),
+        0.5,
     )
 
-    def stage1(g: pa.Table) -> pa.Table:
+    def _empty_half() -> pa.Table:
+        return pa.table(
+            {
+                "pkey": pa.array([], pa.int64()),
+                "side": pa.array([], pa.int8()),
+                "a_id": pa.array([], pa.int64()),
+                "b_id": pa.array([], pa.int64()),
+                "pay": pa.nulls(0, payload_type),
+            }
+        )
+
+    def attach(g: pa.Table) -> pa.Table:
         kind = g["kind"].to_numpy()
         rmask = kind == 1
-        n_req = int(rmask.sum())
-        if n_req == 0:
-            return pa.table(
-                {
-                    "jkey": pa.array([], pa.int64()),
-                    "kind": pa.array([], pa.int8()),
-                    "pid": pa.array([], pa.int64()),
-                    "pay": pa.nulls(0, payload_type),
-                    "a_id": pa.array([], pa.int64()),
-                    "b_id": pa.array([], pa.int64()),
-                    "apay": pa.nulls(0, payload_type),
-                }
-            )
+        if not rmask.any():
+            return _empty_half()
         a = g["a_id"].to_numpy().astype(np.int64)[rmask]
         b = g["b_id"].to_numpy().astype(np.int64)[rmask]
-        found, apay = _gather_payload(g, a)
-        a, b = a[found], b[found]
-        n = len(a)
+        side = g["side"].to_numpy()[rmask]
+        # dedup (a, b, side): every duplicate of a pair hashes here with
+        # the same side — band/bucket multiplicity dies in this pass
+        order = np.lexsort((side, b, a))
+        a, b, side = a[order], b[order], side[order]
+        keep = np.r_[
+            True,
+            (a[1:] != a[:-1]) | (b[1:] != b[:-1]) | (side[1:] != side[:-1]),
+        ]
+        a, b, side = a[keep], b[keep], side[keep]
+        want = np.where(side == 0, a, b)
+        # payload shard lookup (sorted ids + searchsorted)
+        pmask = kind == 0
+        pids = g["pid"].to_numpy().astype(np.int64)[pmask]
+        if len(pids) == 0:
+            return _empty_half()
+        ppos = np.nonzero(pmask)[0]
+        porder = np.argsort(pids, kind="stable")
+        pos = np.clip(np.searchsorted(pids[porder], want), 0, len(pids) - 1)
+        found = pids[porder][pos] == want
+        take_idx = ppos[porder[pos[found]]]
+        pay = g["pay"].combine_chunks().take(pa.array(take_idx, pa.int64()))
+        a, b, side = a[found], b[found], side[found]
         return pa.table(
             {
-                "jkey": pa.array(hash_mod(b, R)),
-                "kind": pa.array(np.ones(n, dtype=np.int8)),
-                "pid": pa.array(np.zeros(n, dtype=np.int64)),
-                "pay": pa.nulls(n, payload_type),
+                "pkey": pa.array(pair_hash_mod(a, b, R)),
+                "side": pa.array(side),
                 "a_id": pa.array(a),
                 "b_id": pa.array(b),
-                "apay": apay,
+                "pay": pay,
             }
         )
 
-    half = stage1_in.groupby("jkey").map_groups(stage1, batch_format="pyarrow")
-    stage2_in = half.union(payload_emit)
+    half = coalesce_for_shuffle(
+        stage1_in.groupby("jkey").map_groups(attach, batch_format="pyarrow"), 0.5
+    )
 
-    def stage2(g: pa.Table) -> pa.Table:
-        kind = g["kind"].to_numpy()
-        rmask = kind == 1
-        n_req = int(rmask.sum())
-        if n_req == 0:
+    def combine(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy()
+        a = g["a_id"].to_numpy().astype(np.int64)
+        b = g["b_id"].to_numpy().astype(np.int64)
+        if len(a) == 0:
             return pair_reducer(
                 np.empty(0, np.int64),
                 np.empty(0, np.int64),
                 pa.nulls(0, payload_type),
                 pa.nulls(0, payload_type),
             )
-        a = g["a_id"].to_numpy().astype(np.int64)[rmask]
-        b = g["b_id"].to_numpy().astype(np.int64)[rmask]
-        apay = g["apay"].combine_chunks().take(
-            pa.array(np.nonzero(rmask)[0], pa.int64())
+        # align the two sides of each pair by sorting (a, b) within side
+        am, bm = side == 0, side == 1
+        oa = np.lexsort((b[am], a[am]))
+        ob = np.lexsort((b[bm], a[bm]))
+        ia = np.nonzero(am)[0][oa]
+        ib = np.nonzero(bm)[0][ob]
+        # both sides present (an id missing from the payload table drops
+        # its side in stage 1) — intersect the sorted pair lists
+        pa_keys = np.stack([a[ia], b[ia]], axis=1)
+        pb_keys = np.stack([a[ib], b[ib]], axis=1)
+        if len(ia) != len(ib) or not np.array_equal(pa_keys, pb_keys):
+            # rare path: prune to the common (a,b) set via void-view isin
+            va = np.ascontiguousarray(pa_keys).view([("a", np.int64), ("b", np.int64)]).ravel()
+            vb = np.ascontiguousarray(pb_keys).view([("a", np.int64), ("b", np.int64)]).ravel()
+            common_a = np.isin(va, vb)
+            common_b = np.isin(vb, va)
+            ia, ib = ia[common_a], ib[common_b]
+        pay = g["pay"].combine_chunks()
+        return pair_reducer(
+            a[ia],
+            b[ia],
+            pay.take(pa.array(ia, pa.int64())),
+            pay.take(pa.array(ib, pa.int64())),
         )
-        found, bpay = _gather_payload(g, b)
-        sel = pa.array(np.nonzero(found)[0], pa.int64())
-        return pair_reducer(a[found], b[found], apay.take(sel), bpay)
 
-    return stage2_in.groupby("jkey").map_groups(stage2, batch_format="pyarrow")
+    return half.groupby("pkey").map_groups(combine, batch_format="pyarrow")

@@ -269,3 +269,50 @@ class TestNaNContract:
         y = np.array([np.nan, 2.0])
         with pytest.raises(ValueError, match="NaN"):
             kdtree.build_kdtree(x, y)
+
+
+class TestIntegerCoordTypes:
+    """Reference-core parity: integer coordinate types beyond the Python
+    bindings' f32/f64 subset (reference src/type.rs:15-85)."""
+
+    def test_int_tree_roundtrip_and_search(self):
+        from geo_index_ray.kernels import rtree
+
+        rng = np.random.default_rng(5)
+        for dt in (np.int8, np.uint8, np.int16, np.uint16, np.int32, np.uint32):
+            info = np.iinfo(dt)
+            lo = max(info.min, -100)
+            hi = min(info.max, 100)
+            n = 300
+            x0 = rng.integers(lo, hi - 5, n).astype(dt)
+            y0 = rng.integers(lo, hi - 5, n).astype(dt)
+            x1 = (x0 + rng.integers(0, 5, n).astype(dt)).astype(dt)
+            y1 = (y0 + rng.integers(0, 5, n).astype(dt)).astype(dt)
+            buf = rtree.build_rtree(x0, y0, x1, y1, dtype=dt)
+            # header nibble encodes the dtype; reattach round-trips it
+            meta, boxes, _ = rtree._attach(buf)
+            assert boxes.dtype == np.dtype(dt)
+            qx0, qy0, qx1, qy1 = lo + 10, lo + 10, lo + 40, lo + 40
+            hits = np.sort(rtree.search(buf, qx0, qy0, qx1, qy1))
+            brute = np.sort(
+                np.nonzero(
+                    (x0.astype(np.int64) <= qx1)
+                    & (x1.astype(np.int64) >= qx0)
+                    & (y0.astype(np.int64) <= qy1)
+                    & (y1.astype(np.int64) >= qy0)
+                )[0]
+            )
+            assert np.array_equal(hits, brute), dt
+
+    def test_int_tree_neighbors(self):
+        from geo_index_ray.kernels import rtree
+
+        rng = np.random.default_rng(6)
+        x = rng.integers(0, 1000, 500).astype(np.uint32)
+        y = rng.integers(0, 1000, 500).astype(np.uint32)
+        buf = rtree.build_rtree(x, y, x, y, dtype=np.uint32)
+        nb = rtree.neighbors(buf, 500.0, 500.0, max_results=5)
+        d = (x.astype(np.float64) - 500.0) ** 2 + (y.astype(np.float64) - 500.0) ** 2
+        want = set(np.argsort(d, kind="stable")[:5].tolist())
+        assert set(nb.tolist()) <= set(np.nonzero(d <= np.sort(d)[4])[0].tolist())
+        assert len(nb) == 5
