@@ -272,6 +272,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["pip_join"] = pip_join
 
+    def pip_join_polygons(sf_dir):
+        """Cell-shuffle PIP join with EXACT polygon refinement: bbox
+        candidates from the per-cell tree, then the half-plane inside test
+        against the true pentagon ring recomputed from the right id inside
+        the reducer (GeometryAccessor analog — nothing extra is shuffled)."""
+        from geo_index_ray.kernels import geom
+
+        pts = tables.point_boxes_ds(sf_dir, "customer", "c_custkey")
+        ds = tables.read_table(sf_dir, "part", columns=["p_partkey"])
+
+        def to_bbox(batch: pa.Table) -> pa.Table:
+            pk = batch["p_partkey"].to_numpy().astype(np.int64)
+            verts = geom.pentagon_vertices(
+                geocode.derive_lon(pk), geocode.derive_lat(pk),
+                geocode.derive_half_w(pk), geocode.derive_half_h(pk),
+            )
+            return pa.table(
+                {
+                    "p_partkey": pa.array(pk),
+                    "min_x": pa.array(verts[:, :, 0].min(axis=1)),
+                    "min_y": pa.array(verts[:, :, 1].min(axis=1)),
+                    "max_x": pa.array(verts[:, :, 0].max(axis=1)),
+                    "max_y": pa.array(verts[:, :, 1].max(axis=1)),
+                }
+            )
+
+        pent = ds.map_batches(to_bbox, batch_format="pyarrow")
+
+        def refine(lids, rids, px, py):
+            verts = geom.pentagon_vertices(
+                geocode.derive_lon(rids), geocode.derive_lat(rids),
+                geocode.derive_half_w(rids), geocode.derive_half_h(rids),
+            )
+            return geom.points_in_convex_poly_pairwise(px, py, verts)
+
+        return sj.shuffle_spatial_join(
+            pts, pent, res=RES_COUNTS, how="pip",
+            left_id="c_custkey", right_id="p_partkey", refine_fn=refine,
+        )
+
+    q["pip_join_polygons"] = pip_join_polygons
+
     def box_join(sf_dir):
         lt = _lineitem_boxes_ds(sf_dir)
         rt = tables.boxes_ds(sf_dir, "part", "p_partkey")
@@ -894,6 +936,33 @@ def oracle_sql() -> dict[str, str]:
         FROM cust c JOIN tiles t
           ON c.x >= t.tmnx AND c.x <= t.tmnx + {tile_w}
          AND c.y >= t.tmny AND c.y <= t.tmny + {tile_h}
+    """
+
+    from geo_index_ray.kernels.geom import PENTAGON_OFFSETS as _PENT
+
+    _pvcols = ", ".join(
+        f"cx + rx * {ox} AS vx{j}, cy + ry * {oy} AS vy{j}"
+        for j, (ox, oy) in enumerate(_PENT)
+    )
+    _pip_inside = " AND ".join(
+        f"(p.vx{(j + 1) % 5} - p.vx{j}) * (c.y - p.vy{j})"
+        f" - (p.vy{(j + 1) % 5} - p.vy{j}) * (c.x - p.vx{j}) >= 0.0"
+        for j in range(5)
+    )
+    sql["pip_join_polygons"] = f"""
+        WITH cust AS (SELECT c_custkey, {pt('c_custkey')} FROM customer),
+        pv AS (
+          SELECT p_partkey, {_pvcols} FROM (
+            SELECT p_partkey,
+                   {lon('p_partkey')} AS cx, {lat('p_partkey')} AS cy,
+                   {geocode.sql_half_w('p_partkey')} AS rx,
+                   {geocode.sql_half_h('p_partkey')} AS ry
+            FROM part
+          )
+        )
+        SELECT c.c_custkey, p.p_partkey
+        FROM cust c CROSS JOIN pv p
+        WHERE {_pip_inside}
     """
 
     sql["box_join"] = f"""

@@ -127,6 +127,23 @@ def pentagon_vertices(cx, cy, rx, ry):
     return out
 
 
+def points_in_convex_poly_pairwise(px, py, verts):
+    """Elementwise exact point-in-convex-polygon (CCW ring, boundary
+    counts inside): row i tests (px[i], py[i]) against verts[i].  The
+    half-plane formula order is mirrored verbatim by the SQL oracle."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    k = verts.shape[1]
+    inside = np.ones(len(px), dtype=bool)
+    for j in range(k):
+        ax = verts[:, j, 0]
+        ay = verts[:, j, 1]
+        bx = verts[:, (j + 1) % k, 0]
+        by = verts[:, (j + 1) % k, 1]
+        inside &= (bx - ax) * (py - ay) - (by - ay) * (px - ax) >= 0.0
+    return inside
+
+
 def point_to_convex_poly_dist2(px, py, verts):
     """Exact squared point-to-convex-polygon distance, 0 inside.
 

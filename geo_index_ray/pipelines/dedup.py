@@ -118,8 +118,9 @@ def _batch_shingle_hashes(texts, k: int):
     win = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
     h = np.full(len(win), np.uint64(0xCBF29CE484222325), dtype=np.uint64)
     with np.errstate(over="ignore"):
-        for col in range(k):
-            h = (h ^ win[:, col]) * np.uint64(1099511628211)
+        for col in range(k):  # fully in place — no multi-MB temporaries
+            np.bitwise_xor(h, win[:, col], out=h)
+            np.multiply(h, np.uint64(1099511628211), out=h)
     pos = np.arange(len(win))
     doc = np.searchsorted(starts, pos, side="right") - 1
     valid = pos + k <= starts[doc + 1]
@@ -157,11 +158,19 @@ def minhash_signatures_stage(
         )
         h61 = h % _P61
         sigs = np.empty((n, num_perm), dtype=np.uint64)
+        # one reused (CHUNK, n_windows) scratch: the expression form
+        # allocates ~3 multi-MB temporaries per chunk, and that mmap churn
+        # (kernel page-zeroing) dominates at large batches — out= keeps
+        # the whole stage allocation-flat and batch-size-linear
+        buf = np.empty((min(CHUNK, num_perm), len(h61)), dtype=np.uint64)
         with np.errstate(over="ignore"):
             for c0 in range(0, num_perm, CHUNK):
-                c1 = min(num_perm, c0 + CHUNK)
-                vals = (a[None, c0:c1] * h61[:, None] + b[None, c0:c1]) % _P61
-                sigs[:, c0:c1] = np.minimum.reduceat(vals, doc_starts, axis=0)
+                c = min(CHUNK, num_perm - c0)
+                v = buf[:c]
+                np.multiply(a[c0 : c0 + c, None], h61[None, :], out=v)
+                np.add(v, b[c0 : c0 + c, None], out=v)
+                np.mod(v, _P61, out=v)
+                sigs[:, c0 : c0 + c] = np.minimum.reduceat(v, doc_starts, axis=1).T
         return pa.table(
             {
                 id_col: pa.array(ids),

@@ -150,6 +150,7 @@ def shuffle_spatial_join(
     radius: float = 0.0,
     left_are_points: bool | None = None,
     skew_split_threshold: int | None = None,
+    refine_fn=None,
 ):
     """Two-sided cell-shuffle spatial join.
 
@@ -164,6 +165,13 @@ def shuffle_spatial_join(
     ``skew_split_threshold``: if set, a cheap pre-count of left rows per
     cell raises the shuffle resolution until the hottest cell is bounded,
     before the shuffle.
+
+    ``refine_fn(left_ids, right_ids, lx, ly) -> bool mask``: optional
+    exact-geometry refinement applied to the bbox candidate pairs inside
+    each join reducer — the engine's GeometryAccessor analog (reference
+    src/rtree/distance.rs:145-160: candidates from the box tree, exact
+    predicate against the true geometry).  Geometry is recomputed or
+    fetched from the ids, so nothing extra rides the shuffle.
     """
     if left_are_points is None:
         left_are_points = how in ("pip", "dwithin", "dwithin_haversine")
@@ -251,6 +259,9 @@ def shuffle_spatial_join(
         li, ri = _refine_pairs(
             how_, li, ri, lx0, ly0, lx1, ly1, rx0, ry0, rx1, ry1, radius_
         )
+        if refine_fn is not None and len(li):
+            keep = refine_fn(lrid[li], rrid[ri], lx0[li], ly0[li])
+            li, ri = li[keep], ri[keep]
         return pa.table({"left_id": pa.array(lrid[li]), "right_id": pa.array(rrid[ri])})
 
     pairs = unioned.groupby("cell").map_groups(join_group, batch_format="pyarrow")
