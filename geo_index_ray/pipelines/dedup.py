@@ -115,13 +115,17 @@ def _batch_shingle_hashes(texts, k: int):
     data = np.frombuffer(b"".join(padded), dtype=np.uint8)
     if len(data) < k:
         data = np.pad(data, (0, k - len(data)))
-    win = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
-    h = np.full(len(win), np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+    # window column j is just the byte buffer shifted by j — hashing over
+    # shifted views avoids materializing the (windows × k) uint64 matrix
+    # (8k bytes of DRAM traffic per input byte); the rolling state h is the
+    # only window-sized array and it stays cache-hot across the k passes
+    n_win = len(data) - k + 1
+    h = np.full(n_win, np.uint64(0xCBF29CE484222325), dtype=np.uint64)
     with np.errstate(over="ignore"):
-        for col in range(k):  # fully in place — no multi-MB temporaries
-            np.bitwise_xor(h, win[:, col], out=h)
+        for col in range(k):
+            np.bitwise_xor(h, data[col : col + n_win], out=h)
             np.multiply(h, np.uint64(1099511628211), out=h)
-    pos = np.arange(len(win))
+    pos = np.arange(n_win)
     doc = np.searchsorted(starts, pos, side="right") - 1
     valid = pos + k <= starts[doc + 1]
     h, doc = h[valid], doc[valid]
@@ -135,13 +139,21 @@ def minhash_signatures_stage(
 ):
     """Stage: (id, sig list<uint64 as int64>) minhash signatures.
 
-    One batch-wide rolling hash + per-permutation ``minimum.reduceat`` —
-    no per-document Python.  Permutations run in chunks to bound the
-    (n_shingles × chunk) intermediate.  (Minhash is multiset-invariant, so
-    skipping per-doc unique changes nothing.)
+    One batch-wide rolling hash, then all permutations over CACHE-SIZED
+    window slices: the naive (windows × perms) intermediate moves ~3.6 KB
+    of DRAM traffic per window (terabytes at corpus scale — this stage
+    throttled whole scaling runs on bandwidth); an (perms × 8k) reused
+    scratch keeps the hot loop cache-resident, so DRAM sees each shingle
+    hash once.  Per-doc minima merge across slice boundaries with an
+    elementwise ``np.minimum`` (exact).  No per-document Python.
+    (Minhash is multiset-invariant, so skipping per-doc unique changes
+    nothing.)
     """
     a, b = _minhash_params(num_perm)
-    CHUNK = 16
+    SLICE = 2048  # (perms × SLICE) scratch ≈ 1 MB — stays cache-resident
+    # even with every core running this stage concurrently
+    DOC_CHUNK = 4096  # bound the window arrays (h/h61/doc masks) so the
+    # stage stays allocation-flat no matter how Ray batches blocks
 
     def fn(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy().astype(np.int64)
@@ -153,24 +165,45 @@ def minhash_signatures_stage(
                     "sig": pa.nulls(0, pa.list_(pa.int64(), num_perm)),
                 }
             )
-        h, _doc, doc_starts = _batch_shingle_hashes(
-            batch[text_col].to_pylist(), shingle_k
-        )
-        h61 = h % _P61
-        sigs = np.empty((n, num_perm), dtype=np.uint64)
-        # one reused (CHUNK, n_windows) scratch: the expression form
-        # allocates ~3 multi-MB temporaries per chunk, and that mmap churn
-        # (kernel page-zeroing) dominates at large batches — out= keeps
-        # the whole stage allocation-flat and batch-size-linear
-        buf = np.empty((min(CHUNK, num_perm), len(h61)), dtype=np.uint64)
+        texts = batch[text_col].to_pylist()
+        sigs = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+        buf = np.empty((num_perm, SLICE), dtype=np.uint64)
+        fold = np.empty((num_perm, SLICE), dtype=np.uint64)
+        mask = np.empty((num_perm, SLICE), dtype=bool)
         with np.errstate(over="ignore"):
-            for c0 in range(0, num_perm, CHUNK):
-                c = min(CHUNK, num_perm - c0)
-                v = buf[:c]
-                np.multiply(a[c0 : c0 + c, None], h61[None, :], out=v)
-                np.add(v, b[c0 : c0 + c, None], out=v)
-                np.mod(v, _P61, out=v)
-                sigs[:, c0 : c0 + c] = np.minimum.reduceat(v, doc_starts, axis=1).T
+            for doc0 in range(0, n, DOC_CHUNK):
+                doc1 = min(n, doc0 + DOC_CHUNK)
+                h, _doc, doc_starts = _batch_shingle_hashes(
+                    texts[doc0:doc1], shingle_k
+                )
+                # h % P61 via the Mersenne fold (2^61 ≡ 1 mod P61):
+                # bit ops replace the uint64 division, exact same value
+                h61 = (h & _P61) + (h >> np.uint64(61))
+                np.subtract(h61, _P61, where=h61 >= _P61, out=h61)
+                n_win = len(h61)
+                for w0 in range(0, n_win, SLICE):
+                    w1 = min(n_win, w0 + SLICE)
+                    w = w1 - w0
+                    v = buf[:, :w]
+                    f = fold[:, :w]
+                    m = mask[:, :w]
+                    np.multiply(a[:, None], h61[None, w0:w1], out=v)
+                    np.add(v, b[:, None], out=v)
+                    # v %= P61, Mersenne fold again (v < 2^64)
+                    np.right_shift(v, np.uint64(61), out=f)
+                    np.bitwise_and(v, _P61, out=v)
+                    np.add(v, f, out=v)
+                    np.greater_equal(v, _P61, out=m)
+                    np.subtract(v, _P61, where=m, out=v)
+                    d0 = int(np.searchsorted(doc_starts, w0, side="right")) - 1
+                    d1 = int(np.searchsorted(doc_starts, w1, side="left"))
+                    local = np.clip(doc_starts[d0:d1] - w0, 0, None)
+                    part = np.minimum.reduceat(v, local, axis=1)  # (perms, docs)
+                    np.minimum(
+                        sigs[doc0 + d0 : doc0 + d1],
+                        part.T,
+                        out=sigs[doc0 + d0 : doc0 + d1],
+                    )
         return pa.table(
             {
                 id_col: pa.array(ids),

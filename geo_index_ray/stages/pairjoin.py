@@ -44,6 +44,54 @@ def pair_hash_mod(a: np.ndarray, b: np.ndarray, R: int) -> np.ndarray:
     return ((h >> np.uint64(13)) % np.uint64(R)).astype(np.int64)
 
 
+_BLOOM_BITS = 1 << 23  # 1 MiB bitmap, two hash probes
+
+
+def _bloom_positions(ids: np.ndarray):
+    with np.errstate(over="ignore"):
+        u = ids.astype(np.int64).view(np.uint64)
+        h1 = u * np.uint64(0x9E3779B97F4A7C15)
+        h2 = (u ^ np.uint64(0xD1B54A32D192ED03)) * np.uint64(0x94D049BB133111EB)
+    m = np.uint64(_BLOOM_BITS)
+    return ((h1 >> np.uint64(17)) % m).astype(np.int64), (
+        (h2 >> np.uint64(17)) % m
+    ).astype(np.int64)
+
+
+def _bloom_of_pairs(pairs_ds) -> np.ndarray:
+    """Fixed-size Bloom bitmap of every id appearing in a candidate pair.
+
+    Built distributed (one bitmap per block, OR'd on the driver — the
+    driver touches only fixed 1 MiB metadata rows, never pair data)."""
+
+    def block_bloom(batch: pa.Table) -> pa.Table:
+        bits = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+        ids = np.concatenate(
+            [
+                batch["a_id"].to_numpy().astype(np.int64),
+                batch["b_id"].to_numpy().astype(np.int64),
+            ]
+        )
+        for p in _bloom_positions(ids):
+            np.bitwise_or.at(bits, p >> 3, np.uint8(1) << (p & 7).astype(np.uint8))
+        return pa.table({"bloom": pa.array([bits.tobytes()], pa.binary())})
+
+    agg = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+    for b in pairs_ds.map_batches(
+        block_bloom, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        for buf in b["bloom"]:
+            agg |= np.frombuffer(buf.as_py(), dtype=np.uint8)
+    return agg
+
+
+def _bloom_contains(bits: np.ndarray, ids: np.ndarray) -> np.ndarray:
+    p1, p2 = _bloom_positions(ids)
+    has1 = (bits[p1 >> 3] >> (p1 & 7).astype(np.uint8)) & 1
+    has2 = (bits[p2 >> 3] >> (p2 & 7).astype(np.uint8)) & 1
+    return (has1 & has2).astype(bool)
+
+
 def verify_pairs(
     pairs_ds,
     payload_ds,
@@ -63,6 +111,16 @@ def verify_pairs(
     """
     if R is None:
         R = reducer_count()
+
+    # Bloom semi-join: the payload table is corpus-sized but only ids that
+    # appear in some candidate pair matter.  A broadcast 1 MiB Bloom of
+    # the pair ids filters payload rows BEFORE they enter the exchange, so
+    # the join moves O(candidate payloads), not the corpus (false
+    # positives only add a few stray payload rows — the join drops them).
+    import ray
+
+    pairs_ds = pairs_ds.materialize()  # consumed twice: bloom + requests
+    bloom_ref = ray.put(_bloom_of_pairs(pairs_ds))
 
     def emit_requests(batch: pa.Table) -> pa.Table:
         a = batch["a_id"].to_numpy().astype(np.int64)
@@ -86,20 +144,32 @@ def verify_pairs(
             }
         )
 
-    def emit_payload(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy().astype(np.int64)
-        n = len(ids)
-        return pa.table(
-            {
-                "jkey": pa.array(hash_mod(ids, R)),
-                "kind": pa.array(np.zeros(n, dtype=np.int8)),
-                "side": pa.array(np.zeros(n, dtype=np.int8)),
-                "pid": pa.array(ids),
-                "pay": batch[payload_col],
-                "a_id": pa.array(np.zeros(n, dtype=np.int64)),
-                "b_id": pa.array(np.zeros(n, dtype=np.int64)),
-            }
-        )
+    class _EmitPayload:
+        def __init__(self, ref):
+            self.ref = ref
+            self.bits = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self.bits is None:
+                self.bits = ray.get(self.ref)
+            ids = batch[id_col].to_numpy().astype(np.int64)
+            keep = _bloom_contains(self.bits, ids)
+            batch = batch.filter(pa.array(keep))
+            ids = ids[keep]
+            n = len(ids)
+            return pa.table(
+                {
+                    "jkey": pa.array(hash_mod(ids, R)),
+                    "kind": pa.array(np.zeros(n, dtype=np.int8)),
+                    "side": pa.array(np.zeros(n, dtype=np.int8)),
+                    "pid": pa.array(ids),
+                    "pay": batch[payload_col],
+                    "a_id": pa.array(np.zeros(n, dtype=np.int64)),
+                    "b_id": pa.array(np.zeros(n, dtype=np.int64)),
+                }
+            )
+
+    emit_payload = _EmitPayload(bloom_ref)
 
     # coalesce before each exchange: Ray's sort shuffle cost grows with
     # input-block × output-partition pairs, and the union doubles blocks
