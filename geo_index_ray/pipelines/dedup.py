@@ -134,6 +134,39 @@ def _batch_shingle_hashes(texts, k: int):
     return h, doc, doc_h_starts
 
 
+def _arrow_shingle_hashes(arr: pa.Array, k: int):
+    """Shingle-hash stream straight off an Arrow StringArray's buffers —
+    no Python strings, no encode/copy: the utf8 data buffer IS the byte
+    stream the padded-list path would have joined (identical whenever
+    every doc has ≥ k bytes; shorter docs fall back to the padded path).
+    Returns (hashes, doc_starts) with hashes doc-major in scan order, or
+    None when the fallback is needed."""
+    if arr.null_count or not pa.types.is_string(arr.type):
+        return None
+    off_buf = arr.buffers()[1]
+    data_buf = arr.buffers()[2]
+    off = np.frombuffer(off_buf, dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    lens = np.diff(off)
+    if len(lens) == 0 or (lens < k).any():
+        return None
+    data = np.frombuffer(data_buf, dtype=np.uint8)[off[0] : off[-1]]
+    starts = off - off[0]
+    n_win = len(data) - k + 1
+    h = np.full(n_win, np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for col in range(k):
+            np.bitwise_xor(h, data[col : col + n_win], out=h)
+            np.multiply(h, np.uint64(1099511628211), out=h)
+    pos = np.arange(n_win)
+    doc = np.searchsorted(starts, pos, side="right") - 1
+    valid = pos + k <= starts[doc + 1]
+    h = h[valid]
+    doc_h_starts = np.searchsorted(doc[valid], np.arange(len(arr)))
+    return h, doc_h_starts
+
+
 def minhash_signatures_stage(
     id_col: str, text_col: str = "text", num_perm: int = 64, shingle_k: int = 5
 ):
@@ -165,7 +198,8 @@ def minhash_signatures_stage(
                     "sig": pa.nulls(0, pa.list_(pa.int64(), num_perm)),
                 }
             )
-        texts = batch[text_col].to_pylist()
+        text_arr = batch[text_col].combine_chunks()
+        texts = None  # materialized lazily, only if a doc is shorter than k
         sigs = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
         buf = np.empty((num_perm, SLICE), dtype=np.uint64)
         fold = np.empty((num_perm, SLICE), dtype=np.uint64)
@@ -173,9 +207,17 @@ def minhash_signatures_stage(
         with np.errstate(over="ignore"):
             for doc0 in range(0, n, DOC_CHUNK):
                 doc1 = min(n, doc0 + DOC_CHUNK)
-                h, _doc, doc_starts = _batch_shingle_hashes(
-                    texts[doc0:doc1], shingle_k
+                res = _arrow_shingle_hashes(
+                    text_arr.slice(doc0, doc1 - doc0), shingle_k
                 )
+                if res is not None:
+                    h, doc_starts = res
+                else:  # short/null docs: padded python path (rare)
+                    if texts is None:
+                        texts = text_arr.to_pylist()
+                    h, _doc, doc_starts = _batch_shingle_hashes(
+                        texts[doc0:doc1], shingle_k
+                    )
                 # h % P61 via the Mersenne fold (2^61 ≡ 1 mod P61):
                 # bit ops replace the uint64 division, exact same value
                 h61 = (h & _P61) + (h >> np.uint64(61))
