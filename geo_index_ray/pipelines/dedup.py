@@ -134,37 +134,20 @@ def _batch_shingle_hashes(texts, k: int):
     return h, doc, doc_h_starts
 
 
-def _arrow_shingle_hashes(arr: pa.Array, k: int):
-    """Shingle-hash stream straight off an Arrow StringArray's buffers —
-    no Python strings, no encode/copy: the utf8 data buffer IS the byte
-    stream the padded-list path would have joined (identical whenever
-    every doc has ≥ k bytes; shorter docs fall back to the padded path).
-    Returns (hashes, doc_starts) with hashes doc-major in scan order, or
-    None when the fallback is needed."""
+def _arrow_bytes_starts(arr: pa.Array, k: int):
+    """(data bytes, doc start offsets) straight off an Arrow StringArray's
+    buffers — no Python strings, no copies.  None → caller must fall back
+    (nulls, non-utf8 layout, or a doc shorter than k bytes)."""
     if arr.null_count or not pa.types.is_string(arr.type):
         return None
-    off_buf = arr.buffers()[1]
-    data_buf = arr.buffers()[2]
-    off = np.frombuffer(off_buf, dtype=np.int32)[
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
         arr.offset : arr.offset + len(arr) + 1
     ].astype(np.int64)
     lens = np.diff(off)
     if len(lens) == 0 or (lens < k).any():
         return None
-    data = np.frombuffer(data_buf, dtype=np.uint8)[off[0] : off[-1]]
-    starts = off - off[0]
-    n_win = len(data) - k + 1
-    h = np.full(n_win, np.uint64(0xCBF29CE484222325), dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        for col in range(k):
-            np.bitwise_xor(h, data[col : col + n_win], out=h)
-            np.multiply(h, np.uint64(1099511628211), out=h)
-    pos = np.arange(n_win)
-    doc = np.searchsorted(starts, pos, side="right") - 1
-    valid = pos + k <= starts[doc + 1]
-    h = h[valid]
-    doc_h_starts = np.searchsorted(doc[valid], np.arange(len(arr)))
-    return h, doc_h_starts
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[off[0] : off[-1]]
+    return data, off - off[0]
 
 
 def minhash_signatures_stage(
@@ -172,21 +155,22 @@ def minhash_signatures_stage(
 ):
     """Stage: (id, sig list<uint64 as int64>) minhash signatures.
 
-    One batch-wide rolling hash, then all permutations over CACHE-SIZED
-    window slices: the naive (windows × perms) intermediate moves ~3.6 KB
-    of DRAM traffic per window (terabytes at corpus scale — this stage
-    throttled whole scaling runs on bandwidth); an (perms × 8k) reused
-    scratch keeps the hot loop cache-resident, so DRAM sees each shingle
-    hash once.  Per-doc minima merge across slice boundaries with an
-    elementwise ``np.minimum`` (exact).  No per-document Python.
+    Fully streaming: the utf8 bytes come straight off the Arrow buffer,
+    and hashing + permutation + per-doc minima all happen per CACHE-SIZED
+    window slice in reused scratch (the rolling-hash state, the
+    (perms × slice) φ matrix, everything).  Doc boundaries are handled
+    with interleaved-index ``minimum.reduceat`` segments, so no
+    window-sized position/mask arrays exist at all — DRAM sees each text
+    byte once and each signature once (~1 KB/doc), which is what lets the
+    stage scale linearly when every core runs it.  Per-doc minima merge
+    across slice boundaries with an exact elementwise ``np.minimum``.
     (Minhash is multiset-invariant, so skipping per-doc unique changes
     nothing.)
     """
     a, b = _minhash_params(num_perm)
     SLICE = 2048  # (perms × SLICE) scratch ≈ 1 MB — stays cache-resident
     # even with every core running this stage concurrently
-    DOC_CHUNK = 4096  # bound the window arrays (h/h61/doc masks) so the
-    # stage stays allocation-flat no matter how Ray batches blocks
+    DOC_CHUNK = 4096  # docs per outer chunk (bounds the offsets arrays)
 
     def fn(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy().astype(np.int64)
@@ -199,53 +183,86 @@ def minhash_signatures_stage(
                 }
             )
         text_arr = batch[text_col].combine_chunks()
-        texts = None  # materialized lazily, only if a doc is shorter than k
+        k = shingle_k
         sigs = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+        hbuf = np.empty(SLICE, dtype=np.uint64)
         buf = np.empty((num_perm, SLICE), dtype=np.uint64)
         fold = np.empty((num_perm, SLICE), dtype=np.uint64)
         mask = np.empty((num_perm, SLICE), dtype=bool)
         with np.errstate(over="ignore"):
             for doc0 in range(0, n, DOC_CHUNK):
                 doc1 = min(n, doc0 + DOC_CHUNK)
-                res = _arrow_shingle_hashes(
-                    text_arr.slice(doc0, doc1 - doc0), shingle_k
+                got = _arrow_bytes_starts(
+                    text_arr.slice(doc0, doc1 - doc0), k
                 )
-                if res is not None:
-                    h, doc_starts = res
-                else:  # short/null docs: padded python path (rare)
-                    if texts is None:
-                        texts = text_arr.to_pylist()
-                    h, _doc, doc_starts = _batch_shingle_hashes(
-                        texts[doc0:doc1], shingle_k
+                if got is None:  # short/null docs: padded bytes (rare)
+                    padded = [
+                        (t or "").encode().ljust(k, b"\x00")
+                        for t in text_arr.slice(doc0, doc1 - doc0).to_pylist()
+                    ]
+                    data = np.frombuffer(b"".join(padded), dtype=np.uint8)
+                    starts = np.concatenate(
+                        [[0], np.cumsum([len(t) for t in padded])]
                     )
-                # h % P61 via the Mersenne fold (2^61 ≡ 1 mod P61):
-                # bit ops replace the uint64 division, exact same value
-                h61 = (h & _P61) + (h >> np.uint64(61))
-                np.subtract(h61, _P61, where=h61 >= _P61, out=h61)
-                n_win = len(h61)
+                else:
+                    data, starts = got
+                # per-doc valid-window ranges in unsliced window coords:
+                # doc d's windows are [starts[d], starts[d+1] - (k-1))
+                ws = starts[:-1]
+                we = starts[1:] - (k - 1)
+                n_win = len(data) - k + 1
                 for w0 in range(0, n_win, SLICE):
                     w1 = min(n_win, w0 + SLICE)
                     w = w1 - w0
+                    # rolling hash for this slice's windows, from bytes
+                    h = hbuf[:w]
+                    h[:] = np.uint64(0xCBF29CE484222325)
+                    for col in range(k):
+                        np.bitwise_xor(h, data[w0 + col : w0 + col + w], out=h)
+                        np.multiply(h, np.uint64(1099511628211), out=h)
+                    # h %= P61 (Mersenne fold: 2^61 ≡ 1, bit-exact)
+                    f1 = fold[0, :w]
+                    np.right_shift(h, np.uint64(61), out=f1)
+                    np.bitwise_and(h, _P61, out=h)
+                    np.add(h, f1, out=h)
+                    m1 = mask[0, :w]
+                    np.greater_equal(h, _P61, out=m1)
+                    np.subtract(h, _P61, where=m1, out=h)
                     v = buf[:, :w]
                     f = fold[:, :w]
                     m = mask[:, :w]
-                    np.multiply(a[:, None], h61[None, w0:w1], out=v)
+                    np.multiply(a[:, None], h[None, :], out=v)
                     np.add(v, b[:, None], out=v)
-                    # v %= P61, Mersenne fold again (v < 2^64)
                     np.right_shift(v, np.uint64(61), out=f)
                     np.bitwise_and(v, _P61, out=v)
                     np.add(v, f, out=v)
                     np.greater_equal(v, _P61, out=m)
                     np.subtract(v, _P61, where=m, out=v)
-                    d0 = int(np.searchsorted(doc_starts, w0, side="right")) - 1
-                    d1 = int(np.searchsorted(doc_starts, w1, side="left"))
-                    local = np.clip(doc_starts[d0:d1] - w0, 0, None)
-                    part = np.minimum.reduceat(v, local, axis=1)  # (perms, docs)
-                    np.minimum(
-                        sigs[doc0 + d0 : doc0 + d1],
-                        part.T,
-                        out=sigs[doc0 + d0 : doc0 + d1],
-                    )
+                    # docs whose valid range intersects [w0, w1):
+                    # interleaved (start, end) reduceat segments pick out
+                    # exactly the in-doc windows; the k-1 boundary-crossing
+                    # windows fall in the odd gap segments and are dropped
+                    d0 = int(np.searchsorted(we, w0, side="right"))
+                    d1 = int(np.searchsorted(ws, w1, side="left"))
+                    if d1 <= d0:
+                        continue
+                    cs = np.clip(ws[d0:d1] - w0, 0, w)
+                    ce = np.clip(we[d0:d1] - w0, 0, w)
+                    keep = ce > cs
+                    dd = np.nonzero(keep)[0] + d0
+                    if not len(dd):
+                        continue
+                    idx = np.empty(2 * len(dd), dtype=np.int64)
+                    idx[0::2] = cs[keep]
+                    idx[1::2] = ce[keep]
+                    if idx[-1] == w:  # reduceat needs indices < length
+                        idx = idx[:-1]
+                    part = np.minimum.reduceat(v, idx, axis=1)[:, 0::2]
+                    # fancy indexing copies — gather, min, scatter back
+                    rows = doc0 + dd
+                    cur = sigs[rows]
+                    np.minimum(cur, part.T, out=cur)
+                    sigs[rows] = cur
         return pa.table(
             {
                 id_col: pa.array(ids),
