@@ -171,6 +171,21 @@ def run_micros() -> dict:
         buf = rtree.build_rtree(x, y, x + w, y + h)
         best = min(best, time.perf_counter() - t0)
     out = {"build_1m_boxes_per_sec": round(n / best, 1)}
+    bstr = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        rtree.build_rtree(x, y, x + w, y + h, method="str")
+        bstr = min(bstr, time.perf_counter() - t0)
+    out["build_str_1m_boxes_per_sec"] = round(n / bstr, 1)
+    bf32 = float("inf")
+    for _ in range(2):
+        from geo_index_ray.kernels.geom import f64_box_to_f32
+
+        t0 = time.perf_counter()
+        fx0, fy0, fx1, fy1 = f64_box_to_f32(x, y, x + w, y + h)
+        rtree.build_rtree(fx0, fy0, fx1, fy1, dtype=np.float32)
+        bf32 = min(bf32, time.perf_counter() - t0)
+    out["build_f32_incl_cast_1m_boxes_per_sec"] = round(n / bf32, 1)
 
     qs = [
         (qx, qy, qx + 1.0, qy + 1.0)
