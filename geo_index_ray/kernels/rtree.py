@@ -396,6 +396,7 @@ def neighbors(
     max_distance: float | None = None,
     metric: str = "squared",
     return_distances: bool = False,
+    tie_inclusive: bool = False,
 ) -> np.ndarray:
     """kNN by best-first traversal; exact port of the reference algorithm.
 
@@ -406,6 +407,12 @@ def neighbors(
     ``metric="haversine"`` uses great-circle meters with WGS84 equatorial
     radius (src/rtree/distance.rs:57-125).  Results are item ids ordered by
     ascending distance.
+
+    ``tie_inclusive`` keeps EVERY item tied at the ``max_results``-th
+    distance instead of truncating in heap order: distributed kNN merges
+    that tie-break globally on (dist, id) need every tied candidate from
+    every partition probe, or a smaller-id neighbor can be dropped before
+    the merge ever sees it.
     """
     meta, boxes, indices = _attach(data)
     if meta.num_items == 0:
@@ -473,12 +480,21 @@ def neighbors(
             d, iid = heapq.heappop(heap)
             results.append(iid >> 1)
             dists.append(d)
-            if max_results is not None and len(results) == max_results:
-                stop = True
-                break
+            if max_results is not None and len(results) >= max_results:
+                if tie_inclusive:
+                    # keep collecting at exactly the k-th distance: bound
+                    # the traversal by distance instead of count (pops are
+                    # non-decreasing in d, so only ties can still land)
+                    max_distance = min(max_distance, d)
+                    max_results = None
+                else:
+                    stop = True
+                    break
         if stop:
             break
-        outer = (heapq.heappop(heap)[1] >> 1) if heap else None
+        if not heap or heap[0][0] > max_distance:
+            break
+        outer = heapq.heappop(heap)[1] >> 1
 
     if return_distances:
         return np.asarray(results, dtype=np.uint32), np.asarray(dists)

@@ -238,6 +238,10 @@ class _PartitionKnnProbe:
             buf = np.frombuffer(batch["index"][i].as_py(), dtype=np.uint8)
             ids = np.frombuffer(batch["ids"][i].as_py(), dtype=np.int64)
             for qi in qlist:
+                # tie_inclusive: a partition probe must surface EVERY item
+                # tied at its k-th distance — the global (dist, target_id)
+                # merge breaks ties by id, and a smaller-id tie truncated
+                # here (heap order = hilbert position) would be lost
                 nb, dd = rtree.neighbors(
                     buf,
                     float(qx[qi]),
@@ -245,6 +249,7 @@ class _PartitionKnnProbe:
                     max_results=self.k,
                     max_distance=float(bounds[qi]),
                     return_distances=True,
+                    tie_inclusive=True,
                 )
                 if len(nb):
                     out_q.append(np.full(len(nb), qids[qi], dtype=np.int64))

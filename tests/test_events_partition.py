@@ -454,6 +454,43 @@ class TestKnnPartitioned:
         # sub-linear: phase B never probes every remaining partition
         assert stats["probes_b"] < stats["partitions_total"] * len(qids) * 0.5
 
+    def test_quantized_grid_ties_match_brute_oracle(self):
+        """Integer-grid targets make k-th-distance ties common INSIDE one
+        partition probe; every tied candidate must survive to the global
+        (dist, target_id) merge (regression: max_results=k used to truncate
+        ties in heap order, dropping smaller-id neighbors)."""
+        import ray.data
+
+        from geo_index_ray.pipelines import partition as pp
+
+        rng = np.random.default_rng(42)
+        n = 4000
+        tx = rng.integers(0, 60, n).astype(np.float64)
+        ty = rng.integers(0, 60, n).astype(np.float64)
+        tid = rng.permutation(n).astype(np.int64)  # ids uncorrelated w/ space
+        ds = ray.data.from_arrow(
+            pa.table({"tid": pa.array(tid), "x": pa.array(tx), "y": pa.array(ty)})
+        ).repartition(4)
+        idx = pp.build_partitioned_index(ds, "tid", 128)
+        k = 5
+        qx = rng.integers(0, 60, 40).astype(np.float64)
+        qy = rng.integers(0, 60, 40).astype(np.float64)
+        qids = np.arange(40, dtype=np.int64)
+        got = pp.knn_partitioned(idx, np.stack([qx, qy], axis=1), k,
+                                 query_ids=qids)
+        # brute-force oracle: ORDER BY dist, target_id LIMIT k per query
+        rows = []
+        for qi in range(40):
+            d = (tx - qx[qi]) ** 2 + (ty - qy[qi]) ** 2
+            order = np.lexsort((tid, d))[:k]
+            for r, j in enumerate(order, 1):
+                rows.append((qi, tid[j], r, d[j]))
+        want = pd.DataFrame(rows, columns=["query_id", "target_id", "rank", "dist"])
+        cols = ["query_id", "rank", "target_id"]
+        a = got[cols].sort_values(["query_id", "rank"]).reset_index(drop=True)
+        b = want[cols].sort_values(["query_id", "rank"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
     def test_tie_at_kth_distance_matches_oracle_order(self):
         """Equidistant targets at the k-th rank must resolve by smaller id
         (the documented ORDER BY dist, target_id tie-break)."""
