@@ -220,20 +220,40 @@ def main():
     sf_dir = _sf_dir()
     num_cpus = _num_cpus()
     _init_ray(num_cpus)
-    timings, rows = run_queries(sf_dir, num_cpus)
-    total = round(sum(timings.values()), 3)
+    # this host drifts ±25-40% between warm runs (THP/compaction bursts):
+    # one measurement is weather, not a benchmark.  Run the whole suite N
+    # times and report the per-query MEDIAN plus the total's spread.
+    reps = max(1, int(os.environ.get("GRAFT_BENCH_REPS", "5")))
+    all_timings: list[dict] = []
+    rows: dict[str, int] = {}
+    for _ in range(reps):
+        timings, rows = run_queries(sf_dir, num_cpus)
+        all_timings.append(timings)
+        import gc
+
+        gc.collect()  # drop dataset refs so plasma frees between reps
+    names = list(all_timings[0])
+    med = {
+        n: round(sorted(t[n] for t in all_timings)[reps // 2], 3) for n in names
+    }
+    totals = sorted(round(sum(t.values()), 3) for t in all_timings)
+    total = totals[reps // 2]
     built = rows.get("index_build", 0)
     result = {
         "metric": "spatial_engine_headline_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": med,
+        "reps": reps,
+        "total_min": totals[0],
+        "total_max": totals[-1],
+        "totals": totals,
         "rows": rows,
         "rows_per_sec": {
-            k: (round(rows[k] / t, 1) if t > 0 else None) for k, t in timings.items()
+            k: (round(rows[k] / t, 1) if t > 0 else None) for k, t in med.items()
         },
-        "index_build_boxes_per_sec": round(built / timings["index_build"], 1)
-        if timings.get("index_build")
+        "index_build_boxes_per_sec": round(built / med["index_build"], 1)
+        if med.get("index_build")
         else None,
         "micro": run_micros(),
         "sf": sf_dir,
@@ -248,11 +268,22 @@ def main():
 def scaling_workload(num_cpus: int, num_rows: int):
     """The scaling-criterion job: a CC-style pages pipeline big enough to
     saturate the cluster (generation → geocode → tiling → cell-shuffle
-    spatial join → MinHash near-dup candidates), all task-parallel stages.
+    spatial join, concurrently with generation → MinHash near-dup), all
+    task-parallel stages.
 
     Deterministic synthetic input (pure function of row id) — no external
     data; every stage identical at both parallelism levels.
+
+    The two independent branches (geo: histogram + PIP join; dedup:
+    MinHash-LSH) run CONCURRENTLY on the shared cluster — that is how a
+    real engine schedules a DAG with independent subtrees, and it
+    overlaps each branch's fixed costs (executor startup, shuffle
+    barriers) with the other branch's parallel compute instead of
+    serializing ~9 executor startups end-to-end (the round-2 ~15 s
+    serial floor).
     """
+    import threading
+
     import numpy as np
     import pyarrow as pa
 
@@ -262,16 +293,12 @@ def scaling_workload(num_cpus: int, num_rows: int):
     from geo_index_ray.pipelines import tiling
     from geo_index_ray.sources import pages
 
-    rows_done = 0
-    _t = time.perf_counter()
+    t_start = time.perf_counter()
 
-    def _mark(name):
-        nonlocal _t
-        now = time.perf_counter()
-        print(f"STAGE {name} {now - _t:.1f}", flush=True)
-        _t = now
+    def _mark(name, t0):
+        print(f"STAGE {name} {time.perf_counter() - t0:.1f}", flush=True)
+        return time.perf_counter()
 
-    # 1) generate + geocode + tile (sharded generation; lean columns only).
     # Block size is FIXED (32k rows), not derived from the CPU count: a
     # cpu-derived block count gives the small cluster 4x-bigger batches
     # and different per-batch memory behavior, so the two scaling legs
@@ -280,88 +307,127 @@ def scaling_workload(num_cpus: int, num_rows: int):
     # NOTHING wide is ever materialized: Plasma allocation degrades ~5x
     # once the store holds a few GB (measured), which silently serializes
     # every later shuffle — generation is deterministic and cheap, so
-    # downstream consumers re-derive the text instead of pinning it.
+    # each branch re-derives exactly the columns it needs (the geo branch
+    # never generates text at all — prune at the read).
     par = max(num_cpus * 4, num_rows // 32768)
-    ds = pages.pages_dataset(num_rows, parallelism=par, columns=["url", "text"])
-    _mark("generate")
 
-    def geocode_batch(batch: pa.Table) -> pa.Table:
-        urls = batch["url"].to_pylist()
-        lon, lat = pages.page_geometry(urls)
-        h = pages.url_hash64(urls)
-        return pa.table(
+    results: dict[str, int] = {}
+    errors: list[BaseException] = []
+
+    def geo_branch():
+        t0 = time.perf_counter()
+        ds = pages.pages_dataset(num_rows, parallelism=par, columns=["url"])
+
+        def geocode_batch(batch: pa.Table) -> pa.Table:
+            urls = batch["url"].to_pylist()
+            lon, lat = pages.page_geometry(urls)
+            h = pages.url_hash64(urls)
+            return pa.table(
+                {
+                    "page_id": pa.array(h.view(np.int64)),
+                    "x": pa.array(lon),
+                    "y": pa.array(lat),
+                    "min_x": pa.array(lon),
+                    "min_y": pa.array(lat),
+                    "max_x": pa.array(lon),
+                    "max_y": pa.array(lat),
+                }
+            )
+
+        # lean points (56 B/row) are the one thing worth pinning: two
+        # consumers (histogram + join), tiny store footprint
+        pts = ds.map_batches(geocode_batch, batch_format="pyarrow").materialize()
+        t0 = _mark("geocode", t0)
+
+        # per-cell histogram (combiner + tiny groupby); the occupied-cell
+        # rows are metadata-scale, so the tile table is derived driver-side
+        # straight from the histogram batches — no extra Ray execution
+        hist = tiling.cell_histogram(pts, 6)
+        cells_out = []
+        n_hist = 0
+        for b in hist.iter_batches(batch_format="pyarrow"):
+            n_hist += b.num_rows
+            cells_out.append(b["cell"].to_numpy())
+        results["hist"] = n_hist
+        t0 = _mark("histogram", t0)
+
+        cell_ids = np.concatenate(cells_out) if cells_out else np.empty(0, np.int64)
+        mnx, mny, mxx, mxy = cellmod.cell_bounds(cellmod.flat_to_cell(cell_ids, 6))
+        import ray.data
+
+        tiles = pa.table(
             {
-                "page_id": pa.array(h.view(np.int64)),
-                "x": pa.array(lon),
-                "y": pa.array(lat),
-                "min_x": pa.array(lon),
-                "min_y": pa.array(lat),
-                "max_x": pa.array(lon),
-                "max_y": pa.array(lat),
+                "tile_id": pa.array(cell_ids.astype(np.int64)),
+                "min_x": pa.array(mnx),
+                "min_y": pa.array(mny),
+                "max_x": pa.array(mxx),
+                "max_y": pa.array(mxy),
             }
         )
+        pairs = sj.shuffle_spatial_join(
+            pts,
+            ray.data.from_arrow(tiles),
+            res=5,
+            how="pip",
+            left_id="page_id",
+            right_id="tile_id",
+            skew_split_threshold=max(10_000, num_rows // 50),
+        )
+        # count() executes distributed and returns block-metadata row
+        # counts — no pair rows ever stream to the driver
+        results["pairs"] = pairs.count()
+        _mark("pip_join", t0)
 
-    # lean points (56 B/row) are the one thing worth pinning: two
-    # consumers (histogram + join), tiny store footprint
-    pts = ds.map_batches(geocode_batch, batch_format="pyarrow").materialize()
+    def dedup_branch():
+        t0 = time.perf_counter()
+        ds = pages.pages_dataset(num_rows, parallelism=par, columns=["url", "text"])
+        docs = ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": pa.array(
+                        pages.url_hash64(b["url"].to_pylist()).view(np.int64)
+                    ),
+                    "text": b["text"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        # bands tuned to the 0.9 threshold by the LSH S-curve (4 bands × 4
+        # rows of a 16-perm signature: P[candidate | j=0.9] ≈ 1-(1-0.9^4)^4
+        # ≈ 0.986, random-pair collisions ~4·j^4).  The short signature
+        # keeps the signature table small and halves the band-bucket
+        # exchange.  spread=False: generation already produced fixed-size
+        # blocks.  sig_store is env-selectable so the plasma-vs-parquet
+        # checkpoint tradeoff stays measurable (BASELINE.md records both).
+        nd = dedup_pipe.minhash_dedup(
+            docs,
+            "doc_id",
+            threshold=0.9,
+            num_perm=16,
+            bands=4,
+            spread=False,
+            sig_store=os.environ.get("GRAFT_SIG_STORE", "plasma"),
+        )
+        results["nd"] = nd.count()
+        _mark("minhash", t0)
 
-    # 2) per-cell histogram (combiner + tiny groupby)
-    hist = tiling.cell_histogram(pts, 6).materialize()
-    rows_done += hist.count()
-    _mark("histogram")
+    threads = []
+    for fn in (geo_branch, dedup_branch):
+        def run(f=fn):
+            try:
+                f()
+            except BaseException as e:  # surface branch failures
+                errors.append(e)
 
-    # 3) tiles from the occupied cells at a coarser res → PIP join with the
-    #    skewed points (hot city cells exercise the skew split)
-    tiles_tbl = tiling.vectorize_cells(hist, 6).to_pandas()
-    tiles = pa.table(
-        {
-            "tile_id": pa.array(tiles_tbl["cell"].to_numpy().astype(np.int64)),
-            "min_x": pa.array(tiles_tbl["tile_min_x"].to_numpy()),
-            "min_y": pa.array(tiles_tbl["tile_min_y"].to_numpy()),
-            "max_x": pa.array(tiles_tbl["tile_max_x"].to_numpy()),
-            "max_y": pa.array(tiles_tbl["tile_max_y"].to_numpy()),
-        }
-    )
-    import ray.data
-
-    pairs = sj.shuffle_spatial_join(
-        pts,
-        ray.data.from_arrow(tiles),
-        res=5,
-        how="pip",
-        left_id="page_id",
-        right_id="tile_id",
-        skew_split_threshold=max(10_000, num_rows // 50),
-    )
-    # count() executes distributed and returns block-metadata row counts —
-    # no pair rows ever stream to the driver
-    rows_done += pairs.count()
-    _mark("pip_join")
-
-    # 4) MinHash near-dup candidates over the page text (CPU-heavy map)
-    docs = ds.map_batches(
-        lambda b: pa.table(
-            {
-                "doc_id": pa.array(
-                    pages.url_hash64(b["url"].to_pylist()).view(np.int64)
-                ),
-                "text": b["text"],
-            }
-        ),
-        batch_format="pyarrow",
-    )
-    # bands tuned to the 0.9 threshold by the LSH S-curve (4 bands × 4
-    # rows of a 16-perm signature: P[candidate | j=0.9] ≈ 1-(1-0.9^4)^4
-    # ≈ 0.986, random-pair collisions ~4·j^4).  The short signature keeps
-    # the one store-resident payload table small (Plasma slows ~5x once
-    # the store holds multiple GB) and halves the band-bucket exchange.
-    # spread=False: generation already produced fixed-size blocks, so the
-    # pre-signature repartition would only add a barrier + move the text
-    nd = dedup_pipe.minhash_dedup(docs, "doc_id", threshold=0.9,
-                                  num_perm=16, bands=4, spread=False)
-    rows_done += nd.count()
-    _mark("minhash")
-    return rows_done
+        th = threading.Thread(target=run, daemon=True)
+        th.start()
+        threads.append(th)
+    for th in threads:
+        th.join()
+    if errors:
+        raise errors[0]
+    print(f"STAGE total {time.perf_counter() - t_start:.1f}", flush=True)
+    return results["hist"] + results["pairs"] + results["nd"]
 
 
 def child_main():

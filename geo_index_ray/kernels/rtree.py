@@ -211,32 +211,34 @@ def build_rtree(
     leaf = boxes[: 4 * n]
     _sort_leaves(leaf, indices, n, node_size, method, (gminx, gminy, gmaxx, gmaxy), dtype)
 
-    # pack parent levels bottom-up (src/rtree/builder.rs:180-232)
+    # pack parent levels bottom-up (src/rtree/builder.rs:180-232).
+    # Full node-size groups reduce in TWO reduceat passes over the
+    # interleaved child array (min and max each cover all four columns in
+    # one contiguous sweep); the single ragged tail node reduces alone —
+    # no padded copy of the whole level, no per-column strided passes.
     for level in range(meta.num_levels - 1):
         start = 0 if level == 0 else meta.level_bounds[level - 1]
         end = meta.level_bounds[level]
         child_boxes = boxes[start:end].reshape(-1, 4)
         num_children = len(child_boxes)
         num_parents = int(np.ceil(num_children / node_size))
-        pad = num_parents * node_size - num_children
-        if pad:
-            padding = np.empty((pad, 4), dtype=dtype)
-            if np.issubdtype(dtype, np.floating):
-                lo, hi = -np.inf, np.inf
-            else:  # integer coord types: saturate instead of ±inf
-                info = np.iinfo(dtype)
-                lo, hi = info.min, info.max
-            padding[:, 0] = hi
-            padding[:, 1] = hi
-            padding[:, 2] = lo
-            padding[:, 3] = lo
-            child_boxes = np.concatenate([child_boxes, padding])
-        grouped = child_boxes.reshape(num_parents, node_size, 4)
+        full = num_children // node_size
         parent = np.empty((num_parents, 4), dtype=dtype)
-        parent[:, 0] = grouped[:, :, 0].min(axis=1)
-        parent[:, 1] = grouped[:, :, 1].min(axis=1)
-        parent[:, 2] = grouped[:, :, 2].max(axis=1)
-        parent[:, 3] = grouped[:, :, 3].max(axis=1)
+        if full:
+            seg = np.arange(full, dtype=np.int64) * node_size
+            cb = child_boxes[: full * node_size]
+            mins = np.minimum.reduceat(cb, seg, axis=0)
+            maxs = np.maximum.reduceat(cb, seg, axis=0)
+            parent[:full, 0] = mins[:, 0]
+            parent[:full, 1] = mins[:, 1]
+            parent[:full, 2] = maxs[:, 2]
+            parent[:full, 3] = maxs[:, 3]
+        if num_parents > full:
+            tail = child_boxes[full * node_size :]
+            parent[full, 0] = tail[:, 0].min()
+            parent[full, 1] = tail[:, 1].min()
+            parent[full, 2] = tail[:, 2].max()
+            parent[full, 3] = tail[:, 3].max()
         boxes[end : end + num_parents * 4] = parent.ravel()
         # internal-node index = coord-pos of first child
         indices[end // 4 : end // 4 + num_parents] = (

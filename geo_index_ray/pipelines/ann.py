@@ -199,12 +199,20 @@ def lsh_cosine_pairs(
         b_s = bucket[order]
         starts = np.nonzero(np.r_[True, b_s[1:] != b_s[:-1]])[0]
         sizes = np.diff(np.r_[starts, len(order)])
+        # giant buckets (only 2^planes_per_table codes per table exist, so
+        # a bucket can hold O(N/16) ids): all-pairs would grow the
+        # materialized id-pair stream O(N²).  Chain-link them to the
+        # bucket's min id instead — precision is unaffected (exact cosine
+        # verification filters), only in-bucket recall of a pathological
+        # bucket degrades gracefully (cf. minhash pairs_in_reducer).
+        small = sizes <= 2048
+        s_small = np.where(small, sizes, 0)
         out_a, out_b = [], []
-        for k in range(1, int(sizes.max(initial=1))):
-            act = np.nonzero(sizes > k)[0]
+        for k in range(1, int(s_small.max(initial=1))):
+            act = np.nonzero(s_small > k)[0]
             if not len(act):
                 break
-            cnt = sizes[act] - k
+            cnt = s_small[act] - k
             t0 = np.repeat(starts[act], cnt) + (
                 np.arange(int(cnt.sum())) - np.repeat(np.cumsum(cnt) - cnt, cnt)
             )
@@ -214,6 +222,13 @@ def lsh_cosine_pairs(
             if keep.any():
                 out_a.append(np.minimum(a[keep], b[keep]))
                 out_b.append(np.maximum(a[keep], b[keep]))
+        for gi in np.nonzero(~small)[0]:
+            rids = ids[order[starts[gi] : starts[gi] + sizes[gi]]]
+            a = np.full(len(rids) - 1, rids[0])
+            b = rids[1:]
+            keep = a != b
+            out_a.append(np.minimum(a[keep], b[keep]))
+            out_b.append(np.maximum(a[keep], b[keep]))
         if not out_a:
             return _empty_ab
         return pa.table(
@@ -368,9 +383,22 @@ class _IvfProbe:
         self.qids = s["qids"]
         self.qm = s["qm"]
         # per query: its nprobe nearest lists (stable → ties break to the
-        # lowest centroid index, reproducible by an external oracle)
+        # lowest centroid index, reproducible by an external oracle);
+        # inverted to per-LIST query sets so the probe loops over the
+        # (bounded) centroid count, never over the query count
         qsims = self.qm @ self.cent.T
-        self.qlists = np.argsort(-qsims, axis=1, kind="stable")[:, : self.nprobe]
+        qlists = np.argsort(-qsims, axis=1, kind="stable")[:, : self.nprobe]
+        nq = len(self.qids)
+        ql_flat = qlists.ravel()
+        q_flat = np.repeat(np.arange(nq, dtype=np.int64), qlists.shape[1])
+        order = np.argsort(ql_flat, kind="stable")
+        self.list_queries = [
+            q_flat[order[lo:hi]]
+            for lo, hi in zip(
+                np.searchsorted(ql_flat[order], np.arange(len(self.cent))),
+                np.searchsorted(ql_flat[order], np.arange(1, len(self.cent) + 1)),
+            )
+        ]
         self.loaded = True
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -389,21 +417,28 @@ class _IvfProbe:
         m = _emb_matrix(batch, self.emb_col)
         m = m / np.linalg.norm(m, axis=1, keepdims=True)
         assign = np.argmax(m @ self.cent.T, axis=1)
+        # group the batch's vectors by their list; ONE matmul per nonempty
+        # list against just the queries probing it.  Per-list top-k(+ties)
+        # is a superset of each query's union top-k, so the global
+        # (sim desc, neighbor_id) merge stays exact.  Work is
+        # O(per-list-members × probing-queries) — flat per query.
+        vorder = np.argsort(assign, kind="stable")
+        a_s = assign[vorder]
+        starts = np.nonzero(np.r_[True, a_s[1:] != a_s[:-1]])[0]
+        ends = np.r_[starts[1:], len(a_s)]
         out_q, out_n, out_s = [], [], []
-        for qi in range(len(self.qids)):
-            cand = np.isin(assign, self.qlists[qi])
-            if not cand.any():
+        for li, s, e in zip(a_s[starts], starts, ends):
+            ql = self.list_queries[int(li)]
+            if not len(ql):
                 continue
-            sub = m[cand]
-            sims = sub @ self.qm[qi]
-            kk = min(self.k, len(sims))
-            # include k-th-similarity ties (deterministic global tie-break
-            # by neighbor_id happens in the merge)
-            kth = -np.partition(-sims, kk - 1)[kk - 1]
-            top = np.nonzero(sims >= kth)[0]
-            out_q.append(np.full(len(top), self.qids[qi], dtype=np.int64))
-            out_n.append(ids[cand][top])
-            out_s.append(sims[top])
+            rows = vorder[s:e]
+            sims = m[rows] @ self.qm[ql].T  # (members, queries-of-list)
+            kk = min(self.k, sims.shape[0])
+            kth = -np.partition(-sims, kk - 1, axis=0)[kk - 1]  # (nq_l,)
+            vi, qi = np.nonzero(sims >= kth[None, :])
+            out_q.append(self.qids[ql[qi]])
+            out_n.append(ids[rows[vi]])
+            out_s.append(sims[vi, qi])
         if not out_q:
             return empty
         return pa.table(
@@ -449,8 +484,21 @@ def ivf_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray, k: int,
             if b.num_rows:
                 got_ids.append(b[id_col].to_numpy().astype(np.int64))
                 got_mat.append(_emb_matrix(b, emb_col))
+        if not got_ids:
+            raise ValueError(
+                f"ivf_topk: none of the {len(cid)} requested centroid_ids "
+                f"exist in column {id_col!r}"
+            )
         ids_found = np.concatenate(got_ids)
         mat_found = np.concatenate(got_mat)
+        if len(ids_found) != len(cid):
+            missing = np.setdiff1d(cid, ids_found)
+            raise ValueError(
+                f"ivf_topk: {len(missing)} of {len(cid)} centroid_ids are "
+                f"missing from the dataset (first few: {missing[:8].tolist()}); "
+                "a silently shrunk centroid set would change nlist and probe "
+                "behavior"
+            )
         order = np.argsort(ids_found, kind="stable")
         cent = mat_found[order]
         cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)

@@ -284,6 +284,7 @@ def minhash_dedup(
     shingle_k: int = 5,
     threshold: float = 0.5,
     spread: bool = True,
+    sig_store: str = "plasma",
 ):
     """Near-duplicate candidate pairs via MinHash-LSH.
 
@@ -319,13 +320,38 @@ def minhash_dedup(
         except Exception:
             pass
     src = ds.repartition(target_blocks) if spread else ds
-    # materialized: both the bucket pass and the verification payload join
-    # read it — recomputing lazily was measured slower (duplicate read +
-    # signature work outweighs the materialize barrier)
-    sig_ds = src.map_batches(
+    # the signature table is read twice (bucket pass + verification payload
+    # join).  ``sig_store`` picks where it lives between the two reads:
+    # - "plasma": materialize in the object store.  Fastest at bench scale,
+    #   but pins 8·num_perm B/row × corpus — Plasma allocation degrades ~5×
+    #   once the store holds a few GB (measured, BASELINE.md), so this is
+    #   the wrong choice for corpus-scale runs.
+    # - "parquet": checkpoint to local parquet and re-read lazily — nothing
+    #   corpus-sized stays pinned; the scale-correct choice (and the resume
+    #   point a failed verification retries from).
+    # - "lazy": recompute signatures per consumer (cheap-kernel inputs).
+    sig_pipe = src.map_batches(
         minhash_signatures_stage(id_col, text_col, num_perm, shingle_k),
         batch_format="pyarrow",
-    ).materialize()
+    )
+    if sig_store == "plasma":
+        sig_ds = sig_pipe.materialize()
+    elif sig_store == "parquet":
+        import os
+        import tempfile
+        import uuid
+
+        import ray.data as rd
+
+        path = os.path.join(
+            tempfile.gettempdir(), f"gir_minhash_sig_{uuid.uuid4().hex}"
+        )
+        sig_pipe.write_parquet(path)
+        sig_ds = rd.read_parquet(path)
+    elif sig_store == "lazy":
+        sig_ds = sig_pipe
+    else:
+        raise ValueError(f"unknown sig_store {sig_store!r}")
 
     def to_buckets(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy().astype(np.int64)

@@ -32,11 +32,12 @@ def token_count_stage(id_col: str, text_col: str = "text"):
     """
 
     def fn(batch: pa.Table) -> pa.Table:
-        # str.split() drops empty tokens (leading/trailing/repeated
-        # whitespace) — exactly the SQL twin's list_filter semantics
-        texts = batch[text_col].to_pylist()
-        n = np.array([len((t or "").split()) for t in texts], dtype=np.int64)
-        return pa.table({id_col: batch[id_col], "n_tokens": pa.array(n)})
+        # count of non-empty \s+-separated segments ≡ count of \S+ runs —
+        # one RE2 kernel pass, no Python strings in the hot path
+        n = pc.count_substring_regex(batch[text_col], r"\S+")
+        return pa.table(
+            {id_col: batch[id_col], "n_tokens": n.cast(pa.int64())}
+        )
 
     return fn
 
@@ -48,17 +49,16 @@ def bpe_token_count_stage(id_col: str, text_col: str = "text"):
     stage closure (per worker), never per batch.
 
     SQL twin: ``len(regexp_extract_all(text,
-    '[A-Za-z0-9_]+|[^A-Za-z0-9_ \\t\\n]+'))`` (explicit classes so Python
-    re and DuckDB RE2 agree).
+    '[A-Za-z0-9_]+|[^A-Za-z0-9_ \\t\\n]+'))`` (explicit classes so the
+    Arrow RE2 kernel and DuckDB RE2 agree).
     """
-    import re
-
-    pat = re.compile(r"[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n]+")
+    pat = r"[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n]+"
 
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
-        n = np.array([len(pat.findall(t or "")) for t in texts], dtype=np.int64)
-        return pa.table({id_col: batch[id_col], "n_tokens": pa.array(n)})
+        n = pc.count_substring_regex(batch[text_col], pat)
+        return pa.table(
+            {id_col: batch[id_col], "n_tokens": n.cast(pa.int64())}
+        )
 
     return fn
 
@@ -88,32 +88,49 @@ def quality_stage(id_col: str, text_col: str = "text"):
 
 
 def lang_id_stage(id_col: str, text_col: str = "text"):
-    """(id, lang_pred): stopword-voting language ID heuristic (rows-only —
-    no SQL twin)."""
+    """(id, lang_pred): stopword-voting language ID heuristic.
 
-    marker_sets = {lang: set(ws) for lang, ws in _LANG_MARKERS.items()}
+    Semantics are pinned by the SQL twin (functions/sqltext.sql_lang_id):
+    kana/CJK codepoint dominance over the first 200 CHARS, else the
+    stopword vote over the first 200 \\s+-words of lower(text) with
+    first-language-wins ties.  Vectorized batch-wide: the CJK gates are
+    two RE2 kernel passes; the vote hashes every candidate word once and
+    segment-sums per (row, language) — no per-word Python."""
+
+    langs = list(_LANG_MARKERS)
+    marker_hashes = [
+        _fnv1a_batch([w.encode() for w in _LANG_MARKERS[lg]]) for lg in langs
+    ]
 
     def fn(batch: pa.Table) -> pa.Table:
-        preds = []
-        for t in batch[text_col].to_pylist():
-            t = t or ""
-            # CJK by codepoint dominance
-            cjk = sum(1 for ch in t[:200] if "一" <= ch <= "鿿")
-            kana = sum(1 for ch in t[:200] if "぀" <= ch <= "ヿ")
-            if kana > 2:
-                preds.append("ja")
-                continue
-            if cjk > 2:
-                preds.append("zh")
-                continue
-            words = t.lower().split()[:200]
-            best, best_hits = "en", -1
-            for lang, markers in marker_sets.items():
-                hits = sum(1 for w in words if w in markers)
-                if hits > best_hits:
-                    best, best_hits = lang, hits
-            preds.append(best)
-        return pa.table({id_col: batch[id_col], "lang_pred": pa.array(preds)})
+        col = batch[text_col]
+        n = len(col)
+        head = pc.utf8_slice_codeunits(col, 0, 200)
+        kana = pc.count_substring_regex(head, "[぀-ヿ]").to_numpy(
+            zero_copy_only=False
+        )
+        cjk = pc.count_substring_regex(head, "[一-鿿]").to_numpy(
+            zero_copy_only=False
+        )
+        # stopword vote only where the CJK gates didn't fire
+        tok_lists = [
+            (t or "").lower().split()[:200] for t in col.to_pylist()
+        ]
+        counts = np.array([len(ts) for ts in tok_lists], dtype=np.int64)
+        flat = [w.encode() for ts in tok_lists for w in ts]
+        hits = np.zeros((n, len(langs)), dtype=np.int64)
+        if flat:
+            th = _fnv1a_batch(flat)
+            row = np.repeat(np.arange(n), counts)
+            for li, mh in enumerate(marker_hashes):
+                hits[:, li] = np.bincount(
+                    row, weights=np.isin(th, mh), minlength=n
+                ).astype(np.int64)
+        vote = np.array(langs, dtype=object)[np.argmax(hits, axis=1)]
+        preds = np.where(kana > 2, "ja", np.where(cjk > 2, "zh", vote))
+        return pa.table(
+            {id_col: batch[id_col], "lang_pred": pa.array(preds.tolist())}
+        )
 
     return fn
 
@@ -122,26 +139,32 @@ _FP_BASE = np.uint64(1099511628211)
 _FP_OFFSET = np.uint64(0xCBF29CE484222325)
 
 
+def _fnv1a_batch(encs) -> np.ndarray:
+    """Vectorized 64-bit FNV-1a over a list of byte strings (column-wise
+    padded-matrix rolling hash — one numpy pass per byte column)."""
+    n = len(encs)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    maxlen = max(1, max(len(t) for t in encs))
+    mat = np.frombuffer(
+        b"".join(t.ljust(maxlen, b"\x00") for t in encs), dtype=np.uint8
+    ).reshape(n, maxlen).astype(np.uint64)
+    lens = np.array([len(t) for t in encs])
+    h = np.full(n, _FP_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for col in range(maxlen):
+            active = col < lens
+            h = np.where(active, (h ^ mat[:, col]) * _FP_BASE, h)
+    return h
+
+
 def fingerprint_stage(id_col: str, text_col: str = "text"):
     """(id, fp): 64-bit rolling (FNV-1a) document fingerprint, vectorized
     column-wise over a padded byte matrix (rows-only)."""
 
     def fn(batch: pa.Table) -> pa.Table:
         texts = [t.encode() if t else b"" for t in batch[text_col].to_pylist()]
-        n = len(texts)
-        if n == 0:
-            return pa.table({id_col: batch[id_col], "fp": pa.array([], pa.int64())})
-        maxlen = max(1, max(len(t) for t in texts))
-        mat = np.frombuffer(
-            b"".join(t.ljust(maxlen, b"\x00") for t in texts), dtype=np.uint8
-        ).reshape(n, maxlen).astype(np.uint64)
-        lens = np.array([len(t) for t in texts])
-        h = np.full(n, _FP_OFFSET, dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            for col in range(maxlen):
-                active = col < lens
-                hx = np.where(active, (h ^ mat[:, col]) * _FP_BASE, h)
-                h = hx
+        h = _fnv1a_batch(texts)
         return pa.table({id_col: batch[id_col], "fp": pa.array(h.view(np.int64))})
 
     return fn

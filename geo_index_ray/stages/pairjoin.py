@@ -58,30 +58,74 @@ def _bloom_positions(ids: np.ndarray):
     ).astype(np.int64)
 
 
+_BLOOM_SPARSE_MAX = 32768  # distinct positions; above this emit the bitmap
+
+
 def _bloom_of_pairs(pairs_ds) -> np.ndarray:
     """Fixed-size Bloom bitmap of every id appearing in a candidate pair.
 
-    Built distributed (one bitmap per block, OR'd on the driver — the
-    driver touches only fixed 1 MiB metadata rows, never pair data)."""
+    Two-level distributed reduce: each pair block emits its ids' bit
+    POSITIONS (sparse int64, usually a few KB) or the dense 1 MiB bitmap
+    when a block is huge; a merge stage ORs those into at most 8 bitmaps
+    inside workers; the driver ORs only that fixed handful — O(1) driver
+    bytes regardless of block count (a flat per-block OR on the driver
+    would stream blocks × 1 MiB through one process)."""
 
     def block_bloom(batch: pa.Table) -> pa.Table:
-        bits = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
-        ids = np.concatenate(
-            [
-                batch["a_id"].to_numpy().astype(np.int64),
-                batch["b_id"].to_numpy().astype(np.int64),
-            ]
+        ids = np.unique(
+            np.concatenate(
+                [
+                    batch["a_id"].to_numpy().astype(np.int64),
+                    batch["b_id"].to_numpy().astype(np.int64),
+                ]
+            )
         )
-        for p in _bloom_positions(ids):
-            np.bitwise_or.at(bits, p >> 3, np.uint8(1) << (p & 7).astype(np.uint8))
-        return pa.table({"bloom": pa.array([bits.tobytes()], pa.binary())})
+        p1, p2 = _bloom_positions(ids)
+        pos = np.unique(np.concatenate([p1, p2]))
+        if len(pos) <= _BLOOM_SPARSE_MAX:
+            return pa.table(
+                {"kind": pa.array([0], pa.int8()),
+                 "blob": pa.array([pos.tobytes()], pa.binary())}
+            )
+        bits = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+        np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        return pa.table(
+            {"kind": pa.array([1], pa.int8()),
+             "blob": pa.array([bits.tobytes()], pa.binary())}
+        )
 
+    def merge_blooms(batch: pa.Table) -> pa.Table:
+        bits = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+        kinds = batch["kind"].to_numpy()
+        for i in range(batch.num_rows):
+            blob = batch["blob"][i].as_py()
+            if kinds[i] == 0:
+                pos = np.frombuffer(blob, dtype=np.int64)
+                np.bitwise_or.at(
+                    bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8)
+                )
+            else:
+                bits |= np.frombuffer(blob, dtype=np.uint8)
+        return pa.table(
+            {"kind": pa.array([1], pa.int8()),
+             "blob": pa.array([bits.tobytes()], pa.binary())}
+        )
+
+    merged = (
+        pairs_ds.map_batches(block_bloom, batch_format="pyarrow")
+        .repartition(8)
+        .map_batches(merge_blooms, batch_format="pyarrow", batch_size=None)
+    )
     agg = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
-    for b in pairs_ds.map_batches(
-        block_bloom, batch_format="pyarrow"
-    ).iter_batches(batch_format="pyarrow"):
-        for buf in b["bloom"]:
-            agg |= np.frombuffer(buf.as_py(), dtype=np.uint8)
+    for b in merged.iter_batches(batch_format="pyarrow"):
+        for i in range(b.num_rows):
+            if b["kind"][i].as_py() == 0:
+                pos = np.frombuffer(b["blob"][i].as_py(), dtype=np.int64)
+                np.bitwise_or.at(
+                    agg, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8)
+                )
+            else:
+                agg |= np.frombuffer(b["blob"][i].as_py(), dtype=np.uint8)
     return agg
 
 

@@ -100,14 +100,48 @@ def write_partitioned(ds, out_dir: str, stage: str, key_col: str,
         # canonical row order inside a partition → byte-stable output; the
         # fingerprint covers the FULL payload (IPC bytes of the ordered
         # table), so a changed upstream input into the same out_dir is
-        # detected and the stale partition is rewritten, not silently kept
-        keys = g[key_col].to_numpy()
-        order = np.argsort(keys, kind="stable").astype(np.int64)
+        # detected and the stale partition is rewritten, not silently kept.
+        # The sort is over ALL columns (key first): a key-only stable sort
+        # leaves duplicate-key rows in Ray's nondeterministic arrival
+        # order, which would flip the fingerprint between identical reruns
+        # and spuriously rewrite 'done' partitions.  (Nested-type columns
+        # fall back to key-only order — there resume determinism requires
+        # a unique key, which the fallback docstring note covers.)
+        import pyarrow.compute as pc
+
+        try:
+            sort_keys = [(key_col, "ascending")] + [
+                (c, "ascending") for c in g.column_names if c != key_col
+            ]
+            order = pc.sort_indices(g, sort_keys=sort_keys)
+        except (pa.ArrowNotImplementedError, pa.ArrowInvalid):
+            order = pa.array(
+                np.argsort(g[key_col].to_numpy(), kind="stable").astype(np.int64)
+            )
         g = g.take(order)
-        sink = pa.BufferOutputStream()
-        with pa.ipc.new_stream(sink, g.schema) as w:
+        # hash the IPC stream without buffering it — the fingerprint needs
+        # one serialization pass, not a second in-memory copy of the table
+        hasher = hashlib.sha1()
+
+        class _HashSink:
+            @staticmethod
+            def write(b):
+                hasher.update(b)
+                return len(b)
+
+            @staticmethod
+            def flush():
+                pass
+
+            closed = False
+
+            @staticmethod
+            def close():
+                pass
+
+        with pa.ipc.new_stream(pa.PythonFile(_HashSink(), mode="w"), g.schema) as w:
             w.write_table(g)
-        fp = hashlib.sha1(sink.getvalue()).hexdigest()[:16]
+        fp = hasher.hexdigest()[:16]
         if done.get(name) == fp and os.path.exists(out_path):
             return pa.table(
                 {

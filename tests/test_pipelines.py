@@ -206,6 +206,32 @@ class TestCheckpoint:
             assert len(back) == 1500
             assert len([f for f in os.listdir(d) if f.endswith(".parquet")]) == n_parts
 
+    def test_duplicate_keys_fingerprint_stable_across_row_orders(self):
+        """Reruns that deliver duplicate-key rows in a different arrival
+        order must still skip every partition: the fingerprint canonicalizes
+        over ALL columns, not just the key (regression: key-only stable sort
+        left dup-key rows in Ray's nondeterministic order)."""
+        import ray.data
+
+        from geo_index_ray.state import checkpoint
+
+        t = pa.table(
+            {
+                "k": pa.array([1, 1, 1, 2, 2, 3] * 10, pa.int64()),
+                "v": pa.array(list(range(60)), pa.int64()),
+            }
+        )
+        rev = t.take(pa.array(list(range(59, -1, -1)), pa.int64()))
+        with tempfile.TemporaryDirectory() as d:
+            rep1 = checkpoint.write_partitioned(
+                ray.data.from_arrow(t).repartition(3), d, "s", "k", 4
+            )
+            rep2 = checkpoint.write_partitioned(
+                ray.data.from_arrow(rev).repartition(5), d, "s", "k", 4
+            )
+            assert not rep1.skipped.any()
+            assert rep2.skipped.all()
+
     def test_resume_after_partial_write(self):
         from geo_index_ray.state import checkpoint
         from geo_index_ray.sources import tables
