@@ -319,9 +319,10 @@ def scaling_workload(num_cpus: int, num_rows: int):
         ds = pages.pages_dataset(num_rows, parallelism=par, columns=["url"])
 
         def geocode_batch(batch: pa.Table) -> pa.Table:
-            urls = batch["url"].to_pylist()
-            lon, lat = pages.page_geometry(urls)
-            h = pages.url_hash64(urls)
+            # hash straight off the Arrow string buffers (no per-row
+            # Python), and derive geometry from the same hash values
+            h = pages.url_hash64(batch["url"])
+            lon, lat = pages.geometry_from_hash(h)
             return pa.table(
                 {
                     "page_id": pa.array(h.view(np.int64)),
@@ -384,9 +385,7 @@ def scaling_workload(num_cpus: int, num_rows: int):
         docs = ds.map_batches(
             lambda b: pa.table(
                 {
-                    "doc_id": pa.array(
-                        pages.url_hash64(b["url"].to_pylist()).view(np.int64)
-                    ),
+                    "doc_id": pa.array(pages.url_hash64(b["url"]).view(np.int64)),
                     "text": b["text"],
                 }
             ),
@@ -406,10 +405,18 @@ def scaling_workload(num_cpus: int, num_rows: int):
             num_perm=16,
             bands=4,
             spread=False,
-            sig_store=os.environ.get("GRAFT_SIG_STORE", "plasma"),
+            sig_store=os.environ.get("GRAFT_SIG_STORE", "lazy"),
         )
         results["nd"] = nd.count()
         _mark("minhash", t0)
+
+    if os.environ.get("GRAFT_SEQ_BRANCHES"):
+        # diagnostic mode: run the branches back-to-back to separate
+        # driver/executor contention from per-branch scaling
+        geo_branch()
+        dedup_branch()
+        print(f"STAGE total {time.perf_counter() - t_start:.1f}", flush=True)
+        return results["hist"] + results["pairs"] + results["nd"]
 
     threads = []
     for fn in (geo_branch, dedup_branch):

@@ -284,7 +284,7 @@ def minhash_dedup(
     shingle_k: int = 5,
     threshold: float = 0.5,
     spread: bool = True,
-    sig_store: str = "plasma",
+    sig_store: str = "lazy",
 ):
     """Near-duplicate candidate pairs via MinHash-LSH.
 
@@ -301,9 +301,16 @@ def minhash_dedup(
     distinct-signature collision pairs are exact-verified afterwards
     against the signatures of just the involved ids.
     """
-    from ..stages.util import cluster_cpus, coalesce_for_shuffle, reducer_count
+    from ..stages.util import (
+        cluster_cpus,
+        coalesce_for_shuffle,
+        reducer_count,
+        stage_mark,
+    )
 
     import ray.data
+
+    _t0 = __import__("time").perf_counter()
 
     rows_per_band = num_perm // bands
     R = reducer_count()
@@ -320,22 +327,26 @@ def minhash_dedup(
         except Exception:
             pass
     src = ds.repartition(target_blocks) if spread else ds
-    # the signature table is read twice (bucket pass + verification payload
-    # join).  ``sig_store`` picks where it lives between the two reads:
-    # - "plasma": materialize in the object store.  Fastest at bench scale,
-    #   but pins 8·num_perm B/row × corpus — Plasma allocation degrades ~5×
-    #   once the store holds a few GB (measured, BASELINE.md), so this is
-    #   the wrong choice for corpus-scale runs.
-    # - "parquet": checkpoint to local parquet and re-read lazily — nothing
-    #   corpus-sized stays pinned; the scale-correct choice (and the resume
-    #   point a failed verification retries from).
-    # - "lazy": recompute signatures per consumer (cheap-kernel inputs).
-    sig_pipe = src.map_batches(
-        minhash_signatures_stage(id_col, text_col, num_perm, shingle_k),
-        batch_format="pyarrow",
-    )
+    # the signature table has two consumers (bucket pass + verification
+    # payload join).  ``sig_store`` picks how the second consumer gets it:
+    # - "lazy" (default): nothing persists.  The bucket pass chains
+    #   generate→sign→bucket→shuffle in ONE execution (no barrier), and the
+    #   verification payload RECOMPUTES signatures from the input — but only
+    #   for ids that pass the broadcast Bloom filter of candidate-pair ids,
+    #   i.e. the expensive kernel reruns for O(candidate ids), not the
+    #   corpus.  Nothing corpus-sized is ever pinned (Plasma allocation
+    #   degrades ~5× once the store holds a few GB — measured, BASELINE.md).
+    # - "plasma": materialize the signature table in the object store.
+    #   Saves the input re-scan when signatures are far more expensive than
+    #   the scan, at the price of pinning 8·num_perm B/row × corpus.
+    # - "parquet": checkpoint to local parquet and re-read lazily — the
+    #   resume point a failed verification retries from.
+    sig_fn = minhash_signatures_stage(id_col, text_col, num_perm, shingle_k)
+    sig_pipe = src.map_batches(sig_fn, batch_format="pyarrow")
+    payload_factory = None
     if sig_store == "plasma":
         sig_ds = sig_pipe.materialize()
+        _t0 = stage_mark("minhash.sig_materialize", _t0)
     elif sig_store == "parquet":
         import os
         import tempfile
@@ -350,6 +361,21 @@ def minhash_dedup(
         sig_ds = rd.read_parquet(path)
     elif sig_store == "lazy":
         sig_ds = sig_pipe
+
+        def payload_factory(bloom_ref):
+            import ray
+
+            from ..stages.pairjoin import _bloom_contains
+
+            def prefilter(batch: pa.Table) -> pa.Table:
+                bits = ray.get(bloom_ref)  # zero-copy from the local store
+                ids = batch[id_col].to_numpy().astype(np.int64)
+                return batch.filter(pa.array(_bloom_contains(bits, ids)))
+
+            return src.map_batches(
+                prefilter, batch_format="pyarrow"
+            ).map_batches(sig_fn, batch_format="pyarrow")
+
     else:
         raise ValueError(f"unknown sig_store {sig_store!r}")
 
@@ -498,7 +524,10 @@ def minhash_dedup(
             }
         )
 
-    return verify_pairs(pairs, sig_ds, id_col, "sig", sig_type, verify_red)
+    return verify_pairs(
+        pairs, sig_ds, id_col, "sig", sig_type, verify_red,
+        payload_factory=payload_factory,
+    )
 
 
 # --- SimHash ----------------------------------------------------------------

@@ -38,30 +38,77 @@ def fnv1a64_bytes(data: bytes) -> int:
     return int(h)
 
 
+def _hash_byte_matrix(mat: np.ndarray, lens: np.ndarray | None = None) -> np.ndarray:
+    """FNV-1a over the rows of an (n, width) uint8 matrix, vectorized
+    column-wise.  ``lens`` masks variable-length rows; omit when every row
+    spans the full width (the fast fixed-format path — no masking ops)."""
+    h = np.full(mat.shape[0], FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        if lens is None:
+            for col in range(mat.shape[1]):
+                h = (h ^ mat[:, col].astype(np.uint64)) * FNV_PRIME
+        else:
+            for col in range(mat.shape[1]):
+                active = col < lens
+                hx = np.where(active, h ^ mat[:, col].astype(np.uint64), h)
+                h = np.where(active, hx * FNV_PRIME, h)
+    return h
+
+
 def url_hash64(urls) -> np.ndarray:
-    """Stable 64-bit hash per url — vectorized FNV-1a over a padded byte
-    matrix (urls in this scheme are fixed-format, so padding is benign)."""
+    """Stable 64-bit FNV-1a hash per url.
+
+    Accepts a Python sequence of strings OR a pyarrow StringArray /
+    ChunkedArray — the Arrow path hashes straight off the column's UTF-8
+    data buffer (zero-copy; no per-row Python objects).  Equal-length rows
+    (the fixed-format url scheme) take a reshape + unmasked column sweep."""
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    if isinstance(urls, pa.Array):
+        if len(urls) == 0:
+            return np.empty(0, dtype=np.uint64)
+        arr = urls
+        off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+            arr.offset : arr.offset + len(arr) + 1
+        ].astype(np.int64)
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        lens = np.diff(off)
+        width = int(lens.max(initial=0))
+        if width == 0:
+            return np.full(len(arr), FNV_OFFSET, dtype=np.uint64)
+        if (lens == width).all():
+            mat = data[off[0] : off[-1]].reshape(len(arr), width)
+            return _hash_byte_matrix(mat)
+        mat = np.zeros((len(arr), width), dtype=np.uint8)
+        flat_idx = np.repeat(off[:-1], lens) + (
+            np.arange(int(lens.sum())) - np.repeat(np.cumsum(lens) - lens, lens)
+        )
+        col_idx = np.arange(int(lens.sum())) - np.repeat(np.cumsum(lens) - lens, lens)
+        mat[np.repeat(np.arange(len(arr)), lens), col_idx] = data[flat_idx]
+        return _hash_byte_matrix(mat, lens)
     arr = np.asarray(urls, dtype=object)
     if len(arr) == 0:
         return np.empty(0, dtype=np.uint64)
     encoded = [u.encode() for u in arr]
     maxlen = max(len(e) for e in encoded)
-    mat = np.zeros((len(encoded), maxlen), dtype=np.uint64)
     lens = np.array([len(e) for e in encoded])
-    buf = np.frombuffer(b"".join(e.ljust(maxlen, b"\x00") for e in encoded), dtype=np.uint8)
-    mat = buf.reshape(len(encoded), maxlen).astype(np.uint64)
-    h = np.full(len(encoded), FNV_OFFSET, dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        for col in range(maxlen):
-            active = col < lens
-            hx = np.where(active, h ^ mat[:, col], h)
-            h = np.where(active, hx * FNV_PRIME, h)
-    return h
+    buf = np.frombuffer(
+        b"".join(e.ljust(maxlen, b"\x00") for e in encoded), dtype=np.uint8
+    )
+    mat = buf.reshape(len(encoded), maxlen)
+    if (lens == maxlen).all():
+        return _hash_byte_matrix(mat)
+    return _hash_byte_matrix(mat, lens)
 
 
 def page_geometry(urls):
     """url → deterministic (lon, lat); 20% snapped near 16 city clusters."""
-    h = url_hash64(urls)
+    return geometry_from_hash(url_hash64(urls))
+
+
+def geometry_from_hash(h: np.ndarray):
+    """(lon, lat) from precomputed ``url_hash64`` values — callers that
+    also need the hash (as the row id) avoid hashing twice."""
     lon = (h % np.uint64(360000)).astype(np.float64) / 1000.0 - 180.0
     lat = ((h >> np.uint64(20)) % np.uint64(170000)).astype(np.float64) / 1000.0 - 85.0
     bucket = (h >> np.uint64(40)) % np.uint64(10)
@@ -135,43 +182,79 @@ def _texts_for_seeds(body_seed: np.ndarray) -> pa.Array:
     )
 
 
+# "https://siteNNNNNN.example/p/NNNNNN" — fixed 35-byte format
+_URL_TEMPLATE = np.frombuffer(b"https://site000000.example/p/000000", dtype=np.uint8)
+_URL_SITE_AT = 12  # first of 6 site digits
+_URL_PAGE_AT = 29  # first of 6 page digits
+
+
+def _urls_for_rids(site: np.ndarray, page: np.ndarray) -> tuple[pa.Array, np.ndarray]:
+    """(StringArray of fixed-format urls, their (n, 35) uint8 matrix) —
+    assembled digit-by-digit from numpy integer arrays; no per-row Python."""
+    n = len(site)
+    mat = np.broadcast_to(_URL_TEMPLATE, (n, len(_URL_TEMPLATE))).copy()
+    s = site.astype(np.int64)
+    p = page.astype(np.int64)
+    for d in range(6):  # most-significant digit first
+        div = 10 ** (5 - d)
+        mat[:, _URL_SITE_AT + d] = 48 + (s // div) % 10
+        mat[:, _URL_PAGE_AT + d] = 48 + (p // div) % 10
+    offsets = np.arange(0, (n + 1) * len(_URL_TEMPLATE), len(_URL_TEMPLATE), dtype=np.int32)
+    arr = pa.StringArray.from_buffers(
+        n, pa.py_buffer(offsets.tobytes()), pa.py_buffer(mat.tobytes())
+    )
+    return arr, mat
+
+
 def make_pages_batch(start: int, count: int, columns=None) -> pa.Table:
     """Generate rows [start, start+count) of the pages table.
 
-    ``columns`` optionally restricts generation (html, the expensive
-    field, is skipped entirely when not requested)."""
+    ``columns`` restricts generation: every expensive field (html, text,
+    lang) is skipped entirely when not requested — a pruned read must not
+    pay for pruned columns."""
+    want = (
+        set(columns)
+        if columns is not None
+        else {"url", "warc_ts", "html", "text", "lang"}
+    )
     rid = np.arange(start, start + count, dtype=np.int64)
     site = (rid * 2654435761 % 1000003) % 100000
     page = rid % 1000000
-    urls = [f"https://site{s:06d}.example/p/{p:06d}" for s, p in zip(site, page)]
-    warc_ts = (1577836800_000000 + rid * 37_000_003).astype("datetime64[us]")
-    lang = _LANGS[
-        np.searchsorted(np.cumsum(_LANG_W), (rid * 48271 % 997) / 997.0, side="right").clip(
-            0, len(_LANGS) - 1
+    urls, _ = _urls_for_rids(site, page)
+    cols = {"url": urls}
+    if "warc_ts" in want:
+        cols["warc_ts"] = pa.array(
+            (1577836800_000000 + rid * 37_000_003).astype("datetime64[us]"),
+            type=pa.timestamp("us"),
         )
-    ]
-    # deterministic diverse text: 24-72 independent pseudo-random words per
-    # row from a 50k-word vocabulary (realistic shingle diversity — docs
-    # with distinct seeds share almost no character n-grams); ~5% of rows
-    # exactly duplicate an earlier row's body (real corpora are full of
-    # true duplicates — gives dedup pipelines work)
-    body_seed = np.where((rid % 20 == 7) & (rid >= 7), rid - 7, rid)
-    text = _texts_for_seeds(body_seed)
-    cols = {
-        "url": pa.array(urls, type=pa.string()),
-        "warc_ts": pa.array(warc_ts, type=pa.timestamp("us")),
-        "text": text,
-        "lang": pa.array(lang.tolist(), type=pa.string()),
-    }
-    if columns is None or "html" in columns:
-        cols["html"] = pa.array(
-            [f"<html><body><p>{t}</p></body></html>".encode() for t in text.to_pylist()],
-            type=pa.binary(),
-        )
+    if "text" in want or "html" in want:
+        # deterministic diverse text: 24-72 independent pseudo-random words
+        # per row from a 50k-word vocabulary (realistic shingle diversity —
+        # docs with distinct seeds share almost no character n-grams); ~5%
+        # of rows exactly duplicate an earlier row's body (real corpora are
+        # full of true duplicates — gives dedup pipelines work)
+        body_seed = np.where((rid % 20 == 7) & (rid >= 7), rid - 7, rid)
+        text = _texts_for_seeds(body_seed)
+        if "text" in want:
+            cols["text"] = text
+        if "html" in want:
+            cols["html"] = pa.array(
+                [
+                    f"<html><body><p>{t}</p></body></html>".encode()
+                    for t in text.to_pylist()
+                ],
+                type=pa.binary(),
+            )
+    if "lang" in want:
+        lang = _LANGS[
+            np.searchsorted(
+                np.cumsum(_LANG_W), (rid * 48271 % 997) / 997.0, side="right"
+            ).clip(0, len(_LANGS) - 1)
+        ]
+        cols["lang"] = pa.array(lang.tolist(), type=pa.string())
     out = pa.table(cols)
-    if columns is not None:
-        out = out.select([c for c in ["url", "warc_ts", "html", "text", "lang"] if c in columns])
-    return out
+    order = [c for c in ["url", "warc_ts", "html", "text", "lang"] if c in out.column_names]
+    return out.select(order)
 
 
 def pages_dataset(num_rows: int, parallelism: int = 8, columns=None):

@@ -144,6 +144,7 @@ def verify_pairs(
     payload_type: pa.DataType,
     pair_reducer,
     R: int | None = None,
+    payload_factory=None,
 ):
     """Attach each pair's two payloads and run ``pair_reducer`` per group.
 
@@ -152,6 +153,13 @@ def verify_pairs(
     ``payload_col``.  ``pair_reducer(a_id, b_id, a_pay, b_pay)`` receives
     numpy id arrays + arrow payload arrays for one reducer's pairs at once
     (possibly empty) and returns a ``pa.Table``.
+
+    ``payload_factory(bloom_ref)``, when given, replaces ``payload_ds``:
+    it is called with the broadcast Bloom-bitmap ref of the candidate ids
+    and returns the payload dataset.  Callers whose payload is DERIVED
+    (e.g. recomputed signatures) push the Bloom filter upstream of the
+    derivation, so the expensive per-row kernel runs only for ids that
+    appear in some candidate pair — nothing corpus-sized is ever pinned.
     """
     if R is None:
         R = reducer_count()
@@ -178,10 +186,19 @@ def verify_pairs(
     # the pair ids filters payload rows BEFORE they enter the exchange, so
     # the join moves O(candidate payloads), not the corpus (false
     # positives only add a few stray payload rows — the join drops them).
+    import time
+
     import ray
 
+    from .util import stage_mark
+
+    _t0 = time.perf_counter()
     pairs_ds = pairs_ds.materialize()  # consumed twice: bloom + requests
+    _t0 = stage_mark("pairjoin.pairs_materialize", _t0)
     bloom_ref = ray.put(_bloom_of_pairs(pairs_ds))
+    _t0 = stage_mark("pairjoin.bloom", _t0)
+    if payload_factory is not None:
+        payload_ds = payload_factory(bloom_ref)
 
     def emit_requests(batch: pa.Table) -> pa.Table:
         a = batch["a_id"].to_numpy().astype(np.int64)

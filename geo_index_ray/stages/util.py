@@ -2,6 +2,22 @@
 
 from __future__ import annotations
 
+import os
+import time
+
+
+def stage_mark(name: str, t0: float) -> float:
+    """Print a ``SUBSTAGE`` timing line when GRAFT_STAGE_DEBUG is set.
+
+    Instrumentation for the scaling-criterion work: library pipelines mark
+    their internal execution boundaries (materialize points, shuffles) so
+    `bench.py --child` output shows where an under-scaling leg spends its
+    wall.  Zero cost when the env var is unset."""
+    now = time.perf_counter()
+    if os.environ.get("GRAFT_STAGE_DEBUG"):
+        print(f"SUBSTAGE {name} {now - t0:.1f}", flush=True)
+    return now
+
 
 def default_concurrency(cap: int = 8) -> int:
     """Actor-pool size that never starves upstream task operators.
