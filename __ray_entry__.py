@@ -544,22 +544,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["asof_click_purchase"] = asof_click_purchase
 
     def value_median(sf_dir):
-        """Exact per-key median (full-group quantile — the honest exact
-        path; approximate sketches would go per-batch)."""
+        """Exact per-key median via the (key, value)-count combiner —
+        the shuffle and the reducer hold distinct values with weights,
+        never a group's raw rows (pipelines/events.grouped_median)."""
         ds = tables.read_table(sf_dir, "events", columns=["event_type", "value"])
-
-        def med(g):
-            import pandas as pd
-
-            return pd.DataFrame(
-                {
-                    "event_type": [g["event_type"].iloc[0]],
-                    "median_value": [float(np.median(g["value"].to_numpy()))],
-                    "n_events": [np.int64(len(g))],
-                }
-            )
-
-        return ds.groupby("event_type").map_groups(med, batch_format="pandas")
+        return events_pipe.grouped_median(ds, "event_type", "value")
 
     q["value_median"] = value_median
 

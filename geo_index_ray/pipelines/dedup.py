@@ -610,12 +610,75 @@ def shingle_sets_stage(id_col: str, text_col: str = "text", shingle_k: int = 5):
     return fn
 
 
+def _heavy_shingle_table(ds, id_col: str, text_col: str, shingle_k: int,
+                         sample: float, min_count: int, cap: int):
+    """Estimate the globally most document-frequent shingle hashes from a
+    deterministic doc-id-hash sample (AllPairs needs only a consistent
+    total order, so the estimate affects candidate-bucket sizes, never
+    which pairs come out).
+
+    Returns ``(sorted_hashes int64, counts int64)`` — empty arrays when no
+    shingle's sampled df reaches ``min_count``.  The sampled pass shuffles
+    one (sh) row per (sampled doc, distinct shingle): ``sample`` of the
+    prefix exchange, and only the ≥min_count survivors (capped at ``cap``)
+    ever reach the driver for broadcast.
+    """
+    import pyarrow.compute as pc
+
+    thresh = np.uint64(min(int(sample * (1 << 32)), (1 << 32) - 1))
+
+    def sample_shingles(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"sh": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        with np.errstate(over="ignore"):
+            hv = (ids.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+        keep = hv <= thresh
+        if not keep.any():
+            return empty
+        texts = [t for t, k in zip(batch[text_col].to_pylist(), keep) if k]
+        h, doc, _ = _batch_shingle_hashes(texts, shingle_k)
+        if len(h) == 0:
+            return empty
+        order = np.lexsort((h, doc))
+        hd, dd = h[order], doc[order]
+        uniq = np.r_[True, (dd[1:] != dd[:-1]) | (hd[1:] != hd[:-1])]
+        return pa.table({"sh": pa.array(hd[uniq].view(np.int64))})
+
+    counted = (
+        ds.map_batches(sample_shingles, batch_format="pyarrow")
+        .groupby("sh")
+        .count()
+    )
+    sh_parts, cnt_parts = [], []
+    for b in counted.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["count()"], min_count)),
+        batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            sh_parts.append(b["sh"].to_numpy().astype(np.int64))
+            cnt_parts.append(b["count()"].to_numpy().astype(np.int64))
+    if not sh_parts:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    sh = np.concatenate(sh_parts)
+    cnt = np.concatenate(cnt_parts)
+    if len(sh) > cap:
+        top = np.argpartition(cnt, len(cnt) - cap)[-cap:]
+        sh, cnt = sh[top], cnt[top]
+    order = np.argsort(sh)
+    return sh[order], cnt[order]
+
+
 def ngram_jaccard_dedup(
     ds,
     id_col: str,
     threshold: float = 0.5,
     text_col: str = "text",
     shingle_k: int = 5,
+    heavy_sample: float = 1.0 / 64.0,
+    heavy_min_count: int = 8,
+    heavy_max: int = 65536,
 ):
     """Near-duplicate pairs by *exact* character-n-gram Jaccard with
     prefix-filter candidate generation (AllPairs/PPJoin-family, public:
@@ -626,12 +689,18 @@ def ngram_jaccard_dedup(
     them except the final per-candidate payload join:
 
     1. candidates: each doc ships only its PREFIX shingle hashes — the
-       first ``n - (ceil(t/(1+t)·n) - 1)`` in ascending hash order, 8 B
-       each.  Any pair with J ≥ t shares a hash in BOTH prefixes (the two
-       suffixes together hold < t/(1+t)·(na+nb) ≤ |A∩B| elements), so
-       bucketing by prefix hash loses nothing.  Inside each reducer a
-       size filter (t·max ≤ min) prunes, then a vectorized k-offset pair
-       sweep emits candidates — no Python pair loop.
+       first ``n - (ceil(t/(1+t)·n) - 1)`` under the global total order
+       (estimated-document-frequency ascending, hash tie-break; Bayardo
+       et al. WWW'07 canonical ordering), 8 B each.  Any pair with J ≥ t
+       shares a hash in BOTH prefixes (the two suffixes together hold
+       < t/(1+t)·(na+nb) ≤ |A∩B| elements) under ANY consistent total
+       order, so bucketing by prefix hash loses nothing.  Rare shingles
+       sort first, so a globally common shingle lands in suffixes and
+       never forms a hot bucket; df is estimated from a deterministic
+       ``heavy_sample`` of docs and only the ≥``heavy_min_count``
+       heavy hitters (≤``heavy_max``) are broadcast.  Inside each
+       reducer a size filter (t·max ≤ min) prunes, then a vectorized
+       k-offset pair sweep emits candidates — no Python pair loop.
     2. pair dedup on a coarse key (vectorized unique per reducer).
     3. exact verify: the two full shingle sets join the (rare) candidate
        pairs by id hash (stages.pairjoin); intersection counts come from
@@ -649,16 +718,27 @@ def ngram_jaccard_dedup(
     # passes) — at scale, recomputing the cheap hash pass streams better
     # than materializing a corpus-sized shingle table in the object store
     sets_ds = ds.map_batches(sets_stage, batch_format="pyarrow")
+    heavy_sh, heavy_cnt = _heavy_shingle_table(
+        ds, id_col, text_col, shingle_k, heavy_sample, heavy_min_count, heavy_max
+    )
 
     def emit_prefix(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy().astype(np.int64)
         n = batch["n"].to_numpy().astype(np.int64)
         sh_col = batch["shingles"].combine_chunks()
         values = sh_col.flatten().to_numpy(zero_copy_only=False)
-        suffix = np.maximum(np.ceil(beta * n).astype(np.int64) - 1, 0)
-        plen = n - suffix
         doc_idx = np.repeat(np.arange(len(ids)), n)
         starts = np.concatenate([[0], np.cumsum(n)])[:-1]
+        if len(heavy_sh) and len(values):
+            # re-rank within each doc by (estimated df, hash) ascending so
+            # the prefix holds the rarest shingles (non-heavy df counts as
+            # 0 — any consistent order preserves exact recall)
+            loc = np.clip(np.searchsorted(heavy_sh, values), 0, len(heavy_sh) - 1)
+            penalty = np.where(heavy_sh[loc] == values, heavy_cnt[loc], 0)
+            order = np.lexsort((values, penalty, doc_idx))
+            values = values[order]
+        suffix = np.maximum(np.ceil(beta * n).astype(np.int64) - 1, 0)
+        plen = n - suffix
         pos_in_doc = np.arange(len(values)) - np.repeat(starts, n)
         keep = pos_in_doc < plen[doc_idx]
         sh = values[keep]

@@ -315,3 +315,62 @@ def distinct_count(ds, key_col: str, distinct_col: str, ts_col: str | None = Non
         )
 
     return per_reducer.groupby(key_col).map_groups(merge, batch_format="pandas")
+
+
+def grouped_median(ds, key_col: str, value_col: str,
+                   median_name: str = "median_value",
+                   count_name: str = "n_events"):
+    """EXACT per-key median without materializing any group's raw rows.
+
+    Classic combiner shape: ``map_batches`` pre-aggregates each batch to
+    (key, value, cnt) — the shuffle then carries at most one row per
+    distinct (key, value) per block, and the per-key reducer holds only
+    the key's DISTINCT values with weights, from which the exact median
+    (midpoint interpolation for even n, matching ``numpy.median`` /
+    DuckDB ``quantile_cont(0.5)``) is a cumulative-sum lookup.  A hot key
+    is bounded by its distinct-value count, not its row count; for
+    continuous never-repeating values this degenerates to the row count,
+    where an approximate quantile sketch (t-digest) is the documented
+    trade — this operator keeps the exact contract.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                key_col: batch[key_col].to_pandas(),
+                value_col: batch[value_col].to_pandas(),
+            }
+        )
+        g = (
+            df.groupby([key_col, value_col], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def med(g: pa.Table) -> pa.Table:
+        v = g[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        c = g["cnt"].to_numpy().astype(np.int64)
+        order = np.argsort(v, kind="stable")
+        v, c = v[order], c[order]
+        # merge duplicate values arriving from different blocks
+        new = np.r_[True, v[1:] != v[:-1]]
+        vu = v[new]
+        cu = np.add.reduceat(c, np.nonzero(new)[0])
+        n = int(cu.sum())
+        cum = np.cumsum(cu)
+        lo = (n + 1) // 2  # 1-indexed middle positions
+        hi = n // 2 + 1
+        vlo = vu[np.searchsorted(cum, lo)]
+        vhi = vu[np.searchsorted(cum, hi)]
+        return pa.table(
+            {
+                key_col: g[key_col].slice(0, 1),
+                median_name: pa.array([float((vlo + vhi) / 2.0)], pa.float64()),
+                count_name: pa.array([n], pa.int64()),
+            }
+        )
+
+    return partials.groupby(key_col).map_groups(med, batch_format="pyarrow")

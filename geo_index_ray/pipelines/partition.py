@@ -303,20 +303,39 @@ def knn_partitioned(index_ds, query_xy: np.ndarray, k: int,
     query_ids = np.asarray(query_ids, dtype=np.int64)
 
     index_ds = index_ds.materialize()
-    env = index_ds.select_columns(
-        ["partition_id", "num_items", "min_x", "min_y", "max_x", "max_y"]
-    ).to_pandas()
-    pid = env["partition_id"].to_numpy().astype(np.int64)
-    nitems = env["num_items"].to_numpy().astype(np.int64)
-    nonempty = nitems > 0
+    env_cols = {
+        c: []
+        for c in ("partition_id", "num_items", "min_x", "min_y", "max_x", "max_y")
+    }
+    for b in index_ds.select_columns(list(env_cols)).iter_batches(
+        batch_format="pyarrow"
+    ):
+        for c in env_cols:
+            env_cols[c].append(b[c].to_numpy(zero_copy_only=False))
+    env = {c: np.concatenate(v) for c, v in env_cols.items()}
+    pid = env["partition_id"].astype(np.int64)
+    nonempty = env["num_items"].astype(np.int64) > 0
     d_env = _env_dist(
         xy[:, 0], xy[:, 1],
-        env["min_x"].to_numpy(), env["min_y"].to_numpy(),
-        env["max_x"].to_numpy(), env["max_y"].to_numpy(),
+        env["min_x"], env["min_y"], env["max_x"], env["max_y"],
     )  # (nq, nparts)
     d_env[:, ~nonempty] = np.inf
 
-    def launch(plan: dict[int, list[int]], bounds: np.ndarray):
+    def group_plan(part_col: np.ndarray, q_idx: np.ndarray):
+        """(probe part-column-index, probe query-index) arrays → plan dict
+        {partition_id: query-index array} via ONE argsort — O(P) Python,
+        never O(probes)."""
+        order = np.argsort(part_col, kind="stable")
+        p_s, q_s = part_col[order], q_idx[order]
+        starts = np.r_[0, 1 + np.nonzero(p_s[1:] != p_s[:-1])[0]]
+        ends = np.r_[starts[1:], len(q_s)]
+        return {
+            int(pid[p_s[s]]): q_s[s:e] for s, e in zip(starts, ends)
+        }
+
+    def launch(plan: dict[int, np.ndarray], bounds: np.ndarray):
+        """Run one probe phase; stream results back as flat numpy arrays
+        (bounded: ≤ (k + ties) rows per probe)."""
         state_ref = ray.put(
             {
                 "plan": plan,
@@ -327,46 +346,68 @@ def knn_partitioned(index_ds, query_xy: np.ndarray, k: int,
                 "bounds": bounds,
             }
         )
-        return index_ds.map_batches(
+        qs, ts, dd = [], [], []
+        for b in index_ds.map_batches(
             _PartitionKnnProbe(state_ref, k), batch_format="pyarrow"
-        ).to_pandas()
+        ).iter_batches(batch_format="pyarrow"):
+            if b.num_rows:
+                qs.append(b["query_id"].to_numpy())
+                ts.append(b["target_id"].to_numpy())
+                dd.append(b["dist"].to_numpy())
+        if not qs:
+            e = np.empty(0, np.int64)
+            return e, e, np.empty(0, np.float64)
+        return np.concatenate(qs), np.concatenate(ts), np.concatenate(dd)
+
+    # map arbitrary query ids back to dense query indices
+    qid_order = np.argsort(query_ids, kind="stable")
+    qid_sorted = query_ids[qid_order]
+
+    def to_qi(qv: np.ndarray) -> np.ndarray:
+        return qid_order[np.searchsorted(qid_sorted, qv)]
 
     # phase A: nearest envelope per query → upper bound on the k-th dist
     near = np.argmin(d_env, axis=1)
-    plan_a: dict[int, list[int]] = {}
-    for qi in range(nq):
-        plan_a.setdefault(int(pid[near[qi]]), []).append(qi)
-    res_a = launch(plan_a, np.full(nq, np.inf))
+    plan_a = group_plan(near, np.arange(nq, dtype=np.int64))
+    qa, ta, da = launch(plan_a, np.full(nq, np.inf))
 
     bounds = np.full(nq, np.inf)
-    qid_to_qi = {int(q): i for i, q in enumerate(query_ids)}
-    for q, grp in res_a.groupby("query_id"):
-        if len(grp) >= k:
-            bounds[qid_to_qi[int(q)]] = np.sort(grp["dist"].to_numpy())[k - 1]
+    if len(qa):
+        qa_i = to_qi(qa)
+        order = np.lexsort((da, qa_i))
+        qs_s, da_s = qa_i[order], da[order]
+        starts = np.r_[0, 1 + np.nonzero(qs_s[1:] != qs_s[:-1])[0]]
+        counts = np.diff(np.r_[starts, len(qs_s)])
+        has_k = counts >= k
+        bounds[qs_s[starts[has_k]]] = da_s[starts[has_k] + k - 1]
 
     # phase B: every other partition whose envelope can still matter
-    plan_b: dict[int, list[int]] = {}
-    probed_a = {(int(pid[near[qi]]), qi) for qi in range(nq)}
-    cand_q, cand_p = np.nonzero(d_env <= bounds[:, None])
-    for qi, pj in zip(cand_q, cand_p):
-        if (int(pid[pj]), qi) in probed_a:
-            continue
-        plan_b.setdefault(int(pid[pj]), []).append(int(qi))
-    parts = [res_a]
-    n_probes_b = sum(len(v) for v in plan_b.values())
-    if plan_b:
-        parts.append(launch(plan_b, bounds))
-    cands = pd.concat(parts, ignore_index=True)
+    cand = d_env <= bounds[:, None]
+    cand[np.arange(nq), near] = False  # already probed in phase A
+    cand_q, cand_p = np.nonzero(cand)
+    n_probes_b = len(cand_q)
+    if n_probes_b:
+        qb, tb, db = launch(group_plan(cand_p, cand_q), bounds)
+        qv = np.concatenate([qa, qb])
+        tv = np.concatenate([ta, tb])
+        dv = np.concatenate([da, db])
+    else:
+        qv, tv, dv = qa, ta, da
 
-    def merge_topk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["dist", "target_id"], kind="mergesort").head(k)
-        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
-        return g[["query_id", "target_id", "rank", "dist"]]
-
-    out = (
-        cands.groupby("query_id", group_keys=False)[cands.columns]
-        .apply(merge_topk)
-        .reset_index(drop=True)
+    # global (dist, target_id) top-k merge — one lexsort, no per-group code
+    order = np.lexsort((tv, dv, qv))
+    qv, tv, dv = qv[order], tv[order], dv[order]
+    starts = np.r_[0, 1 + np.nonzero(qv[1:] != qv[:-1])[0]]
+    counts = np.diff(np.r_[starts, len(qv)])
+    rank = np.arange(len(qv)) - np.repeat(starts, counts) + 1
+    keep = rank <= k
+    out = pd.DataFrame(
+        {
+            "query_id": qv[keep],
+            "target_id": tv[keep],
+            "rank": rank[keep].astype(np.int64),
+            "dist": dv[keep],
+        }
     )
     if return_stats:
         return out, {

@@ -71,6 +71,12 @@ def write_partitioned(ds, out_dir: str, stage: str, key_col: str,
     The manifest is plain JSONL on a shared filesystem; O_APPEND keeps
     concurrent writers line-atomic on POSIX.
 
+    Fingerprint stability: rows are canonicalized by sorting over ALL
+    columns before hashing, so duplicate keys cannot flip the
+    fingerprint between identical reruns.  Tables with nested-type
+    columns fall back to a key-only sort — for those, resume
+    idempotency requires ``key_col`` to be unique per row.
+
     Returns the (small) per-partition write report as a pandas DataFrame.
     """
     import hashlib

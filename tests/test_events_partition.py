@@ -215,6 +215,54 @@ class TestExactSimilarity:
         want_j = len(s1 & s2) / len(s1 | s2)
         assert np.isclose(got["jaccard"].iloc[0], want_j)
 
+    def test_ngram_jaccard_hot_shingle_freq_ordering(self):
+        """A shingle shared by EVERY doc must be detected as heavy and
+        pushed out of prefixes (frequency-ascending AllPairs order), and
+        the output pairs must be byte-identical with and without the
+        heavy-hitter reordering (exact recall under any total order)."""
+        import ray.data
+
+        from geo_index_ray.pipelines import dedup as dd
+
+        rng = np.random.default_rng(7)
+        common = "sharedcorephrasetokens everywhere present "
+        docs = [
+            common + " ".join(
+                f"w{rng.integers(0, 50)}" for _ in range(6)
+            )
+            for _ in range(40)
+        ]
+        df = pd.DataFrame({"doc_id": np.arange(40, dtype=np.int64), "text": docs})
+
+        # heavy detection on the full sample sees the planted hot shingles
+        hs, hc = dd._heavy_shingle_table(
+            ray.data.from_pandas(df), "doc_id", "text", 5,
+            sample=1.0, min_count=30, cap=1 << 16,
+        )
+        assert len(hs) > 0 and hc.max() == 40
+
+        def run(**kw):
+            out = _to_df(
+                dd.ngram_jaccard_dedup(
+                    ray.data.from_pandas(df), "doc_id", threshold=0.6, **kw
+                )
+            )
+            return set(zip(out["a_id"], out["b_id"]))
+
+        with_heavy = run(heavy_sample=1.0, heavy_min_count=4)
+        without_heavy = run(heavy_min_count=10**9)  # nothing qualifies
+        assert with_heavy == without_heavy
+
+        # brute-force ground truth
+        sets = [set(dd._shingle_hashes(t, 5).tolist()) for t in docs]
+        want = set()
+        for i in range(40):
+            for j in range(i + 1, 40):
+                jac = len(sets[i] & sets[j]) / len(sets[i] | sets[j])
+                if jac >= 0.6:
+                    want.add((i, j))
+        assert with_heavy == want
+
 
 class TestKnnBrute:
     def test_brute_equals_tree(self):
