@@ -164,14 +164,6 @@ def build_rtree(
     min_y = np.ascontiguousarray(min_y, dtype=dtype)
     max_x = np.ascontiguousarray(max_x, dtype=dtype)
     max_y = np.ascontiguousarray(max_y, dtype=dtype)
-    # NaN contract pinned to the reference: building with NaN coordinates
-    # is a programmer error and must fail loudly (src/rtree/mod.rs:24-25
-    # panics "Coordinates must not be NaN"), never silently misplace boxes
-    if np.issubdtype(dtype, np.floating) and (
-        np.isnan(min_x).any() or np.isnan(min_y).any()
-        or np.isnan(max_x).any() or np.isnan(max_y).any()
-    ):
-        raise ValueError("Coordinates must not be NaN")
     n = len(min_x)
     meta = RTreeMetadata(n, node_size, dtype)
 
@@ -187,29 +179,69 @@ def build_rtree(
     if n == 0:
         return data
 
-    # leaf section, interleaved
-    boxes[0 : 4 * n : 4] = min_x
-    boxes[1 : 4 * n : 4] = min_y
-    boxes[2 : 4 * n : 4] = max_x
-    boxes[3 : 4 * n : 4] = max_y
-    indices[:n] = np.arange(n, dtype=meta.indices_dtype)
-
-    if n == 1:
-        return data
-
     gminx = float(min_x.min())
     gminy = float(min_y.min())
     gmaxx = float(max_x.max())
     gmaxy = float(max_y.max())
+    # NaN contract pinned to the reference: building with NaN coordinates
+    # is a programmer error and must fail loudly (src/rtree/mod.rs:24-25
+    # panics "Coordinates must not be NaN"), never silently misplace
+    # boxes.  min()/max() propagate NaN, so checking the four global
+    # bounds is exactly the any-NaN check without four full-array passes.
+    if np.issubdtype(dtype, np.floating) and (
+        np.isnan(gminx) or np.isnan(gminy) or np.isnan(gmaxx) or np.isnan(gmaxy)
+    ):
+        raise ValueError("Coordinates must not be NaN")
+
+    if n == 1:
+        boxes[0:4] = (min_x[0], min_y[0], max_x[0], max_y[0])
+        indices[0] = 0
+        return data
 
     if n <= node_size:
         # single leaf node: root box is the global bbox, no sort
         # (src/rtree/builder.rs:153-168)
+        boxes[0 : 4 * n : 4] = min_x
+        boxes[1 : 4 * n : 4] = min_y
+        boxes[2 : 4 * n : 4] = max_x
+        boxes[3 : 4 * n : 4] = max_y
+        indices[:n] = np.arange(n, dtype=meta.indices_dtype)
         boxes[4 * n : 4 * n + 4] = np.array([gminx, gminy, gmaxx, gmaxy], dtype=dtype)
         return data
 
-    leaf = boxes[: 4 * n]
-    _sort_leaves(leaf, indices, n, node_size, method, (gminx, gminy, gmaxx, gmaxy), dtype)
+    if method in ("hilbert", "str"):
+        # fused sort path: the permutation comes from the CONTIGUOUS input
+        # arrays (the hilbert/center kernels then read sequentially, not
+        # through 32-byte-strided leaf views), the row gather lands
+        # directly in the buffer (no copy-back memcpy), and the index
+        # column IS the permutation (it would have been arange before the
+        # permute, so permuted-arange == perm — no second gather)
+        bounds = (gminx, gminy, gmaxx, gmaxy)
+        if method == "hilbert":
+            hv = hilbert_values_for_boxes(min_x, min_y, max_x, max_y, bounds)
+            perm = hilbert_sort_permutation(hv)
+        else:
+            perm = _str_permutation(min_x, min_y, max_x, max_y, n, node_size)
+        src = np.empty((n, 4), dtype=dtype)
+        src[:, 0] = min_x
+        src[:, 1] = min_y
+        src[:, 2] = max_x
+        src[:, 3] = max_y
+        np.take(src, perm, axis=0, out=boxes[: 4 * n].reshape(n, 4), mode="clip")
+        indices[:n] = perm.astype(meta.indices_dtype, copy=False)
+    else:
+        # leaf section, interleaved (parity / pre-sorted paths mutate the
+        # buffer in place)
+        boxes[0 : 4 * n : 4] = min_x
+        boxes[1 : 4 * n : 4] = min_y
+        boxes[2 : 4 * n : 4] = max_x
+        boxes[3 : 4 * n : 4] = max_y
+        indices[:n] = np.arange(n, dtype=meta.indices_dtype)
+        leaf = boxes[: 4 * n]
+        _sort_leaves(
+            leaf, indices, n, node_size, method,
+            (gminx, gminy, gmaxx, gmaxy), dtype,
+        )
 
     # pack parent levels bottom-up (src/rtree/builder.rs:180-232).
     # Full node-size groups reduce in TWO reduceat passes over the
@@ -262,6 +294,28 @@ def _permute_rows(leaf, indices, n, perm):
     indices[:n] = idx
 
 
+def _str_permutation(mnx, mny, mxx, mxy, n, node_size):
+    """Sort-tile-recursive permutation (src/rtree/sort/str.rs:16-99),
+    vectorized: stable sort by center-x, slice into
+    ceil(sqrt(ceil(n/node_size))) vertical strips, stable sort each strip
+    by center-y."""
+    cx = (mnx + mxx) / 2
+    cy = (mny + mxy) / 2
+    perm = np.argsort(cx, kind="stable")
+    num_leaf_nodes = int(np.ceil(n / node_size))
+    num_slices = int(np.ceil(np.sqrt(num_leaf_nodes)))
+    per_slice = int(np.ceil(n / num_slices))
+    cy_sorted = cy[perm]
+    for s in range(num_slices):
+        lo = s * per_slice
+        hi = min((s + 1) * per_slice, n)
+        if hi <= lo:
+            break
+        sub = np.argsort(cy_sorted[lo:hi], kind="stable")
+        perm[lo:hi] = perm[lo:hi][sub]
+    return perm
+
+
 def _sort_leaves(leaf, indices, n, node_size, method, bounds, dtype):
     mnx, mny, mxx, mxy = leaf[0::4], leaf[1::4], leaf[2::4], leaf[3::4]
     if method == "none":
@@ -274,23 +328,7 @@ def _sort_leaves(leaf, indices, n, node_size, method, bounds, dtype):
         hv = hilbert_values_for_boxes(mnx, mny, mxx, mxy, bounds).copy()
         partial_quicksort(hv, leaf, indices[:n], node_size)
     elif method == "str":
-        # sort-tile-recursive (src/rtree/sort/str.rs:16-99), vectorized:
-        # stable sort by center-x, slice into ceil(sqrt(ceil(n/node_size)))
-        # vertical strips, stable sort each strip by center-y.
-        cx = ((mnx + mxx) / 2).copy()
-        cy = ((mny + mxy) / 2).copy()
-        perm = np.argsort(cx, kind="stable")
-        num_leaf_nodes = int(np.ceil(n / node_size))
-        num_slices = int(np.ceil(np.sqrt(num_leaf_nodes)))
-        per_slice = int(np.ceil(n / num_slices))
-        cy_sorted = cy[perm]
-        for s in range(num_slices):
-            lo = s * per_slice
-            hi = min((s + 1) * per_slice, n)
-            if hi <= lo:
-                break
-            sub = np.argsort(cy_sorted[lo:hi], kind="stable")
-            perm[lo:hi] = perm[lo:hi][sub]
+        perm = _str_permutation(mnx, mny, mxx, mxy, n, node_size)
         _permute_rows(leaf, indices, n, perm)
     elif method == "str_parity":
         cx = ((mnx + mxx) / 2).astype(dtype)
