@@ -112,16 +112,26 @@ def lang_id_stage(id_col: str, text_col: str = "text"):
         cjk = pc.count_substring_regex(head, "[一-鿿]").to_numpy(
             zero_copy_only=False
         )
-        # stopword vote only where the CJK gates didn't fire
-        tok_lists = [
-            (t or "").lower().split()[:200] for t in col.to_pylist()
-        ]
-        counts = np.array([len(ts) for ts in tok_lists], dtype=np.int64)
-        flat = [w.encode() for ts in tok_lists for w in ts]
+        # stopword vote only where the CJK gates didn't fire.  All-Arrow
+        # tokenization: lower → \s+ split → drop empties → first 200
+        # non-empty words per row (rank-within-row, vectorized) → FNV
+        # hash straight off the flattened token buffers.
+        words = pc.split_pattern_regex(pc.utf8_lower(col), r"\s+")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        parents = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        wlens, wstarts, wvalues = _string_views(flat)
+        nonempty = np.nonzero(wlens > 0)[0]
+        pk = parents[nonempty]
+        # rank of each kept token within its row (parents ascending, so the
+        # first index sharing a parent is a searchsorted away)
+        rank = np.arange(len(pk)) - np.searchsorted(pk, pk, side="left")
+        keep = nonempty[rank < 200]
         hits = np.zeros((n, len(langs)), dtype=np.int64)
-        if flat:
-            th = _fnv1a_batch(flat)
-            row = np.repeat(np.arange(n), counts)
+        if len(keep):
+            th = _fnv1a_ragged(wlens[keep], wstarts[keep], wvalues)
+            row = parents[keep]
             for li, mh in enumerate(marker_hashes):
                 hits[:, li] = np.bincount(
                     row, weights=np.isin(th, mh), minlength=n
@@ -140,31 +150,73 @@ _FP_OFFSET = np.uint64(0xCBF29CE484222325)
 
 
 def _fnv1a_batch(encs) -> np.ndarray:
-    """Vectorized 64-bit FNV-1a over a list of byte strings (column-wise
-    padded-matrix rolling hash — one numpy pass per byte column)."""
+    """Vectorized 64-bit FNV-1a over a list of byte strings (used for the
+    small static marker tables; document-scale hashing goes through
+    ``_fnv1a_ragged`` straight off Arrow buffers)."""
     n = len(encs)
     if n == 0:
         return np.empty(0, dtype=np.uint64)
-    maxlen = max(1, max(len(t) for t in encs))
-    mat = np.frombuffer(
-        b"".join(t.ljust(maxlen, b"\x00") for t in encs), dtype=np.uint8
-    ).reshape(n, maxlen).astype(np.uint64)
-    lens = np.array([len(t) for t in encs])
+    lens = np.array([len(t) for t in encs], dtype=np.int64)
+    values = np.frombuffer(b"".join(encs), dtype=np.uint8)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    return _fnv1a_ragged(lens, starts, values)
+
+
+def _fnv1a_ragged(lens, starts, values) -> np.ndarray:
+    """64-bit FNV-1a per document over ragged utf8 bytes.
+
+    FNV is byte-sequential per doc but embarrassingly parallel across
+    docs: sort docs by length descending so the docs still alive at byte
+    position j are a contiguous prefix, then one gather+xor+multiply pass
+    per position over exactly the live docs — total work is sum(lens)
+    with no padded matrix and no Python strings."""
+    n = len(lens)
     h = np.full(n, _FP_OFFSET, dtype=np.uint64)
+    if n == 0 or len(values) == 0 or lens.max(initial=0) == 0:
+        return h
+    order = np.argsort(-lens, kind="stable")
+    s_sorted = starts[order]
+    l_sorted = lens[order]
+    maxlen = int(l_sorted[0])
+    # live-prefix size at position j = count of docs with len > j
+    asc = np.sort(lens)
+    live = n - np.searchsorted(asc, np.arange(maxlen), side="right")
     with np.errstate(over="ignore"):
-        for col in range(maxlen):
-            active = col < lens
-            h = np.where(active, (h ^ mat[:, col]) * _FP_BASE, h)
-    return h
+        for j in range(maxlen):
+            m = int(live[j])
+            h[:m] = (h[:m] ^ values[s_sorted[:m] + j]) * _FP_BASE
+    out = np.empty(n, dtype=np.uint64)
+    out[order] = h
+    return out
+
+
+def _string_views(col):
+    """(lens, starts, values) numpy views of a utf8 column's buffers —
+    zero-copy, nulls normalized to empty strings."""
+    arr = pc.fill_null(col, "")
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offsets = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    buf_val = arr.buffers()[2]
+    values = (
+        np.frombuffer(buf_val, dtype=np.uint8)
+        if buf_val is not None
+        else np.empty(0, np.uint8)
+    )
+    return offsets[1:] - offsets[:-1], offsets[:-1], values
 
 
 def fingerprint_stage(id_col: str, text_col: str = "text"):
-    """(id, fp): 64-bit rolling (FNV-1a) document fingerprint, vectorized
-    column-wise over a padded byte matrix (rows-only)."""
+    """(id, fp): 64-bit rolling (FNV-1a) document fingerprint, computed
+    straight off the Arrow utf8 buffers (no Python strings)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        texts = [t.encode() if t else b"" for t in batch[text_col].to_pylist()]
-        h = _fnv1a_batch(texts)
+        lens, starts, values = _string_views(batch[text_col])
+        h = _fnv1a_ragged(lens, starts, values)
         return pa.table({id_col: batch[id_col], "fp": pa.array(h.view(np.int64))})
 
     return fn
