@@ -27,10 +27,15 @@ from geo_index_ray.pipelines import events as events_pipe
 from geo_index_ray.pipelines import knn as knn_pipe
 from geo_index_ray.pipelines import multimodal as mm_pipe
 from geo_index_ray.pipelines import partition as part_pipe
+from geo_index_ray.pipelines import ranking as rank_pipe
 from geo_index_ray.pipelines import spatial_join as sj
 from geo_index_ray.pipelines import text as text_pipe
 from geo_index_ray.pipelines import tiling
 from geo_index_ray.sources import tables
+
+# per-language sampling rates for the stratified-sample query (corpus
+# rebalance shape: downsample the dominant language, keep the rare ones)
+_STRATA_RATES = {"en": 0.05, "de": 0.25, "fr": 0.5, "es": 1.0, "zh": 0.15}
 
 import pyarrow as pa
 
@@ -552,6 +557,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["value_median"] = value_median
 
+    def value_percentiles(sf_dir):
+        """Exact per-key p25/p50/p90/p99 through the distinct-value-count
+        combiner (pipelines/events.grouped_percentiles) — quantile_cont
+        interpolation, bit-identical to the SQL oracle."""
+        ds = tables.read_table(sf_dir, "events", columns=["event_type", "value"])
+        return events_pipe.grouped_percentiles(ds, "event_type", "value")
+
+    q["value_percentiles"] = value_percentiles
+
+    def top_docs_per_lang(sf_dir):
+        """Per-group top-k (ROW_NUMBER semantics): 3 longest documents per
+        language; the groupby exchange carries ≤ k rows per (lang, block)
+        thanks to the per-batch pre-filter (pipelines/ranking.grouped_topk)."""
+        ds = tables.read_table(
+            sf_dir, "documents", columns=["doc_id", "lang", "n_chars"]
+        )
+        return rank_pipe.grouped_topk(ds, "lang", "n_chars", "doc_id", k=3)
+
+    q["top_docs_per_lang"] = top_docs_per_lang
+
+    def stratified_sample_docs(sf_dir):
+        """Deterministic per-language sampling rates (corpus rebalance) —
+        pure row function, no shuffle (pipelines/ranking.stratified_sample)."""
+        ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+        return rank_pipe.stratified_sample(
+            ds, "lang", "doc_id", rates=_STRATA_RATES, default_rate=0.1
+        )
+
+    q["stratified_sample_docs"] = stratified_sample_docs
+
     def lang_source_hist(sf_dir):
         """Two-key grouped aggregate with per-batch combiner."""
         ds = tables.read_table(sf_dir, "documents", columns=["lang", "source"])
@@ -1072,6 +1107,37 @@ def oracle_sql() -> dict[str, str]:
 
     sql["lang_source_hist"] = """
         SELECT lang, source, COUNT(*) AS n_docs FROM documents GROUP BY 1, 2
+    """
+
+    sql["value_percentiles"] = """
+        SELECT event_type,
+               quantile_cont(value, 0.25) AS p25,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.9) AS p90,
+               quantile_cont(value, 0.99) AS p99,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1
+    """
+
+    sql["top_docs_per_lang"] = """
+        SELECT doc_id, lang, n_chars, rnk FROM (
+          SELECT doc_id, lang, n_chars,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rnk
+          FROM documents) WHERE rnk <= 3
+    """
+
+    from geo_index_ray.pipelines import ranking as _rank
+
+    _strata_case = " ".join(
+        f"WHEN '{lg}' THEN {_rank.sql_threshold(r)}"
+        for lg, r in _STRATA_RATES.items()
+    )
+    sql["stratified_sample_docs"] = f"""
+        SELECT doc_id, lang FROM documents
+        WHERE (CAST(doc_id AS HUGEINT) * 11400714819323198485)
+              % 18446744073709551616
+              < CASE lang {_strata_case} ELSE {_rank.sql_threshold(0.1)} END
     """
 
     sql["roundtrip_parquet"] = f"""

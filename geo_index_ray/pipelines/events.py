@@ -374,3 +374,57 @@ def grouped_median(ds, key_col: str, value_col: str,
         )
 
     return partials.groupby(key_col).map_groups(med, batch_format="pyarrow")
+
+
+def grouped_percentiles(ds, key_col: str, value_col: str,
+                        qs=(0.25, 0.5, 0.9, 0.99),
+                        names=("p25", "p50", "p90", "p99")):
+    """EXACT per-key continuous percentiles via the same distinct-value
+    count combiner as :func:`grouped_median` — the shuffle carries at most
+    one (key, value, cnt) row per distinct value per block, and the
+    reducer interpolates DuckDB ``quantile_cont`` style
+    (``lo * (1 - frac) + hi * frac`` at position ``q * (n - 1)`` —
+    empirically DuckDB's exact double arithmetic, NOT the algebraically
+    equal ``lo + (hi - lo) * frac``), so results are bit-identical to the
+    SQL oracle."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                key_col: batch[key_col].to_pandas(),
+                value_col: batch[value_col].to_pandas(),
+            }
+        )
+        g = (
+            df.groupby([key_col, value_col], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def pct(g: pa.Table) -> pa.Table:
+        v = g[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        c = g["cnt"].to_numpy().astype(np.int64)
+        order = np.argsort(v, kind="stable")
+        v, c = v[order], c[order]
+        new = np.r_[True, v[1:] != v[:-1]]
+        vu = v[new]
+        cu = np.add.reduceat(c, np.nonzero(new)[0])
+        n = int(cu.sum())
+        cum = np.cumsum(cu)
+        out = {key_col: g[key_col].slice(0, 1)}
+        for q, name in zip(qs, names):
+            pos = q * (n - 1)
+            i = int(np.floor(pos))
+            frac = pos - i
+            lo = vu[np.searchsorted(cum, i + 1)]
+            hi = vu[np.searchsorted(cum, min(i + 2, n))]
+            out[name] = pa.array(
+                [float(lo * (1.0 - frac) + hi * frac)], pa.float64()
+            )
+        out["n_events"] = pa.array([n], pa.int64())
+        return pa.table(out)
+
+    return partials.groupby(key_col).map_groups(pct, batch_format="pyarrow")

@@ -1,0 +1,123 @@
+"""Tests for per-group top-k, stratified sampling, and grouped percentiles."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    yield
+
+
+class TestGroupedTopk:
+    def test_matches_pandas_row_number(self):
+        import ray.data
+
+        from geo_index_ray.pipelines import ranking
+
+        rng = np.random.default_rng(11)
+        n = 5000
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype=np.int64),
+                "lang": rng.choice(["en", "de", "fr"], n),
+                # heavy ties so the (order DESC, id ASC) tie-break matters
+                "n_chars": rng.integers(0, 40, n).astype(np.int64),
+            }
+        )
+        ds = ray.data.from_pandas(df).repartition(7)
+        got = (
+            ranking.grouped_topk(ds, "lang", "n_chars", "doc_id", k=5)
+            .to_pandas()
+            .sort_values(["lang", "rnk"])
+            .reset_index(drop=True)
+        )
+        want = df.sort_values(
+            ["lang", "n_chars", "doc_id"], ascending=[True, False, True]
+        )
+        want["rnk"] = want.groupby("lang").cumcount() + 1
+        want = want[want["rnk"] <= 5].reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["lang", "doc_id", "n_chars", "rnk"]],
+            want[["lang", "doc_id", "n_chars", "rnk"]],
+            check_dtype=False,
+        )
+
+    def test_partial_prefilter_bounds_survivors(self):
+        from geo_index_ray.pipelines.ranking import _topk_table
+
+        rng = np.random.default_rng(3)
+        batch = pa.table(
+            {
+                "lang": pa.array(rng.choice(["a", "b"], 1000).tolist()),
+                "doc_id": pa.array(np.arange(1000, dtype=np.int64)),
+                "n_chars": pa.array(rng.integers(0, 10, 1000).astype(np.int64)),
+            }
+        )
+        out = _topk_table(batch, "lang", "n_chars", "doc_id", 4, False)
+        assert out.num_rows <= 8  # ≤ k per key per block rides the shuffle
+
+
+class TestStratifiedSample:
+    def test_deterministic_and_rate_respecting(self):
+        import ray.data
+
+        from geo_index_ray.pipelines import ranking
+
+        n = 20000
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype=np.int64),
+                "lang": np.where(np.arange(n) % 3 == 0, "en", "de"),
+            }
+        )
+        rates = {"en": 0.1, "de": 0.5}
+        ds = ray.data.from_pandas(df).repartition(5)
+        got = ranking.stratified_sample(ds, "lang", "doc_id", rates).to_pandas()
+        # rerun under different partitioning → identical rows
+        ds2 = ray.data.from_pandas(df).repartition(2)
+        got2 = ranking.stratified_sample(ds2, "lang", "doc_id", rates).to_pandas()
+        assert sorted(got["doc_id"]) == sorted(got2["doc_id"])
+        frac = got.groupby("lang").size() / df.groupby("lang").size()
+        assert abs(frac["en"] - 0.1) < 0.02
+        assert abs(frac["de"] - 0.5) < 0.02
+        # unknown stratum → default_rate (0.0 here) drops everything
+        df3 = df.assign(lang="xx")
+        got3 = ranking.stratified_sample(
+            ray.data.from_pandas(df3), "lang", "doc_id", rates
+        ).to_pandas()
+        assert len(got3) == 0
+
+
+class TestGroupedPercentiles:
+    def test_matches_numpy_weighted(self):
+        import ray.data
+
+        from geo_index_ray.pipelines import events as ev
+
+        rng = np.random.default_rng(5)
+        df = pd.DataFrame(
+            {
+                "event_type": rng.choice(["x", "y"], 4000),
+                # repeated discrete values exercise the weighted cumsum path
+                "value": rng.integers(0, 50, 4000).astype(np.float64) / 2.0,
+            }
+        )
+        ds = ray.data.from_pandas(df).repartition(6)
+        got = (
+            ev.grouped_percentiles(ds, "event_type", "value")
+            .to_pandas()
+            .set_index("event_type")
+            .sort_index()
+        )
+        for et, g in df.groupby("event_type"):
+            v = g["value"].to_numpy()
+            for q, name in [(0.25, "p25"), (0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+                assert got.loc[et, name] == pytest.approx(
+                    np.percentile(v, q * 100), abs=1e-12
+                ), (et, name)
+            assert got.loc[et, "n_events"] == len(g)
