@@ -294,26 +294,55 @@ def _permute_rows(leaf, indices, n, perm):
     indices[:n] = idx
 
 
+def _quantize_u32(v: np.ndarray) -> np.ndarray:
+    """Monotone map of a float array onto uint32 ranks (range-linear).
+    Ties introduced by quantization fall back to insertion order under
+    the stable radix sorts below — still a valid STR tiling."""
+    lo = v.min()
+    span = v.max() - lo
+    if not span > 0:
+        return np.zeros(len(v), dtype=np.uint32)
+    q = (v - lo) * (4294967295.0 / span)
+    return q.astype(np.uint32)
+
+
 def _str_permutation(mnx, mny, mxx, mxy, n, node_size):
-    """Sort-tile-recursive permutation (src/rtree/sort/str.rs:16-99),
-    vectorized: stable sort by center-x, slice into
-    ceil(sqrt(ceil(n/node_size))) vertical strips, stable sort each strip
-    by center-y."""
-    cx = (mnx + mxx) / 2
-    cy = (mny + mxy) / 2
-    perm = np.argsort(cx, kind="stable")
+    """Sort-tile-recursive permutation (src/rtree/sort/str.rs:16-99):
+    sort by center-x, slice into ceil(sqrt(ceil(n/node_size))) vertical
+    strips, sort each strip by center-y.
+
+    Fast path: both phases run as LSD radix over quantized center ranks
+    (numpy's stable argsort on uint16 is O(n) radix — same trick as
+    hilbert_sort_permutation).  Phase 2 sorts the composite
+    ``slice_id << 16 | cy_q16`` key in two chained passes, so the
+    per-strip sorts cost two O(n) sweeps total instead of a Python loop
+    of float argsorts.  Quantization only moves boxes between adjacent
+    strips/positions — the tree stays valid and deterministic; the
+    byte-parity ordering lives in method="str_parity"."""
+    cx = (mnx + mxx) * 0.5
+    cy = (mny + mxy) * 0.5
     num_leaf_nodes = int(np.ceil(n / node_size))
     num_slices = int(np.ceil(np.sqrt(num_leaf_nodes)))
     per_slice = int(np.ceil(n / num_slices))
-    cy_sorted = cy[perm]
-    for s in range(num_slices):
-        lo = s * per_slice
-        hi = min((s + 1) * per_slice, n)
-        if hi <= lo:
-            break
-        sub = np.argsort(cy_sorted[lo:hi], kind="stable")
-        perm[lo:hi] = perm[lo:hi][sub]
-    return perm
+    if num_slices > 0xFFFF:  # composite key would overflow — exact path
+        perm = np.argsort(cx, kind="stable")
+        cy_sorted = cy[perm]
+        for s in range(num_slices):
+            lo = s * per_slice
+            hi = min((s + 1) * per_slice, n)
+            if hi <= lo:
+                break
+            sub = np.argsort(cy_sorted[lo:hi], kind="stable")
+            perm[lo:hi] = perm[lo:hi][sub]
+        return perm
+    qx = _quantize_u32(cx)
+    o1 = np.argsort(qx.astype(np.uint16), kind="stable")
+    perm = o1[np.argsort((qx >> np.uint32(16)).astype(np.uint16)[o1], kind="stable")]
+    slice_id = (np.arange(n, dtype=np.uint32) // np.uint32(per_slice))
+    cyq = (_quantize_u32(cy[perm]) >> np.uint32(16)).astype(np.uint16)
+    o2 = np.argsort(cyq, kind="stable")
+    o3 = o2[np.argsort(slice_id[o2].astype(np.uint16), kind="stable")]
+    return perm[o3]
 
 
 def _sort_leaves(leaf, indices, n, node_size, method, bounds, dtype):
