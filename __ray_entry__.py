@@ -548,6 +548,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["asof_click_purchase"] = asof_click_purchase
 
+    def window_join_purchase_clicks(sf_dir):
+        """Windowed interval join: per purchase, the count of same-user
+        clicks in the preceding hour (pipelines/events.window_count_join —
+        one tagged-union shuffle, merge-based prefix-count reducer)."""
+        ds = tables.read_table(
+            sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]
+        )
+
+        def only(kind, id_name):
+            def fn(b: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                f = b.filter(pc.equal(b["event_type"], kind))
+                return pa.table(
+                    {id_name: f["event_id"], "ts": f["ts"], "user_id": f["user_id"]}
+                )
+
+            return fn
+
+        purchases = ds.map_batches(only("purchase", "purchase_id"), batch_format="pyarrow")
+        clicks = ds.map_batches(only("click", "click_id"), batch_format="pyarrow")
+        return events_pipe.window_count_join(
+            purchases, clicks, window_us=3_600_000_000,
+            key_col="user_id", left_id="purchase_id", count_name="n_clicks",
+        )
+
+    q["window_join_purchase_clicks"] = window_join_purchase_clicks
+
     def value_median(sf_dir):
         """Exact per-key median via the (key, value)-count combiner —
         the shuffle and the reducer hold distinct values with weights,
@@ -1149,6 +1177,15 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT * FROM events WHERE event_type = 'click') c
         ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
           ON c.user_id = p.user_id AND c.ts >= p.ts
+    """
+
+    sql["window_join_purchase_clicks"] = """
+        SELECT p.event_id AS purchase_id, COUNT(c.event_id) AS n_clicks
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON c.user_id = p.user_id
+         AND c.ts > p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        GROUP BY 1
     """
 
     sql["kd_range"] = f"""

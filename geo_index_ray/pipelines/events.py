@@ -28,7 +28,12 @@ import pyarrow.compute as pc
 
 
 def _ts_us(col: pa.ChunkedArray) -> np.ndarray:
-    """timestamp[us] column → int64 epoch microseconds (zero-copy)."""
+    """timestamp column → int64 epoch microseconds (zero-copy for
+    timestamp[us] input; ns/ms/s units are normalized first)."""
+    t = col.type
+    if pa.types.is_timestamp(t) and t.unit != "us":
+        # safe=False: ns → us truncates sub-microsecond digits
+        col = pc.cast(col, pa.timestamp("us", tz=t.tz), safe=False)
     return pc.cast(col, pa.int64()).to_numpy()
 
 
@@ -217,6 +222,96 @@ def asof_join(left_ds, right_ds, key_col: str = "user_id", ts_col: str = "ts",
         )
 
     return unioned.groupby("rkey").map_groups(asof_reducer, batch_format="pyarrow")
+
+
+def window_count_join(left_ds, right_ds, window_us: int,
+                      key_col: str = "user_id", ts_col: str = "ts",
+                      left_id: str = "left_id", count_name: str = "n_right"):
+    """Windowed interval join: for each left (anchor) row, the COUNT of
+    right rows sharing ``key_col`` with ``ts`` in
+    ``(anchor.ts - window_us, anchor.ts]`` — left-join semantics (anchors
+    with zero matches emit 0).
+
+    Same single-shuffle shape as :func:`asof_join` (tagged union →
+    coarse-key groupby).  The reducer evaluates the prefix function
+    F(k, t) = #rights with (key, tus) ≤ (k, t) at both window bounds via
+    ONE lexsort of rights + both query points — rights at equal (key, ts)
+    sort before queries, making both bounds inclusive, so the difference
+    is exactly the half-open window (t-w, t].  No per-key Python.
+    """
+
+    from ..stages.util import coalesce_for_shuffle, reducer_count
+
+    R = reducer_count()
+
+    def tag(ds, side: int, id_col: str | None):
+        def fn(batch: pa.Table) -> pa.Table:
+            key = batch[key_col].to_numpy().astype(np.int64)
+            rid = (
+                batch[id_col]
+                if id_col is not None
+                # right-side rows are only counted, never identified
+                else pa.array(np.zeros(batch.num_rows, dtype=np.int64))
+            )
+            return pa.table(
+                {
+                    "rkey": pa.array(
+                        (key.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                         % np.uint64(R)).astype(np.int64)
+                    ),
+                    key_col: batch[key_col],
+                    "tus": pa.array(_ts_us(batch[ts_col])),
+                    "rid": rid,
+                    "side": pa.array(
+                        np.full(batch.num_rows, side, dtype=np.int8)
+                    ),
+                }
+            )
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    unioned = coalesce_for_shuffle(tag(left_ds, 1, left_id), 0.25).union(
+        coalesce_for_shuffle(tag(right_ds, 0, None), 0.25)
+    )
+
+    _empty = pa.table(
+        {left_id: pa.array([], pa.int64()), count_name: pa.array([], pa.int64())}
+    )
+
+    def window_reducer(g: pa.Table) -> pa.Table:
+        key = g[key_col].to_numpy().astype(np.int64)
+        tus = g["tus"].to_numpy()
+        rid = g["rid"].to_numpy()
+        side = g["side"].to_numpy()  # right=0, left=1
+        lmask = side == 1
+        if not lmask.any():
+            return _empty
+        lk, lt, lid = key[lmask], tus[lmask], rid[lmask]
+        rk, rt = key[~lmask], tus[~lmask]
+        nq = len(lk)
+        # merged stream: rights (kind 0), then each anchor contributes a
+        # query at t (hi bound) and at t - w (lo bound), both inclusive
+        mk = np.concatenate([rk, lk, lk])
+        mt = np.concatenate([rt, lt, lt - window_us])
+        kind = np.concatenate(
+            [np.zeros(len(rk), np.int8), np.ones(2 * nq, np.int8)]
+        )
+        order = np.lexsort((kind, mt, mk))
+        prefix = np.cumsum(kind[order] == 0)
+        fvals = np.empty(len(order), dtype=np.int64)
+        fvals[order] = prefix
+        f_hi = fvals[len(rk) : len(rk) + nq]
+        f_lo = fvals[len(rk) + nq :]
+        # the difference cancels every key ≠ anchor key (both bounds carry
+        # the same key), leaving #rights with key==k and t-w < tus <= t
+        return pa.table(
+            {
+                left_id: pa.array(lid.astype(np.int64)),
+                count_name: pa.array(f_hi - f_lo),
+            }
+        )
+
+    return unioned.groupby("rkey").map_groups(window_reducer, batch_format="pyarrow")
 
 
 def hopping_window(ds, size_us: int, hop_us: int, key_col: str = "event_type",

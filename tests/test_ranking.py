@@ -121,3 +121,50 @@ class TestGroupedPercentiles:
                     np.percentile(v, q * 100), abs=1e-12
                 ), (et, name)
             assert got.loc[et, "n_events"] == len(g)
+
+
+class TestWindowCountJoin:
+    def test_matches_pandas_brute_force(self):
+        import ray.data
+
+        from geo_index_ray.pipelines import events as ev
+
+        rng = np.random.default_rng(9)
+        n_l, n_r = 600, 3000
+        W = 50_000_000  # 50 s in µs
+        base = pd.Timestamp("2024-01-01").value // 1000
+        lt = base + rng.integers(0, 500_000_000, n_l)
+        rt = base + rng.integers(0, 500_000_000, n_r)
+        left = pd.DataFrame(
+            {
+                "anchor_id": np.arange(n_l, dtype=np.int64),
+                "user_id": rng.integers(0, 40, n_l),
+                "ts": pd.to_datetime(lt, unit="us"),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "user_id": rng.integers(0, 40, n_r),
+                "ts": pd.to_datetime(rt, unit="us"),
+            }
+        )
+        got = (
+            ev.window_count_join(
+                ray.data.from_pandas(left).repartition(4),
+                ray.data.from_pandas(right).repartition(3),
+                window_us=W, key_col="user_id",
+                left_id="anchor_id", count_name="n_right",
+            )
+            .to_pandas()
+            .sort_values("anchor_id")
+            .reset_index(drop=True)
+        )
+        assert len(got) == n_l  # left-join semantics: every anchor emits
+        rus = right["ts"].astype("int64").to_numpy() // 1000  # ns → µs
+        rkey = right["user_id"].to_numpy()
+        for i in rng.choice(n_l, 80, replace=False):
+            t = lt[i]
+            want = int(
+                ((rkey == left.loc[i, "user_id"]) & (rus > t - W) & (rus <= t)).sum()
+            )
+            assert got.loc[got["anchor_id"] == i, "n_right"].item() == want
