@@ -615,6 +615,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["stratified_sample_docs"] = stratified_sample_docs
 
+    def top_terms(sf_dir):
+        """Per-document top-3 tf·idf terms (rational idf, ROW_NUMBER
+        ties by term) — pipelines/text.top_tfidf_terms; only the
+        vocabulary-sized df aggregate shuffles."""
+        ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        return text_pipe.top_tfidf_terms(ds, "doc_id", k=3)
+
+    q["top_terms"] = top_terms
+
     def lang_source_hist(sf_dir):
         """Two-key grouped aggregate with per-batch combiner."""
         ds = tables.read_table(sf_dir, "documents", columns=["lang", "source"])
@@ -1145,6 +1154,25 @@ def oracle_sql() -> dict[str, str]:
                quantile_cont(value, 0.99) AS p99,
                COUNT(*) AS n_events
         FROM events GROUP BY 1
+    """
+
+    sql["top_terms"] = """
+        WITH w AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                        x -> x <> '')) AS term
+          FROM documents
+        ),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        nd AS (SELECT COUNT(*) AS n FROM documents)
+        SELECT doc_id, term, rnk FROM (
+          SELECT doc_id, term,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY tf * ((n + 1.0) / (df + 1.0)) DESC, term) AS rnk
+          FROM tf JOIN df USING (term) CROSS JOIN nd
+        ) WHERE rnk <= 3
     """
 
     sql["top_docs_per_lang"] = """

@@ -168,3 +168,42 @@ class TestWindowCountJoin:
                 ((rkey == left.loc[i, "user_id"]) & (rus > t - W) & (rus <= t)).sum()
             )
             assert got.loc[got["anchor_id"] == i, "n_right"].item() == want
+
+
+class TestTopTfidfTerms:
+    def test_matches_brute_force(self):
+        import ray.data
+
+        from geo_index_ray.pipelines import text as tp
+
+        docs = [
+            "apple banana apple cherry",
+            "banana banana date",
+            "cherry date elderberry date",
+            "  apple  ",
+            "",
+        ]
+        df_in = pd.DataFrame({"doc_id": np.arange(5, dtype=np.int64), "text": docs})
+        got = (
+            tp.top_tfidf_terms(ray.data.from_pandas(df_in).repartition(3), "doc_id", k=2)
+            .to_pandas()
+            .sort_values(["doc_id", "rnk"])
+            .reset_index(drop=True)
+        )
+        # brute force
+        import collections
+        N = 5
+        tfs = [collections.Counter((d or "").lower().split()) for d in docs]
+        dfc = collections.Counter()
+        for t in tfs:
+            dfc.update(t.keys())
+        rows = []
+        for i, t in enumerate(tfs):
+            scored = sorted(
+                ((tf * ((N + 1.0) / (dfc[w] + 1.0)), w) for w, tf in t.items()),
+                key=lambda s: (-s[0], s[1]),
+            )
+            for r, (_, w) in enumerate(scored[:2]):
+                rows.append((i, w, r + 1))
+        want = pd.DataFrame(rows, columns=["doc_id", "term", "rnk"])
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
