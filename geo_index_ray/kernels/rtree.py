@@ -134,9 +134,31 @@ class RTreeMetadata:
         return buf[8 + self.nodes_byte_length : self.data_buffer_length].view(self.indices_dtype)
 
 
+_ATTACH_CACHE: dict = {}  # id(data) → (data, (meta, boxes, indices))
+_ATTACH_CACHE_CAP = 8
+
+
 def _attach(data):
+    """Parse (or fetch cached) header + typed views for an index buffer.
+
+    Per-query callers (single-query ``search``/``neighbors``) re-attach
+    the same buffer every call; header parsing is ~100 µs of a ~220 µs
+    query, so repeat attaches hit a tiny identity-keyed cache.  The
+    cache holds a STRONG reference to the buffer object, which is what
+    makes ``id()`` keys safe: a cached id can never be reused while its
+    entry is alive, and the ``is`` check confirms the hit.  Views alias
+    the buffer, so in-place mutation stays visible (same semantics as an
+    uncached attach)."""
+    k = id(data)
+    hit = _ATTACH_CACHE.get(k)
+    if hit is not None and hit[0] is data:
+        return hit[1]
     meta = RTreeMetadata.from_buffer(data)
-    return meta, meta.boxes_view(data), meta.indices_view(data)
+    parsed = (meta, meta.boxes_view(data), meta.indices_view(data))
+    if len(_ATTACH_CACHE) >= _ATTACH_CACHE_CAP:
+        _ATTACH_CACHE.pop(next(iter(_ATTACH_CACHE)))
+    _ATTACH_CACHE[k] = (data, parsed)
+    return parsed
 
 
 def build_rtree(
