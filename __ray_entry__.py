@@ -22,6 +22,7 @@ from geo_index_ray.kernels import cells as cellmod
 from geo_index_ray.kernels import kdtree
 from geo_index_ray.kernels import rtree
 from geo_index_ray.pipelines import ann as ann_pipe
+from geo_index_ray.pipelines import components as comp_pipe
 from geo_index_ray.pipelines import dedup as dedup_pipe
 from geo_index_ray.pipelines import events as events_pipe
 from geo_index_ray.pipelines import knn as knn_pipe
@@ -454,6 +455,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup_pipe.minhash_dedup(ds, "doc_id", threshold=0.35)
 
     q["minhash_pairs"] = minhash_pairs
+
+    def dup_clusters(sf_dir):
+        ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        pairs = dedup_pipe.minhash_dedup(ds, "doc_id", threshold=0.35)
+        return comp_pipe.connected_components(pairs)
+
+    q["dup_clusters"] = dup_clusters
 
     # --- embeddings ---
     def ann(sf_dir):
@@ -1430,6 +1438,27 @@ def oracle_sql() -> dict[str, str]:
     sql["ngram_jaccard_pairs"] = sqltext.sql_ngram_jaccard_pairs(
         "documents", "doc_id", threshold=0.3
     )
+
+    # transitive closure of the minhash pair graph: min-id label reached
+    # by every node (the engine's large-star/small-star result)
+    sql["dup_clusters"] = f"""
+        WITH pairs AS ({sql['minhash_pairs']}),
+        edges AS (
+            SELECT a_id AS u, b_id AS v FROM pairs
+            UNION
+            SELECT b_id, a_id FROM pairs
+        )
+        SELECT node, component FROM (
+            WITH RECURSIVE reach(node, label) AS (
+                SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+                UNION
+                SELECT e.v, r.label
+                FROM reach r JOIN edges e ON e.u = r.node
+                WHERE r.label < e.v
+            )
+            SELECT node, MIN(label) AS component FROM reach GROUP BY node
+        )
+    """
 
     # --- multimodal fake-decode twins (byte math over the text payload) ---
     _checksum = " + ".join(

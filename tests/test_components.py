@@ -1,0 +1,73 @@
+"""Connected components (large-star/small-star) vs a union-find oracle."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from geo_index_ray.pipelines.components import connected_components
+
+
+@pytest.fixture(autouse=True)
+def _ray(ray_session):
+    pass
+
+
+def _uf_oracle(pairs):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _run(a, b, parallelism=4):
+    ds = rd.from_arrow(
+        pa.table({"a_id": pa.array(a, pa.int64()), "b_id": pa.array(b, pa.int64())})
+    ).repartition(parallelism)
+    res = connected_components(ds).to_pandas()
+    assert res["node"].is_unique
+    return dict(zip(res["node"], res["component"]))
+
+
+def test_components_random_graphs_match_union_find():
+    rng = np.random.default_rng(7)
+    for n_nodes, n_edges in [(40, 25), (800, 700), (3000, 4500)]:
+        a = rng.integers(0, n_nodes, n_edges)
+        b = rng.integers(0, n_nodes, n_edges)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        got = _run(a.tolist(), b.tolist())
+        want = _uf_oracle(list(zip(a.tolist(), b.tolist())))
+        assert got == want
+
+
+def test_components_long_chain_converges():
+    # a path graph is the worst case for naive label propagation
+    # (O(n) rounds); the star algorithm closes it in O(log n)
+    chain = list(range(200))
+    got = _run(chain[:-1], chain[1:])
+    assert set(got.values()) == {0}
+    assert len(got) == 200
+
+
+def test_components_self_and_duplicate_edges():
+    got = _run([1, 1, 2, 5, 5], [1, 2, 1, 6, 6])
+    assert got == {1: 1, 2: 1, 5: 5, 6: 5}
+
+
+def test_components_sparse_ids():
+    # 64-bit-scale ids must not be assumed dense
+    ids = [10**12 + 3, 10**12 + 9, 5, 7, 10**9]
+    got = _run([ids[0], 5, 10**9], [ids[1], 7, 5])
+    assert got[ids[1]] == ids[0]
+    assert got[10**9] == 5 and got[7] == 5
