@@ -38,6 +38,9 @@ from geo_index_ray.sources import tables
 # rebalance shape: downsample the dominant language, keep the rare ones)
 _STRATA_RATES = {"en": 0.05, "de": 0.25, "fr": 0.5, "es": 1.0, "zh": 0.15}
 
+# keyword query for the BM25 retrieval operator
+_BM25_TERMS = ["hash", "join", "vector", "stream"]
+
 import pyarrow as pa
 
 # resolutions (fixed, mirrored in the SQL strings below)
@@ -632,6 +635,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["top_terms"] = top_terms
 
+    def bm25_search(sf_dir):
+        ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        return text_pipe.bm25_topk(ds, "doc_id", _BM25_TERMS, k=20)
+
+    q["bm25_search"] = bm25_search
+
     def lang_source_hist(sf_dir):
         """Two-key grouped aggregate with per-batch combiner."""
         ds = tables.read_table(sf_dir, "documents", columns=["lang", "source"])
@@ -1182,6 +1191,10 @@ def oracle_sql() -> dict[str, str]:
           FROM tf JOIN df USING (term) CROSS JOIN nd
         ) WHERE rnk <= 3
     """
+
+    sql["bm25_search"] = text_pipe.sql_bm25_topk(
+        "documents", "doc_id", _BM25_TERMS, k=20
+    )
 
     sql["top_docs_per_lang"] = """
         SELECT doc_id, lang, n_chars, rnk FROM (

@@ -313,3 +313,131 @@ def fingerprint_stage(id_col: str, text_col: str = "text"):
         return pa.table({id_col: batch[id_col], "fp": pa.array(h.view(np.int64))})
 
     return fn
+
+
+def bm25_topk(ds, id_col: str, query_terms, text_col: str = "text",
+              k: int = 20, k1: float = 1.2, b: float = 0.75):
+    """Global top-k documents for a keyword query under BM25-style
+    scoring with a RATIONAL idf (``(N - df + 0.5) / (df + 0.5)``, no
+    log → bit-identical to the SQL oracle).  Output (id, score),
+    ordered score DESC then id, limit k.
+
+    Scale shape: the query-term list is tiny and broadcast by closure;
+    pass 1 computes per-term document frequency plus corpus (N, Σdl) as
+    per-block partials reduced through a vocabulary-bounded groupby;
+    pass 2 re-tokenizes (nothing corpus-sized pinned — same trade as
+    ``top_tfidf_terms``), scores candidates with one fixed-order
+    accumulation over the query terms, and feeds a per-block top-k into
+    the global sort+limit, so only ``k`` rows per block reach the final
+    exchange.  Score arithmetic mirrors the oracle expression
+    operation-for-operation so float64 results hash-match.
+    """
+    terms = [t.lower() for t in query_terms]
+    tset = pa.array(terms, pa.string())
+
+    n_docs = ds.count()
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        rows, codes, tf, dictionary = _doc_term_tf(batch, id_col, text_col)
+        # dl partial: total tokens in this block; df partial per query term
+        pos = pc.index_in(dictionary, value_set=tset).to_numpy(
+            zero_copy_only=False
+        )
+        pos = np.nan_to_num(pos.astype(np.float64), nan=-1).astype(np.int64)
+        hit = pos[codes] >= 0
+        dfp = np.bincount(pos[codes][hit], minlength=len(terms))
+        out = {"qi": pa.array(np.arange(len(terms) + 1, dtype=np.int64))}
+        out["cnt"] = pa.array(
+            np.r_[dfp, int(tf.sum())].astype(np.int64)
+        )  # row len(terms) carries the Σdl partial
+        return pa.table(out)
+
+    stats = (
+        ds.map_batches(stats_partial, batch_format="pyarrow")
+        .groupby("qi")
+        .sum("cnt")
+        .to_pandas()
+        .set_index("qi")["sum(cnt)"]
+    )
+    dfv = np.array([int(stats.get(i, 0)) for i in range(len(terms))], dtype=np.float64)
+    total_dl = float(stats.get(len(terms), 0))
+    avgdl = total_dl / n_docs
+    idf = ((n_docs - dfv) + 0.5) / (dfv + 0.5)
+    k1p1 = k1 + 1.0
+    one_minus_b = 1.0 - b
+
+    def score_block(batch: pa.Table) -> pa.Table:
+        rows, codes, tf, dictionary = _doc_term_tf(batch, id_col, text_col)
+        n = batch.num_rows
+        dl = np.bincount(rows, weights=tf, minlength=n)
+        pos = pc.index_in(dictionary, value_set=tset).to_numpy(
+            zero_copy_only=False
+        )
+        pos = np.nan_to_num(pos.astype(np.float64), nan=-1).astype(np.int64)
+        tfq = np.zeros((n, len(terms)), dtype=np.float64)
+        hit = pos[codes] >= 0
+        tfq[rows[hit], pos[codes][hit]] = tf[hit]
+        denom_norm = k1 * (one_minus_b + b * (dl / avgdl))
+        score = np.zeros(n, dtype=np.float64)
+        for i in range(len(terms)):  # fixed-order sum == the SQL expression
+            ti = tfq[:, i]
+            score = score + idf[i] * (ti * k1p1) / (ti + denom_norm)
+        cand = tfq.sum(axis=1) > 0
+        ids = batch[id_col].to_numpy()[cand]
+        sc = score[cand]
+        # per-block truncation: only k rows per block reach the exchange
+        if len(sc) > k:
+            order = np.lexsort((ids, -sc))[:k]
+            ids, sc = ids[order], sc[order]
+        return pa.table({id_col: pa.array(ids), "score": pa.array(sc)})
+
+    return (
+        ds.map_batches(score_block, batch_format="pyarrow")
+        .sort(["score", id_col], descending=[True, False])
+        .limit(k)
+    )
+
+
+def sql_bm25_topk(table: str, id_col: str, query_terms, k: int = 20,
+                  k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB twin of :func:`bm25_topk` — same tokenizer, same rational
+    idf, score written as the same fixed-order left-associated sum."""
+    terms = [t.lower() for t in query_terms]
+    k1p1 = repr(k1 + 1.0)
+    omb = repr(1.0 - b)
+    rk1 = repr(k1)
+    rb = repr(b)
+    tf_cols = ",\n               ".join(
+        f"CAST(MAX(CASE WHEN term = '{t}' THEN tf ELSE 0 END) AS DOUBLE) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    parts = " + ".join(
+        f"(((CAST(n AS DOUBLE) - df{i}) + 0.5) / (df{i} + 0.5))"
+        f" * (tf{i} * {k1p1}) / (tf{i} + {rk1} * ({omb} + {rb} * (dl / avgdl)))"
+        for i in range(len(terms))
+    )
+    df_cols = ", ".join(
+        f"CAST(COALESCE((SELECT COUNT(*) FROM tf WHERE term = '{t}'), 0) AS DOUBLE) AS df{i}"
+        for i, t in enumerate(terms)
+    )
+    return f"""
+        WITH w AS (
+          SELECT {id_col},
+                 unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                        x -> x <> '')) AS term
+          FROM {table}
+        ),
+        dl AS (SELECT {id_col}, CAST(COUNT(*) AS DOUBLE) AS dl FROM w GROUP BY 1),
+        nd AS (SELECT COUNT(*) AS n FROM {table}),
+        ad AS (SELECT CAST(SUM(dl) AS DOUBLE) / (SELECT n FROM nd) AS avgdl FROM dl),
+        tf AS (SELECT {id_col}, term, COUNT(*) AS tf FROM w
+               WHERE term IN ({in_list}) GROUP BY 1, 2),
+        dfs AS (SELECT {df_cols}),
+        piv AS (SELECT {id_col},
+               {tf_cols}
+          FROM tf GROUP BY {id_col})
+        SELECT {id_col}, {parts} AS score
+        FROM piv JOIN dl USING ({id_col}) CROSS JOIN nd CROSS JOIN ad CROSS JOIN dfs
+        ORDER BY score DESC, {id_col} LIMIT {k}
+    """

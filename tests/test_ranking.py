@@ -207,3 +207,68 @@ class TestTopTfidfTerms:
                 rows.append((i, w, r + 1))
         want = pd.DataFrame(rows, columns=["doc_id", "term", "rnk"])
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestBm25Topk:
+    def test_matches_brute_force(self):
+        import collections
+
+        import ray.data
+
+        from geo_index_ray.pipelines import text as tp
+
+        rng = np.random.default_rng(11)
+        vocab = ["hash", "join", "scan", "vector", "stream", "table", "row"]
+        docs = [
+            " ".join(rng.choice(vocab, rng.integers(1, 40)))
+            for _ in range(120)
+        ] + ["", "   "]  # empty docs count toward N, not toward dl
+        df_in = pd.DataFrame(
+            {"doc_id": np.arange(len(docs), dtype=np.int64), "text": docs}
+        )
+        terms = ["hash", "vector", "unseen_term"]
+        k1, b, k = 1.2, 0.75, 10
+        got = (
+            tp.bm25_topk(
+                ray.data.from_pandas(df_in).repartition(5),
+                "doc_id", terms, k=k, k1=k1, b=b,
+            )
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+        # brute force
+        N = len(docs)
+        tfs = [collections.Counter(d.lower().split()) for d in docs]
+        dl = np.array([sum(t.values()) for t in tfs], dtype=float)
+        avgdl = dl.sum() / N
+        dfc = collections.Counter()
+        for t in tfs:
+            dfc.update(t.keys())
+        scores = []
+        for i, t in enumerate(tfs):
+            s = 0.0
+            for q in terms:
+                tf = float(t.get(q, 0))
+                idf = ((N - dfc.get(q, 0)) + 0.5) / (dfc.get(q, 0) + 0.5)
+                s = s + idf * (tf * (k1 + 1.0)) / (
+                    tf + k1 * ((1.0 - b) + b * (dl[i] / avgdl))
+                )
+            if any(t.get(q, 0) for q in terms):
+                scores.append((i, s))
+        scores.sort(key=lambda r: (-r[1], r[0]))
+        want_ids = [i for i, _ in scores[:k]]
+        assert got["doc_id"].tolist() == want_ids
+        want_scores = np.array([s for _, s in scores[:k]])
+        np.testing.assert_allclose(got["score"].to_numpy(), want_scores, rtol=1e-12)
+
+    def test_no_candidates(self):
+        import ray.data
+
+        from geo_index_ray.pipelines import text as tp
+
+        df_in = pd.DataFrame({"doc_id": np.arange(3, dtype=np.int64),
+                              "text": ["a b", "c", "d e f"]})
+        got = tp.bm25_topk(
+            ray.data.from_pandas(df_in).repartition(2), "doc_id", ["zzz"], k=5
+        ).to_pandas()
+        assert len(got) == 0
