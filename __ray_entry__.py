@@ -466,6 +466,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["dup_clusters"] = dup_clusters
 
+    def dedup_keep(sf_dir):
+        docs = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        pairs = dedup_pipe.minhash_dedup(docs, "doc_id", threshold=0.35)
+        clusters = comp_pipe.connected_components(pairs)
+        return comp_pipe.keep_list(docs, clusters, "doc_id")
+
+    q["dedup_keep"] = dedup_keep
+
     # --- embeddings ---
     def ann(sf_dir):
         mat, qids = _read_queries_for_ann(sf_dir)
@@ -1470,6 +1478,13 @@ def oracle_sql() -> dict[str, str]:
                 WHERE r.label < e.v
             )
             SELECT node, MIN(label) AS component FROM reach GROUP BY node
+        )
+    """
+
+    sql["dedup_keep"] = f"""
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (
+            SELECT node FROM ({sql['dup_clusters']}) WHERE node <> component
         )
     """
 

@@ -194,3 +194,50 @@ def connected_components(pairs_ds, a_col: str = "a_id", b_col: str = "b_id",
     return keyed.groupby("nkey").map_groups(
         dedup_nodes, batch_format="pyarrow"
     ).select_columns(["node", "component"])
+
+
+def keep_list(docs_ds, clusters_ds, id_col: str = "doc_id"):
+    """Canonical dedup keep-list: every document except non-representative
+    cluster members (representative = the cluster's min id, i.e. the
+    node whose label equals itself).  Output: (id_col,) kept ids.
+
+    Scale shape: a hash-partitioned anti-join — only 8 B ids shuffle on
+    both sides (corpus ids tagged 0, drop ids tagged 1, one groupby on
+    the id hash, reduce-side filter).  No broadcast of the drop set: at
+    web scale half the corpus can be duplicates, so the drop side is NOT
+    small enough to ``ray.put``.
+    """
+    r = reducer_count()
+
+    def drops(batch: pa.Table) -> pa.Table:
+        node = batch["node"].to_numpy()
+        comp = batch["component"].to_numpy()
+        d = node[node != comp].astype(np.int64)
+        return pa.table({"id": pa.array(d),
+                         "tag": pa.array(np.ones(len(d), np.int8)),
+                         "rkey": pa.array(_rkey(d, r))})
+
+    def keeps(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        return pa.table({"id": pa.array(ids),
+                         "tag": pa.array(np.zeros(len(ids), np.int8)),
+                         "rkey": pa.array(_rkey(ids, r))})
+
+    tagged = docs_ds.map_batches(keeps, batch_format="pyarrow").union(
+        clusters_ds.map_batches(drops, batch_format="pyarrow")
+    )
+
+    def anti(g: pa.Table) -> pa.Table:
+        ids = g["id"].to_numpy()
+        tag = g["tag"].to_numpy()
+        order = np.lexsort((tag, ids))
+        ids, tag = ids[order], tag[order]
+        # a dropped id contributes a tag-1 row; corpus rows are tag 0 and
+        # sort first within the id, so an id is kept iff its id-group
+        # contains no tag-1 row
+        starts = np.r_[0, np.flatnonzero(ids[1:] != ids[:-1]) + 1]
+        has_drop = np.maximum.reduceat(tag, starts) == 1
+        out = ids[starts][~has_drop]
+        return pa.table({id_col: pa.array(out)})
+
+    return tagged.groupby("rkey").map_groups(anti, batch_format="pyarrow")

@@ -71,3 +71,18 @@ def test_components_sparse_ids():
     got = _run([ids[0], 5, 10**9], [ids[1], 7, 5])
     assert got[ids[1]] == ids[0]
     assert got[10**9] == 5 and got[7] == 5
+
+
+def test_keep_list_anti_join():
+    from geo_index_ray.pipelines.components import keep_list
+
+    # clusters: {1,2,9} (rep 1), {5,6} (rep 5); corpus 1..10
+    clusters = rd.from_arrow(pa.table({
+        "node": pa.array([1, 2, 9, 5, 6], pa.int64()),
+        "component": pa.array([1, 1, 1, 5, 5], pa.int64()),
+    })).repartition(2)
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(1, 11)), pa.int64()),
+    })).repartition(3)
+    kept = sorted(keep_list(docs, clusters, "doc_id").to_pandas()["doc_id"])
+    assert kept == [1, 3, 4, 5, 7, 8, 10]
