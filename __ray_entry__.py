@@ -649,6 +649,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["bm25_search"] = bm25_search
 
+    def kmeans_clusters(sf_dir):
+        ds = tables.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        return ann_pipe.kmeans_assign(ds, "vec_id", "embedding")
+
+    q["kmeans_clusters"] = kmeans_clusters
+
     def lang_source_hist(sf_dir):
         """Two-key grouped aggregate with per-batch combiner."""
         ds = tables.read_table(sf_dir, "documents", columns=["lang", "source"])
@@ -1204,6 +1210,8 @@ def oracle_sql() -> dict[str, str]:
         "documents", "doc_id", _BM25_TERMS, k=20
     )
 
+    sql["kmeans_clusters"] = ann_pipe.sql_kmeans_assign("embeddings")
+
     sql["top_docs_per_lang"] = """
         SELECT doc_id, lang, n_chars, rnk FROM (
           SELECT doc_id, lang, n_chars,
@@ -1463,8 +1471,8 @@ def oracle_sql() -> dict[str, str]:
     # transitive closure of the minhash pair graph: min-id label reached
     # by every node (the engine's large-star/small-star result)
     sql["dup_clusters"] = f"""
-        WITH pairs AS ({sql['minhash_pairs']}),
-        edges AS (
+        WITH pairs AS MATERIALIZED ({sql['minhash_pairs']}),
+        edges AS MATERIALIZED (
             SELECT a_id AS u, b_id AS v FROM pairs
             UNION
             SELECT b_id, a_id FROM pairs

@@ -544,3 +544,179 @@ def ivf_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray, k: int,
         )
 
     return cands.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+class _KmeansPass:
+    """Actor-pool stage for one Lloyd iteration: assign each vector to
+    its nearest (cosine) centroid; emit either per-cluster partial sums
+    (update pass) or the assignment rows (final pass)."""
+
+    def __init__(self, state_ref, id_col: str, emb_col: str, emit: str):
+        self.state_ref = state_ref
+        self.id_col = id_col
+        self.emb_col = emb_col
+        self.emit = emit
+        self._loaded = False
+
+    def _load(self):
+        import ray
+
+        cidx, cent = ray.get(self.state_ref)
+        self.cidx = cidx
+        norms = np.linalg.norm(cent, axis=1, keepdims=True)
+        self.cn = cent / np.where(norms == 0, 1.0, norms)
+        self._loaded = True
+
+    def _assign(self, batch: pa.Table):
+        m = _emb_matrix(batch, self.emb_col).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        sims = (m / np.where(norms == 0, 1.0, norms)) @ self.cn.T
+        # argmax returns the FIRST maximum → smallest cidx on exact ties,
+        # matching the oracle's ORDER BY sim DESC, cidx
+        return m, np.argmax(sims, axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self._loaded:
+            self._load()
+        m, a = self._assign(batch)
+        if self.emit == "assign":
+            return pa.table(
+                {
+                    self.id_col: batch[self.id_col],
+                    "cluster": pa.array(self.cidx[a].astype(np.int64)),
+                }
+            )
+        nlist, dim = len(self.cidx), m.shape[1]
+        sums = np.zeros((nlist, dim), dtype=np.float64)
+        np.add.at(sums, a, m)
+        counts = np.bincount(a, minlength=nlist).astype(np.int64)
+        return pa.table(
+            {
+                "cidx": pa.array(np.arange(nlist, dtype=np.int64)),
+                "cnt": pa.array(counts),
+                "sums": pa.array(list(sums), pa.list_(pa.float64())),
+            }
+        )
+
+
+def kmeans_assign(ds, id_col: str = "vec_id", emb_col: str = "embedding",
+                  centroid_mod: int = 31, iters: int = 2,
+                  quant_bits: int = 20, concurrency: int | None = None):
+    """Distributed spherical k-means (Lloyd's): deterministic flat init
+    (centroids = embeddings of ``id % centroid_mod == 0``, ascending id),
+    ``iters`` assignment passes with ``iters - 1`` centroid updates in
+    between.  Output: (id_col, cluster) — cluster is the centroid INDEX
+    in the init ordering, so the result is SQL-reproducible.
+
+    Scale shape: centroids broadcast once per iteration (``ray.put``);
+    each pass is one streaming map over the corpus emitting (nlist × dim)
+    per-block partials, reduced driver-side (tiny) — the corpus itself
+    never re-shuffles and nothing corpus-sized is pinned.  Updated
+    centroid means are quantized to a ``2**-quant_bits`` grid on BOTH
+    engine and oracle sides, absorbing float-summation-order noise so
+    the refined assignment stays bit-reproducible.  Empty clusters are
+    dropped (their cidx disappears), mirroring the SQL group-by.
+    """
+    import ray
+
+    scale = float(1 << quant_bits)
+
+    def keep_cent(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy().astype(np.int64)
+        return b.filter(pa.array(ids % centroid_mod == 0))
+
+    got_ids, got_mat = [], []
+    for b in ds.map_batches(keep_cent, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        if b.num_rows:
+            got_ids.append(b[id_col].to_numpy().astype(np.int64))
+            got_mat.append(_emb_matrix(b, emb_col).astype(np.float64))
+    if not got_ids:
+        raise ValueError(
+            f"kmeans_assign: no rows with {id_col} % {centroid_mod} == 0"
+        )
+    init_ids = np.concatenate(got_ids)
+    order = np.argsort(init_ids)
+    cent = np.concatenate(got_mat)[order]
+    cidx = np.arange(len(init_ids), dtype=np.int64)
+
+    kwargs = dict(batch_format="pyarrow")
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+
+    for _ in range(iters - 1):
+        state_ref = ray.put((cidx, cent))
+        parts = ds.map_batches(
+            _KmeansPass,
+            fn_constructor_kwargs={
+                "state_ref": state_ref, "id_col": id_col,
+                "emb_col": emb_col, "emit": "partial",
+            },
+            concurrency=kwargs.get("concurrency", 2),
+            batch_format="pyarrow",
+        ).take_all()  # blocks × nlist tiny rows
+        nlist, dim = cent.shape
+        sums = np.zeros((nlist, dim), dtype=np.float64)
+        counts = np.zeros(nlist, dtype=np.int64)
+        for row in parts:
+            sums[int(row["cidx"])] += np.asarray(row["sums"], dtype=np.float64)
+            counts[int(row["cidx"])] += int(row["cnt"])
+        live = counts > 0
+        cent = np.floor((sums[live] / counts[live, None]) * scale) / scale
+        cidx = cidx[live]
+
+    state_ref = ray.put((cidx, cent))
+    return ds.map_batches(
+        _KmeansPass,
+        fn_constructor_kwargs={
+            "state_ref": state_ref, "id_col": id_col,
+            "emb_col": emb_col, "emit": "assign",
+        },
+        concurrency=kwargs.get("concurrency", 2),
+        batch_format="pyarrow",
+    )
+
+
+def sql_kmeans_assign(table: str, id_col: str = "vec_id",
+                      emb_col: str = "embedding", centroid_mod: int = 31,
+                      iters: int = 2, quant_bits: int = 20) -> str:
+    """DuckDB twin of :func:`kmeans_assign`: same flat init, same
+    quantized-mean update, same sim-DESC-then-cidx assignment."""
+    scale = repr(float(1 << quant_bits))
+    emb = f"CAST({emb_col} AS DOUBLE[])"
+
+    def assign_cte(cent: str) -> str:
+        return f"""(
+          SELECT {id_col}, cidx FROM (
+            SELECT e.{id_col}, c.cidx,
+                   ROW_NUMBER() OVER (PARTITION BY e.{id_col}
+                     ORDER BY list_cosine_similarity({emb}, c.c) DESC, c.cidx) AS rn
+            FROM {table} e CROSS JOIN {cent} c
+          ) WHERE rn = 1
+        )"""
+
+    ctes = [f"""cent0 AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY {id_col}) - 1 AS cidx,
+                 {emb} AS c
+          FROM {table} WHERE {id_col} % {centroid_mod} = 0
+        )"""]
+    for it in range(iters - 1):
+        ctes.append(f"a{it} AS {assign_cte(f'cent{it}')}")
+        ctes.append(f"""cent{it + 1} AS (
+          SELECT cidx, list(val ORDER BY pos) AS c FROM (
+            SELECT cidx, pos, FLOOR(AVG(val) * {scale}) / {scale} AS val
+            FROM (
+              SELECT a.cidx,
+                     generate_subscripts(CAST(e.{emb_col} AS DOUBLE[]), 1) AS pos,
+                     unnest(CAST(e.{emb_col} AS DOUBLE[])) AS val
+              FROM a{it} a JOIN {table} e USING ({id_col})
+            ) GROUP BY cidx, pos
+          ) GROUP BY cidx
+        )""")
+    final = iters - 1
+    return f"""
+        WITH {', '.join(ctes)}
+        SELECT {id_col}, cidx AS cluster
+        FROM {assign_cte(f'cent{final}')} t
+    """

@@ -86,3 +86,39 @@ def test_keep_list_anti_join():
     })).repartition(3)
     kept = sorted(keep_list(docs, clusters, "doc_id").to_pandas()["doc_id"])
     assert kept == [1, 3, 4, 5, 7, 8, 10]
+
+
+def test_kmeans_assign_matches_numpy():
+    from geo_index_ray.pipelines.ann import kmeans_assign
+
+    rng = np.random.default_rng(3)
+    n, dim, mod, iters = 300, 16, 29, 3
+    emb = rng.standard_normal((n, dim)).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+    })).repartition(4)
+    got = kmeans_assign(ds, "vec_id", "embedding", centroid_mod=mod,
+                        iters=iters).to_pandas()
+    got = dict(zip(got["vec_id"], got["cluster"]))
+
+    # single-process reference with the same quantized-mean updates
+    e64 = emb.astype(np.float64)
+    cent = e64[ids % mod == 0]
+    cidx = np.arange(len(cent))
+    scale = float(1 << 20)
+    for it in range(iters):
+        en = e64 / np.linalg.norm(e64, axis=1, keepdims=True)
+        cn = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+        a = np.argmax(en @ cn.T, axis=1)
+        if it == iters - 1:
+            break
+        live = np.isin(np.arange(len(cent)), a)
+        sums = np.zeros_like(cent)
+        np.add.at(sums, a, e64)
+        counts = np.bincount(a, minlength=len(cent))
+        cent = np.floor((sums[live] / counts[live, None]) * scale) / scale
+        cidx = cidx[live]
+    want = dict(zip(ids.tolist(), cidx[a].tolist()))
+    assert got == want
