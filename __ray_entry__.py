@@ -474,6 +474,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["dedup_keep"] = dedup_keep
 
+    def span_dedup(sf_dir):
+        ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        return text_pipe.span_dedup(ds, "doc_id", span_words=8)
+
+    q["span_dedup"] = span_dedup
+
     # --- embeddings ---
     def ann(sf_dir):
         mat, qids = _read_queries_for_ann(sf_dir)
@@ -1211,6 +1217,8 @@ def oracle_sql() -> dict[str, str]:
     )
 
     sql["kmeans_clusters"] = ann_pipe.sql_kmeans_assign("embeddings")
+
+    sql["span_dedup"] = text_pipe.sql_span_dedup("documents", "doc_id", span_words=8)
 
     sql["top_docs_per_lang"] = """
         SELECT doc_id, lang, n_chars, rnk FROM (

@@ -441,3 +441,182 @@ def sql_bm25_topk(table: str, id_col: str, query_terms, k: int = 20,
         FROM piv JOIN dl USING ({id_col}) CROSS JOIN nd CROSS JOIN ad CROSS JOIN dfs
         ORDER BY score DESC, {id_col} LIMIT {k}
     """
+
+
+def span_dedup(ds, id_col: str, text_col: str = "text", span_words: int = 8):
+    """C4-style global exact span dedup: each document is cut into
+    consecutive non-overlapping ``span_words``-word spans (lowercased,
+    whitespace-normalized); a span occurrence survives only if it is the
+    minimum (doc_id, span_idx) among all occurrences of that span text
+    in the corpus.  Output: (id_col, clean_text) — the surviving spans
+    rejoined with single spaces, one row per input document (possibly
+    empty).
+
+    Scale shape: the winner-selection exchange carries only
+    (span_hash64, doc_id, span_idx) = 24 B/span; document text moves
+    through exactly ONE doc-keyed exchange for the rebuild.  Span
+    identity uses a 64-bit FNV of the span text (collision odds ~n²/2⁶⁵
+    — negligible below ~10⁹ distinct spans per corpus; widen to 128-bit
+    before that).
+    """
+    from ..pipelines.components import _rkey
+    from ..stages.util import reducer_count
+
+    r = reducer_count()
+
+    def _doc_spans(batch: pa.Table):
+        """(row, span_idx, span_hash) per span — all-Arrow tokenization,
+        span hash chained FNV over word hashes + word count."""
+        col = batch[text_col]
+        words = pc.split_pattern_regex(pc.utf8_lower(col), r"\s+")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        parents = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        wlens, wstarts, wvalues = _string_views(flat)
+        nonempty = np.nonzero(wlens > 0)[0]
+        rows = parents[nonempty]
+        # rank within row → span index
+        rank = np.arange(len(rows)) - np.searchsorted(rows, rows, side="left")
+        sidx = rank // span_words
+        wh = _fnv1a_ragged(wlens[nonempty], wstarts[nonempty], wvalues)
+        # combine word hashes within each (row, span): order-DEPENDENT
+        # mix — multiply each word hash by a position-in-span constant,
+        # then segment-sum (commutative ops on position-tagged values
+        # keep order sensitivity)
+        pos_in_span = (rank % span_words).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            mixed = (wh + np.uint64(0x9E3779B97F4A7C15)) * (
+                np.uint64(0xBF58476D1CE4E5B9) ** pos_in_span
+            )
+        key = rows.astype(np.uint64) * np.uint64(1 << 32) + sidx.astype(np.uint64)
+        uk, inv = np.unique(key, return_inverse=True)
+        with np.errstate(over="ignore"):
+            sh = np.zeros(len(uk), dtype=np.uint64)
+            np.add.at(sh, inv, mixed)
+            cnt = np.bincount(inv).astype(np.uint64)
+            sh = (sh ^ (cnt * np.uint64(0x94D049BB133111EB))) | np.uint64(1)
+        return (uk // np.uint64(1 << 32)).astype(np.int64), (
+            uk & np.uint64(0xFFFFFFFF)
+        ).astype(np.int64), sh
+
+    def spans_stage(batch: pa.Table) -> pa.Table:
+        row, sidx, sh = _doc_spans(batch)
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        h = sh.view(np.int64)
+        return pa.table({
+            "h": pa.array(h),
+            "doc": pa.array(ids[row]),
+            "sidx": pa.array(sidx),
+            "rkey": pa.array(_rkey(h, r)),
+        })
+
+    def winners(g: pa.Table) -> pa.Table:
+        h = g["h"].to_numpy()
+        doc = g["doc"].to_numpy()
+        sidx = g["sidx"].to_numpy()
+        order = np.lexsort((sidx, doc, h))
+        h, doc, sidx = h[order], doc[order], sidx[order]
+        first = np.r_[True, h[1:] != h[:-1]]
+        return pa.table({
+            "doc": pa.array(doc[first]),
+            "sidx": pa.array(sidx[first]),
+        })
+
+    win = (
+        ds.map_batches(spans_stage, batch_format="pyarrow")
+        .groupby("rkey")
+        .map_groups(winners, batch_format="pyarrow")
+    )
+
+    def tag_win(batch: pa.Table) -> pa.Table:
+        doc = batch["doc"].to_numpy()
+        return pa.table({
+            "doc": batch["doc"],
+            "sidx": batch["sidx"],
+            "text": pa.array([None] * batch.num_rows, pa.string()),
+            "dkey": pa.array(_rkey(doc, r)),
+        })
+
+    def tag_doc(batch: pa.Table) -> pa.Table:
+        doc = batch[id_col].to_numpy().astype(np.int64)
+        return pa.table({
+            "doc": pa.array(doc),
+            "sidx": pa.array(np.full(batch.num_rows, -1, np.int64)),
+            "text": batch[text_col].cast(pa.string()),
+            "dkey": pa.array(_rkey(doc, r)),
+        })
+
+    unioned = win.map_batches(tag_win, batch_format="pyarrow").union(
+        ds.map_batches(tag_doc, batch_format="pyarrow")
+    )
+
+    def rebuild(g: pa.Table) -> pa.Table:
+        doc = g["doc"].to_numpy()
+        sidx = g["sidx"].to_numpy()
+        text = g["text"]
+        doc_rows = np.nonzero(sidx == -1)[0]
+        out_ids, out_text = [], []
+        # winner idx set per doc
+        keep_doc = doc[sidx >= 0]
+        keep_idx = sidx[sidx >= 0]
+        order = np.lexsort((keep_idx, keep_doc))
+        keep_doc, keep_idx = keep_doc[order], keep_idx[order]
+        bounds = np.searchsorted(keep_doc, doc[doc_rows], side="left")
+        bounds_r = np.searchsorted(keep_doc, doc[doc_rows], side="right")
+        import re
+
+        ws = re.compile(r"\s+")
+        for j, row in enumerate(doc_rows):
+            t = text[int(row)].as_py() or ""
+            toks = [w for w in ws.split(t.lower()) if w]
+            spans = [
+                " ".join(toks[i: i + span_words])
+                for i in range(0, len(toks), span_words)
+            ]
+            kept = keep_idx[bounds[j]: bounds_r[j]]
+            out_ids.append(int(doc[row]))
+            out_text.append(" ".join(spans[i] for i in kept if i < len(spans)))
+        return pa.table({
+            id_col: pa.array(out_ids, pa.int64()),
+            "clean_text": pa.array(out_text, pa.string()),
+        })
+
+    return unioned.groupby("dkey").map_groups(rebuild, batch_format="pyarrow")
+
+
+def sql_span_dedup(table: str, id_col: str, span_words: int = 8) -> str:
+    """DuckDB twin of :func:`span_dedup` (groups by actual span text —
+    the engine's 64-bit span hash stands in for it)."""
+    return f"""
+        WITH w AS (
+          SELECT {id_col}, pos, tok FROM (
+            SELECT {id_col},
+                   generate_subscripts(toks, 1) - 1 AS pos,
+                   unnest(toks) AS tok
+            FROM (SELECT {id_col},
+                         list_filter(string_split_regex(lower(text), '\\s+'),
+                                     x -> x <> '') AS toks
+                  FROM {table})
+          )
+        ),
+        spans AS (
+          SELECT {id_col}, pos // {span_words} AS span_idx,
+                 string_agg(tok, ' ' ORDER BY pos) AS span
+          FROM w GROUP BY {id_col}, pos // {span_words}
+        ),
+        win AS (
+          SELECT {id_col}, span_idx FROM (
+            SELECT {id_col}, span_idx,
+                   ROW_NUMBER() OVER (PARTITION BY span
+                                      ORDER BY {id_col}, span_idx) AS rn
+            FROM spans) WHERE rn = 1
+        )
+        SELECT d.{id_col},
+               COALESCE(s.clean_text, '') AS clean_text
+        FROM {table} d LEFT JOIN (
+          SELECT {id_col}, string_agg(span, ' ' ORDER BY span_idx) AS clean_text
+          FROM spans JOIN win USING ({id_col}, span_idx)
+          GROUP BY {id_col}
+        ) s USING ({id_col})
+    """

@@ -272,3 +272,43 @@ class TestBm25Topk:
             ray.data.from_pandas(df_in).repartition(2), "doc_id", ["zzz"], k=5
         ).to_pandas()
         assert len(got) == 0
+
+
+class TestSpanDedup:
+    def test_matches_brute_force(self):
+        import ray.data
+
+        from geo_index_ray.pipelines import text as tp
+
+        rng = np.random.default_rng(5)
+        vocab = ["aa", "bb", "cc", "dd"]
+        docs = [" ".join(rng.choice(vocab, rng.integers(0, 30))) for _ in range(60)]
+        docs += ["", "  ", docs[0], docs[1] + " zz"]  # exact dup + extension
+        w = 4
+        df_in = pd.DataFrame(
+            {"doc_id": np.arange(len(docs), dtype=np.int64), "text": docs}
+        )
+        got = (
+            tp.span_dedup(ray.data.from_pandas(df_in).repartition(5),
+                          "doc_id", span_words=w)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # brute force
+        seen = {}
+        spans_by_doc = []
+        for i, d in enumerate(docs):
+            toks = [t for t in d.lower().split() if t]
+            spans = [" ".join(toks[j: j + w]) for j in range(0, len(toks), w)]
+            spans_by_doc.append(spans)
+            for si, s in enumerate(spans):
+                seen.setdefault(s, (i, si))
+        want = [
+            " ".join(s for si, s in enumerate(spans) if seen[s] == (i, si))
+            for i, spans in enumerate(spans_by_doc)
+        ]
+        assert got["doc_id"].tolist() == list(range(len(docs)))
+        assert got["clean_text"].tolist() == want
+        # the exact-duplicate doc must be fully emptied
+        assert got["clean_text"][len(docs) - 2] == "" or docs[0] == ""
