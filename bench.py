@@ -237,6 +237,45 @@ def run_knn10k(sf_dir: str) -> dict:
     }
 
 
+def run_llm_extras(sf_dir: str) -> dict:
+    """One-shot timings (not part of the 5-rep headline) for the round-3
+    LLM-pipeline operators over the bench tables."""
+    from geo_index_ray.pipelines import ann as ann_pipe
+    from geo_index_ray.pipelines import components as comp_pipe
+    from geo_index_ray.pipelines import dedup as dedup_pipe
+    from geo_index_ray.pipelines import text as text_pipe
+    from geo_index_ray.sources import tables
+
+    out = {}
+
+    t0 = time.perf_counter()
+    docs = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = dedup_pipe.minhash_dedup(docs, "doc_id", threshold=0.35)
+    clusters = comp_pipe.connected_components(pairs)
+    kept = comp_pipe.keep_list(docs, clusters, "doc_id").count()
+    out["dedup_chain"] = {
+        "sec": round(time.perf_counter() - t0, 3), "rows_kept": int(kept),
+    }
+
+    t0 = time.perf_counter()
+    docs = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n = text_pipe.span_dedup(docs, "doc_id", span_words=8).count()
+    out["span_dedup"] = {"sec": round(time.perf_counter() - t0, 3), "rows": int(n)}
+
+    t0 = time.perf_counter()
+    emb = tables.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n = ann_pipe.kmeans_assign(emb, "vec_id", "embedding").count()
+    out["kmeans"] = {"sec": round(time.perf_counter() - t0, 3), "rows": int(n)}
+
+    t0 = time.perf_counter()
+    docs = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n = text_pipe.bm25_topk(
+        docs, "doc_id", ["hash", "join", "vector", "stream"], k=20
+    ).count()
+    out["bm25"] = {"sec": round(time.perf_counter() - t0, 3), "rows": int(n)}
+    return out
+
+
 def main():
     if "--scaling" in sys.argv:
         return scaling_main()
@@ -286,6 +325,7 @@ def main():
         else None,
         "micro": run_micros(),
         "knn_pruned_10k": run_knn10k(sf_dir),
+        "llm_ops": run_llm_extras(sf_dir),
         "sf": sf_dir,
         "num_cpus": num_cpus,
     }
