@@ -191,9 +191,19 @@ def connected_components(pairs_ds, a_col: str = "a_id", b_col: str = "b_id",
         lambda b: b.append_column("nkey", pa.array(_rkey(b["node"].to_numpy(), r))),
         batch_format="pyarrow",
     )
-    return keyed.groupby("nkey").map_groups(
+    out = keyed.groupby("nkey").map_groups(
         dedup_nodes, batch_format="pyarrow"
     ).select_columns(["node", "component"])
+    return _with_schema(out, {"node": pa.int64(), "component": pa.int64()})
+
+
+def _with_schema(ds, fields: dict):
+    """Union a typed zero-row block so an empty result keeps its schema
+    (an empty groupby otherwise yields a schema-less Dataset)."""
+    import ray.data as rd
+
+    empty = pa.table({k: pa.array([], t) for k, t in fields.items()})
+    return rd.from_arrow(empty).union(ds)
 
 
 def keep_list(docs_ds, clusters_ds, id_col: str = "doc_id"):
@@ -240,4 +250,7 @@ def keep_list(docs_ds, clusters_ds, id_col: str = "doc_id"):
         out = ids[starts][~has_drop]
         return pa.table({id_col: pa.array(out)})
 
-    return tagged.groupby("rkey").map_groups(anti, batch_format="pyarrow")
+    return _with_schema(
+        tagged.groupby("rkey").map_groups(anti, batch_format="pyarrow"),
+        {id_col: pa.int64()},
+    )

@@ -582,7 +582,12 @@ def span_dedup(ds, id_col: str, text_col: str = "text", span_words: int = 8):
             "clean_text": pa.array(out_text, pa.string()),
         })
 
-    return unioned.groupby("dkey").map_groups(rebuild, batch_format="pyarrow")
+    from ..pipelines.components import _with_schema
+
+    return _with_schema(
+        unioned.groupby("dkey").map_groups(rebuild, batch_format="pyarrow"),
+        {id_col: pa.int64(), "clean_text": pa.string()},
+    )
 
 
 def sql_span_dedup(table: str, id_col: str, span_words: int = 8) -> str:
