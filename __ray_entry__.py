@@ -32,11 +32,13 @@ from geo_index_ray.pipelines import ranking as rank_pipe
 from geo_index_ray.pipelines import spatial_join as sj
 from geo_index_ray.pipelines import text as text_pipe
 from geo_index_ray.pipelines import tiling
+from geo_index_ray.pipelines import webtext as webtext_pipe
 from geo_index_ray.sources import tables
 
 # per-language sampling rates for the stratified-sample query (corpus
 # rebalance shape: downsample the dominant language, keep the rare ones)
 _STRATA_RATES = {"en": 0.05, "de": 0.25, "fr": 0.5, "es": 1.0, "zh": 0.15}
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 # keyword query for the BM25 retrieval operator
 _BM25_TERMS = ["hash", "join", "vector", "stream"]
@@ -930,6 +932,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["multimodal_frames"] = mm_frames
 
+    def url_keep_latest(sf_dir):
+        """CC-style snapshot dedup: derive the north-rule page columns
+        (url, warc_ts) deterministically, canonicalize the URL, keep the
+        latest capture per canonical URL (pipelines/webtext.py).  The
+        exchange carries ≤ 1 row per (URL, block)."""
+        ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "source"])
+        pages = webtext_pipe.derive_pages(ds, "doc_id", "source")
+        kept = webtext_pipe.url_keep_latest(pages, "url", "warc_ts", "doc_id")
+        return kept.select_columns(["canon_url", "doc_id", "warc_ts"])
+
+    q["url_keep_latest"] = url_keep_latest
+
+    def heavy_hitters(sf_dir):
+        """Corpus-wide top-20 tokens: per-batch dictionary+bincount
+        partials, vocabulary-sized groupby, global sort+limit."""
+        ds = tables.read_table(sf_dir, "documents", columns=["text"])
+        return webtext_pipe.heavy_hitters(ds, "text", k=20)
+
+    q["heavy_hitters"] = heavy_hitters
+
+    def quality_repetition(sf_dir):
+        """Gopher-style per-document repetition gates (duplicate-word
+        fraction, top-word fraction) — pure per-batch map, no shuffle."""
+        ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        return webtext_pipe.repetition_stats(ds, "doc_id", "text")
+
+    q["quality_repetition"] = quality_repetition
+
+    def train_split(sf_dir):
+        """Deterministic train/val/test assignment from a pure id hash —
+        reproducible under any partitioning, retry, or cluster size."""
+        ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+        return webtext_pipe.split_assign(ds, "doc_id", _SPLIT_WEIGHTS)
+
+    q["train_split"] = train_split
+
+    def props_field_stats(sf_dir):
+        """Semi-structured extraction: regexp-pull the integer 'k' field
+        from the events props JSON and aggregate per event_type; the
+        groupby sees one combined row per (key, block)."""
+        ds = tables.read_table(sf_dir, "events", columns=["event_type", "props"])
+        return webtext_pipe.json_field_stats(ds, "event_type", "props", "k")
+
+    q["props_field_stats"] = props_field_stats
+
     return q
 
 
@@ -1638,6 +1685,73 @@ def oracle_sql() -> dict[str, str]:
                  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
           FROM s
         ) WHERE rank <= {ANN_K}
+    """
+
+    sql["url_keep_latest"] = f"""
+        WITH pages AS ({webtext_pipe.sql_derive_pages('documents', 'doc_id', 'source')}),
+        canon AS (
+          SELECT doc_id, warc_ts,
+                 regexp_replace(regexp_replace(lower(url), '#.*$', ''),
+                                '/$', '') AS canon_url
+          FROM pages)
+        SELECT canon_url, doc_id, warc_ts FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY canon_url ORDER BY warc_ts DESC, doc_id) AS rn
+          FROM canon) WHERE rn = 1
+    """
+
+    sql["heavy_hitters"] = r"""
+        SELECT token, cnt FROM (
+          SELECT token, COUNT(*) AS cnt FROM (
+            SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+            FROM documents)
+          WHERE token <> '' GROUP BY token)
+        ORDER BY cnt DESC, token LIMIT 20
+    """
+
+    sql["quality_repetition"] = r"""
+        WITH tf AS (
+          SELECT doc_id, tok, COUNT(*) AS c FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '\s+')) AS tok
+            FROM documents)
+          WHERE tok <> '' GROUP BY doc_id, tok),
+        agg AS (
+          SELECT doc_id, SUM(c) AS nw, COUNT(*) AS nd, MAX(c) AS tt
+          FROM tf GROUP BY doc_id)
+        SELECT d.doc_id,
+          CAST(COALESCE(a.nw, 0) AS BIGINT) AS n_words,
+          1.0 - COALESCE(a.nd, 0)
+                / CAST(GREATEST(COALESCE(a.nw, 0), 1) AS DOUBLE)
+            AS dup_word_frac,
+          COALESCE(a.tt, 0)
+                / CAST(GREATEST(COALESCE(a.nw, 0), 1) AS DOUBLE)
+            AS top_word_frac,
+          (1.0 - COALESCE(a.nd, 0)
+                 / CAST(GREATEST(COALESCE(a.nw, 0), 1) AS DOUBLE)) <= 0.9
+            AND COALESCE(a.tt, 0)
+                / CAST(GREATEST(COALESCE(a.nw, 0), 1) AS DOUBLE) <= 0.2
+            AND COALESCE(a.nw, 0) > 0 AS keep
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
+    sql["train_split"] = (
+        "SELECT doc_id, lang, "
+        + webtext_pipe.sql_split_case("doc_id", _SPLIT_WEIGHTS)
+        + " AS split FROM documents"
+    )
+
+    sql["props_field_stats"] = r"""
+        SELECT event_type,
+          CAST(COUNT(v) AS BIGINT) AS n_vals,
+          CAST(SUM(v) AS BIGINT) AS sum_val,
+          CAST(MIN(v) AS BIGINT) AS min_val,
+          CAST(MAX(v) AS BIGINT) AS max_val
+        FROM (SELECT event_type,
+                TRY_CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1)
+                         AS BIGINT) AS v
+              FROM events)
+        GROUP BY event_type
     """
 
     return sql

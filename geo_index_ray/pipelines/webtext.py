@@ -1,0 +1,345 @@
+"""Common-Crawl-style web-corpus curation operators.
+
+The north rule's input is a pages table ``(url, warc_ts, html, text,
+lang)``; these operators cover the curation steps a crawl corpus needs
+before the spatial / dedup stages:
+
+- ``url_keep_latest`` — snapshot dedup: canonicalize the URL and keep
+  the most recent capture per canonical URL (CC index semantics).
+- ``heavy_hitters`` — corpus-wide top-k tokens via per-batch partial
+  counts; only (token, partial_count) rows shuffle, never tokens per
+  occurrence.
+- ``repetition_stats`` — Gopher-style per-document repetition filters
+  (duplicate-word fraction, top-word fraction) used as quality gates.
+- ``split_assign`` — deterministic train/val/test assignment from a
+  row-pure hash; reproducible under any partitioning or retry.
+- ``json_field_stats`` — extract a numeric field from a semi-structured
+  string column (regexp, all-Arrow) and aggregate per key.
+
+Every operator has a DuckDB oracle twin (see ``__ray_entry__``).
+Reference scope note: the reference (kylebarron/geo-index) is an index
+library with no corpus operators; these belong to the engine-added
+curation layer audited in SURVEY.md §2.4/§2.5.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .text import _string_views
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+# -- deterministic page derivation (north-rule input shape) ------------------
+
+_TS_MIX = 2654435761  # Knuth multiplicative constant, fits int64 at any sf
+
+
+def derive_pages(ds, id_col: str, source_col: str):
+    """Derive the north-rule page columns ``(url, warc_ts)``
+    deterministically from a document row (same contract as the
+    geometry derivation: a pure, SQL-reproducible function of the row).
+
+    ``url`` collides across documents (``id % 211`` path slots per
+    source) and carries canonicalization noise — an uppercase variant
+    every 5th id, a trailing slash every 7th, a fragment every 3rd — so
+    ``url_keep_latest`` has real work to do.  ``warc_ts`` is a
+    pseudo-shuffled capture time in seconds.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        base = pc.binary_join_element_wise(
+            pa.array(["https://"] * len(ids)),
+            batch[source_col],
+            pa.array([".example.com/p/"] * len(ids)),
+            pc.cast(pa.array(ids % 211), pa.string()),
+            pa.array(np.where(ids % 7 == 0, "/", "").tolist()),
+            pa.array(np.where(ids % 3 == 0, "#frag", "").tolist()),
+            "",
+        )
+        url = pc.if_else(
+            pa.array(ids % 5 == 0), pc.utf8_upper(base), base
+        )
+        warc_ts = (ids * _TS_MIX) % 86400
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "url": url,
+                "warc_ts": pa.array(warc_ts),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def sql_derive_pages(table: str, id_col: str, source_col: str) -> str:
+    """DuckDB CTE body reproducing ``derive_pages`` bit-exactly."""
+    return f"""
+        SELECT {id_col},
+               CASE WHEN {id_col} % 5 = 0 THEN upper(u) ELSE u END AS url,
+               ({id_col} * {_TS_MIX}) % 86400 AS warc_ts
+        FROM (
+          SELECT {id_col},
+                 'https://' || {source_col} || '.example.com/p/' ||
+                 CAST({id_col} % 211 AS VARCHAR) ||
+                 CASE WHEN {id_col} % 7 = 0 THEN '/' ELSE '' END ||
+                 CASE WHEN {id_col} % 3 = 0 THEN '#frag' ELSE '' END AS u
+          FROM {table})
+    """
+
+
+# -- URL snapshot dedup ------------------------------------------------------
+
+_URL_STRIP_RE = r"#.*$"  # fragment; applied after lowercasing
+
+
+def canonical_url(col):
+    """Lowercase, strip the ``#fragment``, strip one trailing slash —
+    the (deliberately SQL-reproducible) canonicalization used by
+    ``url_keep_latest``."""
+    low = pc.utf8_lower(col)
+    nofrag = pc.replace_substring_regex(low, _URL_STRIP_RE, "")
+    return pc.replace_substring_regex(nofrag, r"/$", "")
+
+
+def url_keep_latest(ds, url_col: str, ts_col: str, id_col: str):
+    """One row per canonical URL: the latest capture, ties broken by the
+    smallest id (CC-index "keep newest snapshot" semantics).
+
+    Two-phase argmax: a per-batch pass keeps one candidate row per
+    (canonical URL, block) — so the exchange carries at most one row per
+    URL per input block — then a groupby re-runs the same argmax over
+    the survivors.  Nothing document-sized beyond the surviving rows
+    moves.
+    """
+
+    def local_best(batch: pa.Table) -> pa.Table:
+        canon = canonical_url(batch[url_col])
+        if isinstance(canon, pa.ChunkedArray):
+            canon = canon.combine_chunks()
+        batch = batch.append_column("canon_url", canon)
+        codes = pc.dictionary_encode(canon).indices.to_numpy(
+            zero_copy_only=False
+        )
+        ts = batch[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        perm = np.lexsort((ids, -ts, codes))
+        ck = codes[perm]
+        first = np.searchsorted(ck, ck, side="left")
+        keep = np.arange(len(ck)) == first
+        return batch.take(pa.array(perm[keep]))
+
+    survivors = ds.map_batches(local_best, batch_format="pyarrow")
+
+    def final(g: pa.Table) -> pa.Table:
+        ts = g[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        perm = np.lexsort((ids, -ts))
+        return g.take(pa.array(perm[:1]))
+
+    return survivors.groupby("canon_url").map_groups(
+        final, batch_format="pyarrow"
+    )
+
+
+# -- corpus heavy hitters ----------------------------------------------------
+
+
+def heavy_hitters(ds, text_col: str, k: int):
+    """Corpus-wide top-k tokens by total occurrence count (ties by token
+    ascending), lowercased, whitespace-tokenized.
+
+    Per-batch combiner: one dictionary-encode + bincount per block emits
+    (token, partial count) rows, so the groupby exchange is bounded by
+    the block vocabulary, not token occurrences.  The final top-k is a
+    sort+limit over vocabulary-sized rows.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(
+            pc.utf8_lower(batch[text_col]), r"\s+"
+        )
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        wlens, _, _ = _string_views(flat)
+        dic = pc.dictionary_encode(flat.filter(pa.array(wlens > 0)))
+        codes = dic.indices.to_numpy(zero_copy_only=False)
+        cnt = np.bincount(codes, minlength=len(dic.dictionary))
+        return pa.table(
+            {"token": dic.dictionary, "cnt": pa.array(cnt.astype(np.int64))}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    totals = partials.groupby("token").sum("cnt").rename_columns(
+        {"sum(cnt)": "cnt"}
+    )
+    return totals.sort(["cnt", "token"], descending=[True, False]).limit(k)
+
+
+# -- Gopher-style repetition quality gates -----------------------------------
+
+
+def repetition_stats(ds, id_col: str, text_col: str,
+                     max_dup_frac: float = 0.9,
+                     max_top_frac: float = 0.2):
+    """Per-document repetition metrics and a keep/drop verdict.
+
+    Emits ``(id, n_words, dup_word_frac, top_word_frac, keep)`` where
+    ``dup_word_frac = 1 - distinct_words / words`` and ``top_word_frac``
+    is the most frequent word's share — the word-level analog of
+    Gopher's duplicate-line / top-n-gram fractions (Rae et al. 2021),
+    which degenerate to these on single-line documents.  Pure per-batch
+    map, no shuffle; all-Arrow tokenization plus one composite
+    np.unique per batch (no per-row Python).
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        words = pc.split_pattern_regex(
+            pc.utf8_lower(batch[text_col]), r"\s+"
+        )
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        parents = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        wlens, _, _ = _string_views(flat)
+        nonempty = wlens > 0
+        rows = parents[nonempty]
+        dic = pc.dictionary_encode(flat.filter(pa.array(nonempty)))
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = max(len(dic.dictionary), 1)
+        pair, tf = np.unique(rows * vocab + codes, return_counts=True)
+        prow = (pair // vocab).astype(np.int64)
+        n_words = np.bincount(rows, minlength=n).astype(np.int64)
+        n_distinct = np.bincount(prow, minlength=n).astype(np.int64)
+        top_tf = np.zeros(n, dtype=np.int64)
+        np.maximum.at(top_tf, prow, tf)
+        denom = np.maximum(n_words, 1).astype(np.float64)
+        dup = 1.0 - n_distinct / denom
+        top = top_tf / denom
+        keep = (dup <= max_dup_frac) & (top <= max_top_frac) & (n_words > 0)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_words": pa.array(n_words),
+                "dup_word_frac": pa.array(dup),
+                "top_word_frac": pa.array(top),
+                "keep": pa.array(keep),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# -- deterministic split assignment ------------------------------------------
+
+
+def split_assign(ds, id_col: str, weights: dict[str, float]):
+    """Assign each row to a named split by a pure hash of its id.
+
+    ``bucket = (id * golden64 mod 2^64) / 2^64`` falls into cumulative
+    weight ranges, in the given dict order.  Reproducible under any
+    partitioning, retry, or cluster size; no shuffle.  The SQL twin uses
+    the identical HUGEINT arithmetic (``sql_split_case``).
+    """
+    names = list(weights)
+    edges = np.cumsum([weights[s] for s in names], dtype=np.float64)
+    edges = edges / edges[-1]
+    thresholds = np.array(
+        [min(int(e * 2.0**64), 2**64 - 1) for e in edges], dtype=np.uint64
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy().astype(np.int64).view(np.uint64)
+        with np.errstate(over="ignore"):
+            h = ids * _GOLDEN
+        idx = np.searchsorted(thresholds, h, side="right")
+        idx = np.minimum(idx, len(names) - 1)
+        split = np.array(names, dtype=object)[idx]
+        return batch.append_column("split", pa.array(split.tolist()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def sql_split_case(id_col: str, weights: dict[str, float]) -> str:
+    """DuckDB CASE expression mirroring ``split_assign`` bit-exactly."""
+    names = list(weights)
+    edges = np.cumsum([weights[s] for s in names], dtype=np.float64)
+    edges = edges / edges[-1]
+    thresholds = [min(int(e * 2.0**64), 2**64 - 1) for e in edges]
+    h = (
+        f"((CAST({id_col} AS HUGEINT) * 11400714819323198485)"
+        f" % 18446744073709551616)"
+    )
+    clauses = " ".join(
+        f"WHEN {h} < {t} THEN '{s}'"
+        for s, t in zip(names[:-1], thresholds[:-1])
+    )
+    return f"CASE {clauses} ELSE '{names[-1]}' END"
+
+
+# -- semi-structured field extraction ----------------------------------------
+
+
+def json_field_stats(ds, key_col: str, json_col: str, field: str):
+    """Extract integer ``field`` from a JSON-ish string column with one
+    vectorized regexp per batch, then aggregate (count, sum, min, max)
+    per key.  A per-batch combiner pre-aggregates so the groupby sees
+    one row per (key, block)."""
+    pat = f'"{field}"\\s*:\\s*(?P<v>-?\\d+)'
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(batch[json_col], pat)
+        if isinstance(ex, pa.ChunkedArray):
+            ex = ex.combine_chunks()
+        vals = pc.cast(pc.struct_field(ex, "v"), pa.int64())
+        ok = pc.is_valid(vals).to_numpy(zero_copy_only=False)
+        v = pc.fill_null(vals, 0).to_numpy(zero_copy_only=False)
+        keys = batch[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        dic = pc.dictionary_encode(keys)
+        codes = dic.indices.to_numpy(zero_copy_only=False)
+        nk = len(dic.dictionary)
+        cnt = np.bincount(codes, weights=ok, minlength=nk).astype(np.int64)
+        s = np.bincount(codes, weights=v * ok, minlength=nk).astype(np.int64)
+        mn = np.full(nk, np.iinfo(np.int64).max, dtype=np.int64)
+        mx = np.full(nk, np.iinfo(np.int64).min, dtype=np.int64)
+        okc = codes[ok]
+        np.minimum.at(mn, okc, v[ok])
+        np.maximum.at(mx, okc, v[ok])
+        return pa.table(
+            {
+                key_col: dic.dictionary,
+                "cnt": pa.array(cnt),
+                "s": pa.array(s),
+                "mn": pa.array(mn),
+                "mx": pa.array(mx),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def final(g: pa.Table) -> pa.Table:
+        cnt = int(pc.sum(g["cnt"]).as_py() or 0)
+        return pa.table(
+            {
+                key_col: g[key_col][:1],
+                "n_vals": pa.array([cnt], pa.int64()),
+                "sum_val": pa.array(
+                    [int(pc.sum(g["s"]).as_py() or 0)], pa.int64()
+                ),
+                "min_val": pa.array(
+                    [int(pc.min(g["mn"]).as_py())], pa.int64()
+                ),
+                "max_val": pa.array(
+                    [int(pc.max(g["mx"]).as_py())], pa.int64()
+                ),
+            }
+        )
+
+    return partials.groupby(key_col).map_groups(final, batch_format="pyarrow")

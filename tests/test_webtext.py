@@ -1,0 +1,222 @@
+"""Tests for the web-corpus curation operators (pipelines/webtext.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    yield
+
+
+def _docs_df(n=400, seed=7):
+    rng = np.random.default_rng(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(1, 30)))
+        for _ in range(n - 2)
+    ]
+    # degenerate docs that must trip the repetition gates
+    texts.append("spam spam spam spam spam")
+    texts.append("   ")
+    return pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "source": [f"src{i % 6}" for i in range(n)],
+            "text": texts,
+        }
+    )
+
+
+class TestUrlKeepLatest:
+    def test_matches_pandas_argmax(self):
+        import ray.data
+
+        from geo_index_ray.pipelines import webtext as wt
+
+        df = _docs_df()
+        ds = ray.data.from_pandas(df).repartition(5)
+        pages = wt.derive_pages(ds, "doc_id", "source")
+        pdf = pages.to_pandas()
+        got = (
+            wt.url_keep_latest(pages, "url", "warc_ts", "doc_id")
+            .to_pandas()[["canon_url", "doc_id", "warc_ts"]]
+            .sort_values("canon_url")
+            .reset_index(drop=True)
+        )
+        canon = (
+            pdf["url"]
+            .str.lower()
+            .str.replace(r"#.*$", "", regex=True)
+            .str.replace(r"/$", "", regex=True)
+        )
+        want = (
+            pdf.assign(canon_url=canon)
+            .sort_values(["canon_url", "warc_ts", "doc_id"],
+                         ascending=[True, False, True])
+            .groupby("canon_url", as_index=False)
+            .first()[["canon_url", "doc_id", "warc_ts"]]
+            .sort_values("canon_url")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_canonicalization_collapses_variants(self):
+        import ray.data
+
+        from geo_index_ray.pipelines import webtext as wt
+
+        df = pd.DataFrame(
+            {
+                "url": [
+                    "https://A.example.com/x",
+                    "https://a.example.com/x/",
+                    "https://a.example.com/x#frag",
+                ],
+                "warc_ts": np.array([5, 9, 7], dtype=np.int64),
+                "doc_id": np.array([1, 2, 3], dtype=np.int64),
+            }
+        )
+        ds = ray.data.from_pandas(df)
+        out = wt.url_keep_latest(ds, "url", "warc_ts", "doc_id").to_pandas()
+        assert len(out) == 1
+        assert out["doc_id"].iloc[0] == 2  # the latest capture wins
+
+
+class TestHeavyHitters:
+    def test_matches_counter(self):
+        import ray.data
+
+        from geo_index_ray.pipelines import webtext as wt
+
+        df = _docs_df()
+        ds = ray.data.from_pandas(df).repartition(6)
+        got = wt.heavy_hitters(ds, "text", 4).to_pandas()
+        toks = df["text"].str.lower().str.split(r"\s+", regex=True).explode()
+        toks = toks[toks.astype(str).str.len() > 0]
+        want = (
+            toks.value_counts()
+            .rename_axis("token")
+            .reset_index(name="cnt")
+            .sort_values(["cnt", "token"], ascending=[False, True])
+            .head(4)
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want, check_dtype=False
+        )
+
+
+class TestRepetitionStats:
+    def test_gates_and_fractions(self):
+        import ray.data
+
+        from geo_index_ray.pipelines import webtext as wt
+
+        df = _docs_df()
+        ds = ray.data.from_pandas(df).repartition(4)
+        out = (
+            wt.repetition_stats(ds, "doc_id", "text")
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        # the all-repeat doc: 5 words, 1 distinct → dup 0.8, top 1.0, drop
+        spam = out.loc[len(df) - 2]
+        assert spam["n_words"] == 5
+        assert spam["dup_word_frac"] == pytest.approx(0.8)
+        assert spam["top_word_frac"] == pytest.approx(1.0)
+        assert not spam["keep"]
+        # the whitespace-only doc: 0 words, dropped
+        empty = out.loc[len(df) - 1]
+        assert empty["n_words"] == 0 and not empty["keep"]
+        # spot-check one ordinary doc against a python count
+        words = df["text"].iloc[0].lower().split()
+        row = out.loc[0]
+        assert row["n_words"] == len(words)
+        assert row["dup_word_frac"] == pytest.approx(
+            1 - len(set(words)) / len(words)
+        )
+
+
+class TestSplitAssign:
+    def test_deterministic_and_partition_invariant(self):
+        import ray.data
+
+        from geo_index_ray.pipelines import webtext as wt
+
+        df = _docs_df()
+        w = {"train": 0.8, "val": 0.1, "test": 0.1}
+        a = (
+            wt.split_assign(ray.data.from_pandas(df), "doc_id", w)
+            .to_pandas()
+            .sort_values("doc_id")["split"]
+            .to_numpy()
+        )
+        b = (
+            wt.split_assign(
+                ray.data.from_pandas(df).repartition(9), "doc_id", w
+            )
+            .to_pandas()
+            .sort_values("doc_id")["split"]
+            .to_numpy()
+        )
+        assert (a == b).all()
+        frac = (a == "train").mean()
+        assert 0.7 < frac < 0.9  # roughly the requested weight
+
+    def test_sql_case_matches(self):
+        import duckdb
+        import ray.data
+
+        from geo_index_ray.pipelines import webtext as wt
+
+        df = _docs_df()
+        w = {"train": 0.6, "val": 0.4}
+        got = (
+            wt.split_assign(ray.data.from_pandas(df), "doc_id", w)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        case = wt.sql_split_case("doc_id", w)
+        want = (
+            duckdb.connect()
+            .execute(
+                f"SELECT doc_id, source, text, {case} AS split FROM df "
+                "ORDER BY doc_id"
+            )
+            .df()
+        )
+        assert (got["split"] == want["split"]).all()
+
+
+class TestJsonFieldStats:
+    def test_matches_pandas(self):
+        import ray.data
+
+        from geo_index_ray.pipelines import webtext as wt
+
+        rng = np.random.default_rng(3)
+        n = 300
+        keys = rng.choice(["a", "b", "c"], n)
+        vals = rng.integers(-50, 100, n)
+        props = [
+            '{"k": %d}' % v if i % 17 else '{"other": 1}'
+            for i, v in enumerate(vals)
+        ]
+        df = pd.DataFrame({"etype": keys, "props": props})
+        ds = ray.data.from_pandas(df).repartition(5)
+        got = (
+            wt.json_field_stats(ds, "etype", "props", "k")
+            .to_pandas()
+            .sort_values("etype")
+            .reset_index(drop=True)
+        )
+        sub = df[df.index % 17 != 0].assign(v=vals[df.index % 17 != 0])
+        want = (
+            sub.groupby("etype")["v"]
+            .agg(n_vals="count", sum_val="sum", min_val="min", max_val="max")
+            .reset_index()
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
