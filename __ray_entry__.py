@@ -977,6 +977,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["props_field_stats"] = props_field_stats
 
+    def html_extract_text(sf_dir):
+        """North-rule invariant check: wrap each document body in the
+        generator's html envelope, run the deterministic extract_text
+        chain (pipelines/webtext.py), and report byte-identity of the
+        extracted text per row — all-Arrow RE2 kernels, no row Python."""
+        import pyarrow.compute as pc
+
+        ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+        def to_html(batch: pa.Table) -> pa.Table:
+            h = pc.binary_join_element_wise(
+                pa.array(["<html><body><p>"] * batch.num_rows),
+                batch["text"],
+                pa.array(["</p></body></html>"] * batch.num_rows),
+                "",
+            )
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "html": pc.cast(h, pa.binary()),
+                    "text": batch["text"],
+                }
+            )
+
+        pages = ds.map_batches(to_html, batch_format="pyarrow")
+        out = webtext_pipe.extract_text(pages, "html", normalize_ws=False)
+
+        def verdict(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "extracted_text": batch["extracted_text"],
+                    "matches": pc.equal(batch["extracted_text"], batch["text"]),
+                }
+            )
+
+        return out.map_batches(verdict, batch_format="pyarrow")
+
+    q["html_extract_text"] = html_extract_text
+
     return q
 
 
@@ -1752,6 +1792,14 @@ def oracle_sql() -> dict[str, str]:
                          AS BIGINT) AS v
               FROM events)
         GROUP BY event_type
+    """
+
+    _html_expr = "'<html><body><p>' || text || '</p></body></html>'"
+    _extract = webtext_pipe.sql_extract_text(_html_expr, normalize_ws=False)
+    sql["html_extract_text"] = f"""
+        SELECT doc_id, {_extract} AS extracted_text,
+               {_extract} = text AS matches
+        FROM documents
     """
 
     return sql

@@ -282,6 +282,54 @@ def sql_split_case(id_col: str, weights: dict[str, float]) -> str:
     return f"CASE {clauses} ELSE '{names[-1]}' END"
 
 
+# -- HTML → text extraction --------------------------------------------------
+
+# entity decode order matters: &amp; LAST, so "&amp;lt;" → "&lt;" (one level)
+_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+             ("&#39;", "'"), ("&amp;", "&")]
+
+
+def extract_text(ds, html_col: str, out_col: str = "extracted_text",
+                 normalize_ws: bool = True):
+    """Deterministic HTML → text extraction over a binary column.
+
+    The north-rule invariant is *byte-identical extracted text per url*,
+    so the transform is a fixed, SQL-reproducible chain — strip tags
+    (``<[^>]*>``), decode the five basic entities (``&amp;`` last) —
+    never a heuristic readability pass.  With ``normalize_ws`` (the
+    quality-pipeline default) whitespace runs collapse to single spaces
+    and the result is trimmed; the invariant check runs with
+    ``normalize_ws=False`` so the chain exactly inverts the page
+    envelope whatever whitespace the source text carries.  All-Arrow
+    (RE2 kernels over the utf8 view of the binary buffer); no per-row
+    Python.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        s = pc.cast(batch[html_col], pa.string())
+        s = pc.replace_substring_regex(s, r"<[^>]*>", "")
+        for ent, ch in _ENTITIES:
+            s = pc.replace_substring(s, ent, ch)
+        if normalize_ws:
+            s = pc.replace_substring_regex(s, r"\s+", " ")
+            s = pc.utf8_trim_whitespace(s)
+        return batch.append_column(out_col, s)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def sql_extract_text(expr: str, normalize_ws: bool = True) -> str:
+    """DuckDB expression reproducing ``extract_text`` byte-exactly over a
+    VARCHAR html expression."""
+    s = f"regexp_replace({expr}, '<[^>]*>', '', 'g')"
+    for ent, ch in _ENTITIES:
+        lit = ch.replace("'", "''")
+        s = f"replace({s}, '{ent}', '{lit}')"
+    if normalize_ws:
+        s = f"trim(regexp_replace({s}, '\\s+', ' ', 'g'))"
+    return s
+
+
 # -- semi-structured field extraction ----------------------------------------
 
 

@@ -191,6 +191,64 @@ class TestSplitAssign:
         assert (got["split"] == want["split"]).all()
 
 
+class TestExtractText:
+    def test_pages_generator_roundtrip_byte_identical(self):
+        import ray.data
+
+        from geo_index_ray.pipelines import webtext as wt
+        from geo_index_ray.sources import pages
+
+        tbl = pages.make_pages_batch(0, 200, columns=["url", "html", "text"])
+        ds = ray.data.from_arrow(tbl).repartition(4)
+        out = wt.extract_text(ds, "html", normalize_ws=False).to_pandas()
+        assert (out["extracted_text"] == out["text"]).all()
+
+    def test_entities_and_whitespace(self):
+        import pyarrow as pa
+        import ray.data
+
+        from geo_index_ray.pipelines import webtext as wt
+
+        html = [
+            b"<p>a &amp; b</p>",
+            b"<div>x &lt;tag&gt; &quot;q&quot; &#39;s&#39;</div>",
+            b"<p>  spaced\n\tout  </p>",
+            b"&amp;lt; stays one level</p>",
+        ]
+        ds = ray.data.from_arrow(
+            pa.table({"html": pa.array(html, pa.binary())})
+        )
+        got = wt.extract_text(ds, "html").to_pandas()["extracted_text"].tolist()
+        assert got == [
+            "a & b",
+            'x <tag> "q" \'s\'',
+            "spaced out",
+            "&lt; stays one level",
+        ]
+
+    def test_sql_twin_matches(self):
+        import duckdb
+        import pyarrow as pa
+        import ray.data
+
+        from geo_index_ray.pipelines import webtext as wt
+
+        texts = ["plain words here", "a  double  space", " lead and trail "]
+        html = [f"<html><body><p>{t}</p></body></html>" for t in texts]
+        ds = ray.data.from_arrow(
+            pa.table({"html": pa.array([h.encode() for h in html], pa.binary())})
+        )
+        got = wt.extract_text(ds, "html").to_pandas()["extracted_text"].tolist()
+        df = pa.table({"h": pa.array(html)}).to_pandas()
+        want = (
+            duckdb.connect()
+            .execute(f"SELECT {wt.sql_extract_text('h')} AS e FROM df")
+            .df()["e"]
+            .tolist()
+        )
+        assert got == want
+
+
 class TestJsonFieldStats:
     def test_matches_pandas(self):
         import ray.data
