@@ -1017,6 +1017,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["html_extract_text"] = html_extract_text
 
+    def curation_counts(sf_dir):
+        """The composed curation flow (quality gate → exact dedup →
+        deterministic split → per-(split, lang) counts) — one
+        corpus-sized exchange total (pipelines/webtext.curation_pipeline)."""
+        ds = tables.read_table(
+            sf_dir, "documents", columns=["doc_id", "text", "lang"]
+        )
+        return webtext_pipe.curation_pipeline(
+            ds, "doc_id", "text", "lang", _SPLIT_WEIGHTS
+        )
+
+    q["curation_counts"] = curation_counts
+
     return q
 
 
@@ -1800,6 +1813,31 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, {_extract} AS extracted_text,
                {_extract} = text AS matches
         FROM documents
+    """
+
+    sql["curation_counts"] = f"""
+        WITH tf AS (
+          SELECT doc_id, tok, COUNT(*) AS c FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS tok
+            FROM documents)
+          WHERE tok <> '' GROUP BY doc_id, tok),
+        agg AS (
+          SELECT doc_id, SUM(c) AS nw, COUNT(*) AS nd, MAX(c) AS tt
+          FROM tf GROUP BY doc_id),
+        kept AS (
+          SELECT d.doc_id, d.lang, d.text
+          FROM documents d LEFT JOIN agg a USING (doc_id)
+          WHERE (1.0 - COALESCE(a.nd, 0)
+                   / CAST(GREATEST(COALESCE(a.nw, 0), 1) AS DOUBLE)) <= 0.9
+            AND COALESCE(a.tt, 0)
+                   / CAST(GREATEST(COALESCE(a.nw, 0), 1) AS DOUBLE) <= 0.2
+            AND COALESCE(a.nw, 0) > 0),
+        ded AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY text),
+        surv AS (SELECT k.doc_id, k.lang FROM kept k JOIN ded USING (doc_id))
+        SELECT {webtext_pipe.sql_split_case('doc_id', _SPLIT_WEIGHTS)} AS split,
+               lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM surv GROUP BY 1, 2
     """
 
     return sql

@@ -183,6 +183,35 @@ def heavy_hitters(ds, text_col: str, k: int):
 # -- Gopher-style repetition quality gates -----------------------------------
 
 
+def _repetition_arrays(batch: pa.Table, text_col: str,
+                       max_dup_frac: float, max_top_frac: float):
+    """(n_words, dup_word_frac, top_word_frac, keep) numpy arrays for one
+    batch — all-Arrow tokenization plus one composite np.unique."""
+    n = batch.num_rows
+    words = pc.split_pattern_regex(pc.utf8_lower(batch[text_col]), r"\s+")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    flat = words.flatten()
+    parents = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+    wlens, _, _ = _string_views(flat)
+    nonempty = wlens > 0
+    rows = parents[nonempty]
+    dic = pc.dictionary_encode(flat.filter(pa.array(nonempty)))
+    codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = max(len(dic.dictionary), 1)
+    pair, tf = np.unique(rows * vocab + codes, return_counts=True)
+    prow = (pair // vocab).astype(np.int64)
+    n_words = np.bincount(rows, minlength=n).astype(np.int64)
+    n_distinct = np.bincount(prow, minlength=n).astype(np.int64)
+    top_tf = np.zeros(n, dtype=np.int64)
+    np.maximum.at(top_tf, prow, tf)
+    denom = np.maximum(n_words, 1).astype(np.float64)
+    dup = 1.0 - n_distinct / denom
+    top = top_tf / denom
+    keep = (dup <= max_dup_frac) & (top <= max_top_frac) & (n_words > 0)
+    return n_words, dup, top, keep
+
+
 def repetition_stats(ds, id_col: str, text_col: str,
                      max_dup_frac: float = 0.9,
                      max_top_frac: float = 0.2):
@@ -198,30 +227,9 @@ def repetition_stats(ds, id_col: str, text_col: str,
     """
 
     def fn(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        words = pc.split_pattern_regex(
-            pc.utf8_lower(batch[text_col]), r"\s+"
+        n_words, dup, top, keep = _repetition_arrays(
+            batch, text_col, max_dup_frac, max_top_frac
         )
-        if isinstance(words, pa.ChunkedArray):
-            words = words.combine_chunks()
-        flat = words.flatten()
-        parents = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
-        wlens, _, _ = _string_views(flat)
-        nonempty = wlens > 0
-        rows = parents[nonempty]
-        dic = pc.dictionary_encode(flat.filter(pa.array(nonempty)))
-        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        vocab = max(len(dic.dictionary), 1)
-        pair, tf = np.unique(rows * vocab + codes, return_counts=True)
-        prow = (pair // vocab).astype(np.int64)
-        n_words = np.bincount(rows, minlength=n).astype(np.int64)
-        n_distinct = np.bincount(prow, minlength=n).astype(np.int64)
-        top_tf = np.zeros(n, dtype=np.int64)
-        np.maximum.at(top_tf, prow, tf)
-        denom = np.maximum(n_words, 1).astype(np.float64)
-        dup = 1.0 - n_distinct / denom
-        top = top_tf / denom
-        keep = (dup <= max_dup_frac) & (top <= max_top_frac) & (n_words > 0)
         return pa.table(
             {
                 id_col: batch[id_col],
@@ -328,6 +336,81 @@ def sql_extract_text(expr: str, normalize_ws: bool = True) -> str:
     if normalize_ws:
         s = f"trim(regexp_replace({s}, '\\s+', ' ', 'g'))"
     return s
+
+
+# -- end-to-end curation pipeline --------------------------------------------
+
+
+def curation_pipeline(ds, id_col: str, text_col: str, lang_col: str,
+                      weights: dict[str, float],
+                      max_dup_frac: float = 0.9,
+                      max_top_frac: float = 0.2):
+    """The composed corpus-curation flow a training run starts from:
+
+    quality gates → exact dedup (keep min id per text) → deterministic
+    split assignment → (split, lang) document counts.
+
+    Scale shape: the quality gate is a pure per-batch filter, so
+    dropped rows never shuffle; the dedup exchange carries
+    (rkey, hash64, id, lang) = 24 B + lang per surviving row under
+    coarse reducer keys; split assignment is a pure row hash; the final
+    count groupby sees one combined row per (split, lang, block).  One
+    corpus-sized exchange total.
+    """
+    import pandas as pd
+
+    from ..stages.util import coalesce_for_shuffle, reducer_count
+    from .dedup import _text_hash64
+
+    R = reducer_count()
+
+    def gate_and_hash(batch: pa.Table) -> pa.Table:
+        _, _, _, keep = _repetition_arrays(
+            batch, text_col, max_dup_frac, max_top_frac
+        )
+        kept = batch.filter(pa.array(keep))
+        h = _text_hash64(kept[text_col].to_pylist())
+        return pa.table(
+            {
+                "rkey": pa.array(
+                    ((h >> np.uint64(3)) % np.uint64(R)).astype(np.int64)
+                ),
+                "h": pa.array(h.view(np.int64)),
+                id_col: kept[id_col],
+                lang_col: kept[lang_col],
+            }
+        )
+
+    hashed = coalesce_for_shuffle(
+        ds.map_batches(gate_and_hash, batch_format="pyarrow"), 0.5
+    )
+
+    def first_per_hash(g: pd.DataFrame) -> pd.DataFrame:
+        g2 = g.sort_values(["h", id_col], kind="stable")
+        return g2.groupby("h", as_index=False).first()[[id_col, lang_col]]
+
+    survivors = hashed.groupby("rkey").map_groups(
+        first_per_hash, batch_format="pandas"
+    )
+
+    assigned = split_assign(survivors, id_col, weights)
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["split", lang_col]).to_pandas()
+        out = (
+            df.groupby(["split", lang_col], as_index=False)
+            .size()
+            .rename(columns={"size": "n_docs"})
+        )
+        out["n_docs"] = out["n_docs"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = assigned.map_batches(count_partial, batch_format="pyarrow")
+    return (
+        partials.groupby(["split", lang_col])
+        .sum("n_docs")
+        .rename_columns({"sum(n_docs)": "n_docs"})
+    )
 
 
 # -- semi-structured field extraction ----------------------------------------

@@ -249,6 +249,56 @@ class TestExtractText:
         assert got == want
 
 
+class TestCurationPipeline:
+    def test_matches_pandas_chain(self):
+        import ray.data
+
+        from geo_index_ray.pipelines import webtext as wt
+
+        df = _docs_df(300)
+        # plant exact duplicates that must dedup to the smallest id
+        df.loc[10, "text"] = df.loc[4, "text"]
+        df.loc[11, "text"] = df.loc[4, "text"]
+        df["lang"] = ["en", "de"] * 150
+        w = {"train": 0.8, "val": 0.2}
+        ds = ray.data.from_pandas(df).repartition(6)
+        got = (
+            wt.curation_pipeline(ds, "doc_id", "text", "lang", w)
+            .to_pandas()
+            .sort_values(["split", "lang"])
+            .reset_index(drop=True)
+        )
+
+        words = df["text"].str.lower().str.split(r"\s+", regex=True)
+        words = words.apply(lambda ws: [x for x in ws if x])
+        nw = words.apply(len)
+        nd = words.apply(lambda ws: len(set(ws)))
+        tt = words.apply(lambda ws: max((ws.count(x) for x in set(ws)), default=0))
+        denom = nw.clip(lower=1)
+        keep = (
+            ((1 - nd / denom) <= 0.9)
+            & ((tt / denom) <= 0.2)
+            & (nw > 0)
+        )
+        kept = df[keep]
+        surv = kept.loc[kept.groupby("text")["doc_id"].idxmin()]
+        ids = surv["doc_id"].to_numpy().astype(np.int64).view(np.uint64)
+        h = (ids * np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+        thr = np.uint64(min(int(0.8 * 2.0**64), 2**64 - 1))
+        split = np.where(h < thr, "train", "val")
+        want = (
+            surv.assign(split=split)
+            .groupby(["split", "lang"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_docs"})
+            .sort_values(["split", "lang"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["split", "lang", "n_docs"]], want, check_dtype=False
+        )
+
+
 class TestJsonFieldStats:
     def test_matches_pandas(self):
         import ray.data
