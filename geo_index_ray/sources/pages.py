@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _LANGS = np.array(["en", "de", "fr", "es", "zh", "ru", "pt", "ja"])
 _LANG_W = np.array([0.44, 0.10, 0.09, 0.09, 0.10, 0.07, 0.06, 0.05])
@@ -238,12 +239,11 @@ def make_pages_batch(start: int, count: int, columns=None) -> pa.Table:
         if "text" in want:
             cols["text"] = text
         if "html" in want:
-            cols["html"] = pa.array(
-                [
-                    f"<html><body><p>{t}</p></body></html>".encode()
-                    for t in text.to_pylist()
-                ],
-                type=pa.binary(),
+            cols["html"] = pc.cast(
+                pc.binary_join_element_wise(
+                    "<html><body><p>", text, "</p></body></html>", ""
+                ),
+                pa.binary(),
             )
     if "lang" in want:
         lang = _LANGS[
