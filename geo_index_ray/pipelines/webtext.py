@@ -111,10 +111,16 @@ def url_keep_latest(ds, url_col: str, ts_col: str, id_col: str):
 
     Two-phase argmax: a per-batch pass keeps one candidate row per
     (canonical URL, block) — so the exchange carries at most one row per
-    URL per input block — then a groupby re-runs the same argmax over
-    the survivors.  Nothing document-sized beyond the surviving rows
-    moves.
+    URL per input block — then the survivors shuffle under COARSE keys
+    (``hash(url) % reducer_count``) and each reducer re-runs the argmax
+    for all of its URLs in one lexsort (one Python call per reducer, not
+    per URL — rule 3 of SCALING.md).  Nothing document-sized beyond the
+    surviving rows moves.
     """
+    from ..sources.pages import url_hash64
+    from ..stages.util import coalesce_for_shuffle, reducer_count
+
+    R = reducer_count()
 
     def local_best(batch: pa.Table) -> pa.Table:
         canon = canonical_url(batch[url_col])
@@ -130,18 +136,30 @@ def url_keep_latest(ds, url_col: str, ts_col: str, id_col: str):
         ck = codes[perm]
         first = np.searchsorted(ck, ck, side="left")
         keep = np.arange(len(ck)) == first
-        return batch.take(pa.array(perm[keep]))
+        out = batch.take(pa.array(perm[keep]))
+        h = url_hash64(out["canon_url"])
+        return out.append_column(
+            "rkey", pa.array(((h >> np.uint64(3)) % np.uint64(R)).astype(np.int64))
+        )
 
-    survivors = ds.map_batches(local_best, batch_format="pyarrow")
+    survivors = coalesce_for_shuffle(
+        ds.map_batches(local_best, batch_format="pyarrow"), 0.5
+    )
 
-    def final(g: pa.Table) -> pa.Table:
+    def final_many(g: pa.Table) -> pa.Table:
+        # one lexsort over ALL the reducer's URLs; group by the 64-bit
+        # url hash (same accepted collision tradeoff as exact_dedup)
+        h = url_hash64(g["canon_url"]).view(np.int64)
         ts = g[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
         ids = g[id_col].to_numpy(zero_copy_only=False)
-        perm = np.lexsort((ids, -ts))
-        return g.take(pa.array(perm[:1]))
+        perm = np.lexsort((ids, -ts, h))
+        hs = h[perm]
+        first = np.searchsorted(hs, hs, side="left")
+        keep = np.arange(len(hs)) == first
+        return g.take(pa.array(perm[keep])).drop_columns(["rkey"])
 
-    return survivors.groupby("canon_url").map_groups(
-        final, batch_format="pyarrow"
+    return survivors.groupby("rkey").map_groups(
+        final_many, batch_format="pyarrow"
     )
 
 
