@@ -321,6 +321,25 @@ def run_llm_extras(sf_dir: str) -> dict:
     return out
 
 
+def host_probe() -> dict:
+    """Ambient host-condition fingerprint recorded alongside every bench.
+
+    This shared VM has multi-minute drift phases where memory bandwidth
+    degrades several-fold (SCALING.md / BASELINE.md); a fixed 200 MB
+    copy+add loop timed immediately before the reps lets a reader tell a
+    drift-phase record from a pipeline regression.  Healthy host: well
+    under 0.5 s; drift phase: seconds."""
+    import numpy as np
+
+    x = np.empty(25_000_000, dtype=np.float64)
+    x[:] = 1.0
+    t0 = time.perf_counter()
+    y = x.copy()
+    y += x
+    bw = time.perf_counter() - t0
+    return {"bw_copy_s": round(bw, 3)}
+
+
 def main():
     if "--scaling" in sys.argv:
         return scaling_main()
@@ -332,6 +351,7 @@ def main():
 
     sf_dir = _sf_dir()
     num_cpus = _num_cpus()
+    probe = host_probe()
     _init_ray(num_cpus)
     # this host drifts ±25-40% between warm runs (THP/compaction bursts):
     # one measurement is weather, not a benchmark.  Run the whole suite N
@@ -372,6 +392,10 @@ def main():
         "knn_pruned_10k": run_knn10k(sf_dir),
         "ann_ivf_10k": run_ann10k(sf_dir),
         "llm_ops": run_llm_extras(sf_dir),
+        "host_probe": {
+            "bw_copy_s_pre": probe["bw_copy_s"],
+            "bw_copy_s_post": host_probe()["bw_copy_s"],
+        },
         "sf": sf_dir,
         "num_cpus": num_cpus,
     }
@@ -568,11 +592,21 @@ def child_main():
 
     # warm up workers outside the timer
     ray.data.range(num_cpus * 4).map_batches(lambda b: b).materialize()
+    probe = host_probe()
     t0 = time.perf_counter()
     rows = scaling_workload(num_cpus, num_rows)
     wall = time.perf_counter() - t0
     ray.shutdown()
-    print(json.dumps({"wall_s": wall, "rows": rows, "num_cpus": num_cpus}))
+    print(
+        json.dumps(
+            {
+                "wall_s": wall,
+                "rows": rows,
+                "num_cpus": num_cpus,
+                "bw_copy_s": probe["bw_copy_s"],
+            }
+        )
+    )
 
 
 def scaling_main():
@@ -622,6 +656,14 @@ def scaling_main():
                     f"wall_s_cpus{lo}": round(t_lo, 2),
                     f"wall_s_cpus{hi}": round(t_hi, 2),
                     "speedup": round(speedup, 3),
+                },
+                "leg_walls": {
+                    str(n): [round(r["wall_s"], 2) for r in results[n]]
+                    for n in levels
+                },
+                "leg_bw_probes": {
+                    str(n): [r.get("bw_copy_s") for r in results[n]]
+                    for n in levels
                 },
                 "sf": sf_dir,
                 "num_cpus": hi,

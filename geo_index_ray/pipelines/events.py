@@ -401,15 +401,16 @@ def distinct_count(ds, key_col: str, distinct_col: str, ts_col: str | None = Non
         count_distinct, batch_format="pandas"
     )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                key_col: [g[key_col].iloc[0]],
-                "n_distinct": [np.int64(g["partial_n"].sum())],
-            }
-        )
+    # native aggregate — no per-key Python even at 10^6+ keys (Dataset
+    # rename_columns chokes on the pandas blocks map_groups emits, so
+    # rename through an Arrow map_batches)
+    agg = per_reducer.groupby(key_col).sum("partial_n")
 
-    return per_reducer.groupby(key_col).map_groups(merge, batch_format="pandas")
+    def rn(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("sum(partial_n)")
+        return batch.set_column(i, "n_distinct", batch["sum(partial_n)"])
+
+    return agg.map_batches(rn, batch_format="pyarrow")
 
 
 def grouped_median(ds, key_col: str, value_col: str,

@@ -49,18 +49,47 @@ def grouped_topk(ds, key_col: str, order_col: str, id_col: str, k: int):
 
     Per-batch pre-filter keeps ≤ k rows per key per block, so the
     groupby exchange is bounded by k × blocks per key regardless of group
-    size; the reducer re-ranks the survivors exactly.
+    size; survivors shuffle under COARSE keys (``hash(key) %
+    reducer_count`` — never one Python call per key) and each reducer
+    re-ranks all of its keys exactly in one lexsort (the dictionary
+    codes inside ``_topk_table`` group keys exactly; the hash only
+    routes, so collisions are harmless).
     """
+    from ..sources.pages import url_hash64
+    from ..stages.util import coalesce_for_shuffle, reducer_count
+
+    R = reducer_count()
 
     def partial(batch: pa.Table) -> pa.Table:
-        return _topk_table(batch, key_col, order_col, id_col, k, False)
+        out = _topk_table(batch, key_col, order_col, id_col, k, False)
+        keys = out[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        if pa.types.is_string(keys.type) or pa.types.is_large_string(keys.type):
+            h = url_hash64(keys)
+        else:
+            with np.errstate(over="ignore"):
+                h = (
+                    keys.to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                    .view(np.uint64)
+                    * _GOLDEN
+                )
+        return out.append_column(
+            "rkey",
+            pa.array(((h >> np.uint64(3)) % np.uint64(R)).astype(np.int64)),
+        )
 
-    survivors = ds.map_batches(partial, batch_format="pyarrow")
+    survivors = coalesce_for_shuffle(
+        ds.map_batches(partial, batch_format="pyarrow"), 0.5
+    )
 
     def final(g: pa.Table) -> pa.Table:
-        return _topk_table(g, key_col, order_col, id_col, k, True)
+        return _topk_table(
+            g.drop_columns(["rkey"]), key_col, order_col, id_col, k, True
+        )
 
-    return survivors.groupby(key_col).map_groups(final, batch_format="pyarrow")
+    return survivors.groupby("rkey").map_groups(final, batch_format="pyarrow")
 
 
 def stratified_sample(ds, stratum_col: str, id_col: str,
