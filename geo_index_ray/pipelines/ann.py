@@ -626,9 +626,32 @@ def kmeans_assign(ds, id_col: str = "vec_id", emb_col: str = "embedding",
     if concurrency is not None:
         kwargs["concurrency"] = concurrency
 
+    from ..stages.util import coalesce_for_shuffle, reducer_count
+
+    R = reducer_count()
+
+    def add_rkey(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "rkey",
+            pa.array((b["cidx"].to_numpy().astype(np.int64) % R)),
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        # merge all of this reducer's (cidx, partial) rows vectorized
+        c = g["cidx"].to_numpy().astype(np.int64)
+        cnt = g["cnt"].to_numpy().astype(np.int64)
+        mat = np.stack(g["sums"].to_numpy())
+        codes, uniq = pd.factorize(c)
+        s = np.zeros((len(uniq), mat.shape[1]), dtype=np.float64)
+        np.add.at(s, codes, mat)
+        n = np.bincount(codes, weights=cnt, minlength=len(uniq)).astype(np.int64)
+        return pd.DataFrame(
+            {"cidx": uniq.astype(np.int64), "cnt": n, "sums": list(s)}
+        )
+
     for _ in range(iters - 1):
         state_ref = ray.put((cidx, cent))
-        parts = ds.map_batches(
+        parts_ds = ds.map_batches(
             _KmeansPass,
             fn_constructor_kwargs={
                 "state_ref": state_ref, "id_col": id_col,
@@ -636,7 +659,19 @@ def kmeans_assign(ds, id_col: str = "vec_id", emb_col: str = "embedding",
             },
             concurrency=kwargs.get("concurrency", 2),
             batch_format="pyarrow",
-        ).take_all()  # blocks × nlist tiny rows
+        )
+        # tree reduce under coarse keys: the (blocks × nlist) partial rows
+        # combine inside workers; the driver reads ≤ nlist rows
+        # (SCALING.md flagged the old take_all as ~400 GB through one
+        # process at 10⁵ blocks × 4096 clusters)
+        parts = (
+            coalesce_for_shuffle(
+                parts_ds.map_batches(add_rkey, batch_format="pyarrow"), 0.25
+            )
+            .groupby("rkey")
+            .map_groups(combine, batch_format="pandas")
+            .take_all()
+        )
         nlist, dim = cent.shape
         sums = np.zeros((nlist, dim), dtype=np.float64)
         counts = np.zeros(nlist, dtype=np.int64)
