@@ -299,6 +299,64 @@ class TestCurationPipeline:
         )
 
 
+class TestExtractTextProperties:
+    def test_tagless_text_roundtrips_exactly(self):
+        """Property: any text free of '<', '>' and '&' survives the
+        envelope + raw extraction byte-identically (hypothesis)."""
+        import pyarrow as pa
+        import ray.data
+        from hypothesis import given, settings, strategies as st
+
+        from geo_index_ray.pipelines import webtext as wt
+
+        plain = st.text(
+            alphabet=st.characters(blacklist_characters="<>&"),
+            max_size=120,
+        )
+
+        @settings(max_examples=20, deadline=None)
+        @given(texts=st.lists(plain, min_size=1, max_size=8))
+        def check(texts):
+            html = [
+                f"<html><body><p>{t}</p></body></html>".encode()
+                for t in texts
+            ]
+            ds = ray.data.from_arrow(
+                pa.table({"html": pa.array(html, pa.binary())})
+            )
+            got = (
+                wt.extract_text(ds, "html", normalize_ws=False)
+                .to_pandas()["extracted_text"]
+                .tolist()
+            )
+            assert got == texts
+
+        check()
+
+    def test_derive_pages_partition_invariant(self):
+        import pandas as pd
+        import ray.data
+
+        from geo_index_ray.pipelines import webtext as wt
+
+        df = _docs_df(120)
+        a = (
+            wt.derive_pages(ray.data.from_pandas(df), "doc_id", "source")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            wt.derive_pages(
+                ray.data.from_pandas(df).repartition(11), "doc_id", "source"
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+
 class TestJsonFieldStats:
     def test_matches_pandas(self):
         import ray.data
