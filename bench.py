@@ -352,6 +352,16 @@ def main():
     sf_dir = _sf_dir()
     num_cpus = _num_cpus()
     probe = host_probe()
+    # this VM has multi-minute phases where memory bandwidth collapses
+    # 5-30× (measured; see BASELINE.md).  Benchmarking inside one measures
+    # the weather, so wait (bounded) for the phase to pass; the JSON
+    # records how long we waited and the probe value the run started at.
+    waited = 0.0
+    while probe["bw_copy_s"] > 0.8 and waited < 360.0:
+        time.sleep(20.0)
+        waited += 20.0
+        probe = host_probe()
+    probe["drift_wait_s"] = round(waited, 1)
     _init_ray(num_cpus)
     # this host drifts ±25-40% between warm runs (THP/compaction bursts):
     # one measurement is weather, not a benchmark.  Run the whole suite N
@@ -395,6 +405,7 @@ def main():
         "host_probe": {
             "bw_copy_s_pre": probe["bw_copy_s"],
             "bw_copy_s_post": host_probe()["bw_copy_s"],
+            "drift_wait_s": probe.get("drift_wait_s", 0.0),
         },
         "sf": sf_dir,
         "num_cpus": num_cpus,
@@ -629,8 +640,16 @@ def scaling_main():
     # reported in BASELINE.md alongside the ceiling measurement.
     levels = [2, 8]
     results = {n: [] for n in levels}
+    calm_budget = 600.0  # total seconds we may spend waiting out drift
     for _rep in range(3):
         for n in levels:
+            # don't start a leg inside a bandwidth-collapse phase (the
+            # probe is the same fixed 200 MB copy the headline bench
+            # records); bounded by a shared budget so the run always
+            # finishes
+            while calm_budget > 0 and host_probe()["bw_copy_s"] > 0.8:
+                time.sleep(20.0)
+                calm_budget -= 20.0
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir)
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--child"],
