@@ -356,12 +356,23 @@ def main():
     # 5-30× (measured; see BASELINE.md).  Benchmarking inside one measures
     # the weather, so wait (bounded) for the phase to pass; the JSON
     # records how long we waited and the probe value the run started at.
-    waited = 0.0
-    while probe["bw_copy_s"] > 0.8 and waited < 360.0:
-        time.sleep(20.0)
-        waited += 20.0
-        probe = host_probe()
-    probe["drift_wait_s"] = round(waited, 1)
+    total_wait = 0.0
+    WAIT_CAP = 900.0  # shared across all reps
+    calm_thr = float(os.environ.get("GRAFT_BW_CALM_S", "0.8"))
+
+    def wait_calm(per_rep_cap: float) -> float:
+        nonlocal total_wait
+        w = 0.0
+        while (
+            w < per_rep_cap
+            and total_wait < WAIT_CAP
+            and host_probe()["bw_copy_s"] > calm_thr
+        ):
+            time.sleep(15.0)
+            w += 15.0
+            total_wait += 15.0
+        return host_probe()["bw_copy_s"]
+
     _init_ray(num_cpus)
     # this host drifts ±25-40% between warm runs (THP/compaction bursts):
     # one measurement is weather, not a benchmark.  Run the whole suite N
@@ -369,7 +380,12 @@ def main():
     reps = max(1, int(os.environ.get("GRAFT_BENCH_REPS", "5")))
     all_timings: list[dict] = []
     rows: dict[str, int] = {}
+    rep_probes: list[float] = []
     for _ in range(reps):
+        # the drift phases oscillate on a minutes scale: give each rep
+        # its own chance to start in a calm window (bounded per rep and
+        # overall so the bench always finishes)
+        rep_probes.append(round(wait_calm(180.0), 3))
         timings, rows = run_queries(sf_dir, num_cpus)
         all_timings.append(timings)
         import gc
@@ -405,7 +421,8 @@ def main():
         "host_probe": {
             "bw_copy_s_pre": probe["bw_copy_s"],
             "bw_copy_s_post": host_probe()["bw_copy_s"],
-            "drift_wait_s": probe.get("drift_wait_s", 0.0),
+            "rep_bw_probes": rep_probes,
+            "drift_wait_s": round(total_wait, 1),
         },
         "sf": sf_dir,
         "num_cpus": num_cpus,
@@ -647,7 +664,8 @@ def scaling_main():
             # probe is the same fixed 200 MB copy the headline bench
             # records); bounded by a shared budget so the run always
             # finishes
-            while calm_budget > 0 and host_probe()["bw_copy_s"] > 0.8:
+            calm_thr = float(os.environ.get("GRAFT_BW_CALM_S", "0.8"))
+            while calm_budget > 0 and host_probe()["bw_copy_s"] > calm_thr:
                 time.sleep(20.0)
                 calm_budget -= 20.0
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir)
