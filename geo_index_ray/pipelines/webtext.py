@@ -15,6 +15,10 @@ before the spatial / dedup stages:
   row-pure hash; reproducible under any partitioning or retry.
 - ``json_field_stats`` — extract a numeric field from a semi-structured
   string column (regexp, all-Arrow) and aggregate per key.
+- ``extract_text`` — deterministic HTML→text extraction discharging the
+  input_hint's byte-identical-extracted-text invariant.
+- ``curation_pipeline`` — the composed flow (quality gate → exact dedup
+  → split → per-(split, lang) counts) in one corpus-sized exchange.
 
 Every operator has a DuckDB oracle twin (see ``__ray_entry__``).
 Reference scope note: the reference (kylebarron/geo-index) is an index
