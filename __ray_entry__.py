@@ -1030,6 +1030,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["curation_counts"] = curation_counts
 
+    def orders_customer_join(sf_dir):
+        """Large × large inner equi-join: one tagged-union exchange on
+        coarse keys, vectorized sort+searchsorted zip per reducer
+        (pipelines/relational.hash_join)."""
+        from geo_index_ray.pipelines import relational
+
+        orders = tables.read_table(
+            sf_dir, "orders", columns=["o_orderkey", "o_custkey"]
+        )
+        cust = tables.read_table(
+            sf_dir, "customer", columns=["c_custkey", "c_name"]
+        )
+        return relational.hash_join(
+            orders, cust, "o_custkey", "c_custkey",
+            ["o_orderkey", "o_custkey"], ["c_custkey", "c_name"],
+        )
+
+    q["orders_customer_join"] = orders_customer_join
+
+    def customer_nation_broadcast(sf_dir):
+        """Large × small inner equi-join: the 25-row nation table is
+        ray.put once and matched by binary search per batch — map-side
+        only, no shuffle (pipelines/relational.broadcast_join)."""
+        from geo_index_ray.pipelines import relational
+
+        cust = tables.read_table(
+            sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
+        )
+        nation = pq.read_table(
+            f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+        )
+        return relational.broadcast_join(
+            cust, nation, "c_nationkey", "n_nationkey", ["n_name"]
+        )
+
+    q["customer_nation_broadcast"] = customer_nation_broadcast
+
     return q
 
 
@@ -1838,6 +1875,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT {webtext_pipe.sql_split_case('doc_id', _SPLIT_WEIGHTS)} AS split,
                lang, CAST(COUNT(*) AS BIGINT) AS n_docs
         FROM surv GROUP BY 1, 2
+    """
+
+    sql["orders_customer_join"] = """
+        SELECT o_orderkey, o_custkey, c_custkey, c_name
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    """
+
+    sql["customer_nation_broadcast"] = """
+        SELECT c_custkey, c_nationkey, n_name
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
     """
 
     return sql

@@ -1,0 +1,117 @@
+"""Tests for the generic relational joins (pipelines/relational.py)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    yield
+
+
+class TestHashJoin:
+    def test_many_to_many_matches_pandas_merge(self):
+        import ray.data
+
+        from geo_index_ray.pipelines import relational
+
+        rng = np.random.default_rng(2)
+        left = pd.DataFrame(
+            {
+                "lid": np.arange(3000, dtype=np.int64),
+                "k": rng.integers(0, 200, 3000),
+                "lval": rng.integers(0, 10, 3000),
+            }
+        )
+        # keys 150..249: half overlap, and key multiplicity up to ~30
+        right = pd.DataFrame(
+            {
+                "rid": np.arange(5000, dtype=np.int64),
+                "k2": rng.integers(150, 250, 5000),
+                "rname": [f"n{i % 37}" for i in range(5000)],
+            }
+        )
+        got = (
+            relational.hash_join(
+                ray.data.from_pandas(left).repartition(6),
+                ray.data.from_pandas(right).repartition(4),
+                "k", "k2", ["lid", "k", "lval"], ["rid", "rname"],
+            )
+            .to_pandas()
+            .sort_values(["lid", "rid"])
+            .reset_index(drop=True)
+        )
+        want = (
+            left.merge(right, left_on="k", right_on="k2")[
+                ["lid", "k", "lval", "rid", "rname"]
+            ]
+            .sort_values(["lid", "rid"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_disjoint_keys_empty(self):
+        import ray.data
+
+        from geo_index_ray.pipelines import relational
+
+        left = pd.DataFrame({"a": np.array([1, 2], dtype=np.int64)})
+        right = pd.DataFrame({"b": np.array([5, 6], dtype=np.int64)})
+        got = relational.hash_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            "a", "b", ["a"], ["b"],
+        ).to_pandas()
+        assert len(got) == 0
+
+
+class TestBroadcastJoin:
+    def test_matches_pandas_merge(self):
+        import ray.data
+
+        from geo_index_ray.pipelines import relational
+
+        rng = np.random.default_rng(4)
+        big = pd.DataFrame(
+            {
+                "id": np.arange(4000, dtype=np.int64),
+                "fk": rng.integers(0, 30, 4000),
+            }
+        )
+        small = pa.table(
+            {
+                "sk": pa.array(np.arange(0, 25, dtype=np.int64)),
+                "name": pa.array([f"dim{i}" for i in range(25)]),
+            }
+        )
+        got = (
+            relational.broadcast_join(
+                ray.data.from_pandas(big).repartition(5),
+                small, "fk", "sk", ["name"],
+            )
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        sm = small.to_pandas()
+        want = (
+            big.merge(sm, left_on="fk", right_on="sk")[["id", "fk", "name"]]
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_duplicate_small_key_rejected(self):
+        import ray.data
+
+        from geo_index_ray.pipelines import relational
+
+        big = pd.DataFrame({"fk": np.array([1], dtype=np.int64)})
+        small = pa.table(
+            {"sk": pa.array([1, 1], type=pa.int64()), "v": pa.array([2, 3])}
+        )
+        with pytest.raises(ValueError, match="unique"):
+            relational.broadcast_join(
+                ray.data.from_pandas(big), small, "fk", "sk", ["v"]
+            )
