@@ -1067,6 +1067,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["customer_nation_broadcast"] = customer_nation_broadcast
 
+    def customer_orders_left(sf_dir):
+        """Left outer hash join: customers keep one null-padded row when
+        no (filtered) order matches — exercises the unmatched-left path
+        of relational.hash_join."""
+        import pyarrow.compute as pc
+
+        from geo_index_ray.pipelines import relational
+
+        cust = tables.read_table(sf_dir, "customer", columns=["c_custkey"])
+        orders = tables.read_table(
+            sf_dir, "orders",
+            columns=["o_orderkey", "o_custkey", "o_orderpriority"],
+        )
+
+        def keep(batch: pa.Table) -> pa.Table:
+            keys = batch["o_orderkey"].to_numpy()
+            return batch.filter(pa.array(keys % 7 == 0)).select(
+                ["o_custkey", "o_orderpriority"]
+            )
+
+        filt = orders.map_batches(keep, batch_format="pyarrow")
+        return relational.hash_join(
+            cust, filt, "c_custkey", "o_custkey",
+            ["c_custkey"], ["o_orderpriority"], how="left",
+        )
+
+    q["customer_orders_left"] = customer_orders_left
+
     return q
 
 
@@ -1885,6 +1913,14 @@ def oracle_sql() -> dict[str, str]:
     sql["customer_nation_broadcast"] = """
         SELECT c_custkey, c_nationkey, n_name
         FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """
+
+    sql["customer_orders_left"] = """
+        SELECT c_custkey, o_orderpriority
+        FROM customer LEFT JOIN (
+          SELECT o_custkey, o_orderpriority FROM orders
+          WHERE o_orderkey % 7 = 0
+        ) o ON c_custkey = o_custkey
     """
 
     return sql

@@ -36,15 +36,20 @@ def _key_rkey(keys: np.ndarray, R: int) -> np.ndarray:
 
 
 def hash_join(left, right, left_key: str, right_key: str,
-              left_cols: list[str], right_cols: list[str]):
-    """Inner equi-join of two Datasets on an int64 key.
+              left_cols: list[str], right_cols: list[str],
+              how: str = "inner"):
+    """Equi-join of two Datasets on an int64 key (``how`` = "inner" or
+    "left").
 
     Output columns: ``left_cols + right_cols`` (the key columns are
-    included only if listed).  Many-to-many semantics, exact.  The
+    included only if listed).  Many-to-many semantics, exact; "left"
+    emits unmatched left rows with nulls in the right columns.  The
     exchange carries only the listed columns plus (key, side, rkey);
     reducers zip both sides with one argsort + two searchsorteds —
     no per-key Python.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"hash_join: how must be 'inner' or 'left', got {how!r}")
     R = reducer_count()
     all_cols = list(dict.fromkeys(left_cols + right_cols))
     # typed nulls for the tagged union (untyped pa.nulls would give the
@@ -94,7 +99,7 @@ def hash_join(left, right, left_key: str, right_key: str,
                 {c: g[c].to_numpy()[:0] for c in all_cols}
             )
 
-        if len(li) == 0 or len(ri) == 0:
+        if len(li) == 0 or (how == "inner" and len(ri) == 0):
             return empty()
         rk = k[ri]
         rsort = np.argsort(rk, kind="stable")
@@ -102,6 +107,9 @@ def hash_join(left, right, left_key: str, right_key: str,
         lo = np.searchsorted(rks, k[li], side="left")
         hi = np.searchsorted(rks, k[li], side="right")
         counts = hi - lo
+        if how == "left":
+            # unmatched left rows still emit once, with a null right side
+            counts = np.maximum(counts, 1)
         total = int(counts.sum())
         if total == 0:
             return empty()
@@ -109,19 +117,47 @@ def hash_join(left, right, left_key: str, right_key: str,
         # within-match offsets: arange minus each match-run's start
         starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
         offs = np.arange(total) - np.repeat(starts, counts)
-        r_pick = ri[rsort[np.repeat(lo, counts) + offs]]
+        matched = np.repeat(hi - lo, counts) > 0
+        pos = np.minimum(np.repeat(lo, counts) + offs, len(rks) - 1) if len(
+            rks
+        ) else np.zeros(total, dtype=np.int64)
         l_pick = li[l_rep]
         out = {}
         for c in left_cols:
             out[c] = g[c].to_numpy()[l_pick]
         for c in right_cols:
             if c not in out:
-                out[c] = g[c].to_numpy()[r_pick]
-        # the tagged union's null padding made pandas widen int columns
-        # to float64; the picked values are all non-null, so restore
+                numeric = pa.types.is_integer(types[c]) or pa.types.is_floating(
+                    types[c]
+                )
+                if len(rks):
+                    v = g[c].to_numpy()[ri[rsort[pos]]]
+                    if how == "left" and not matched.all():
+                        if numeric:
+                            v = v.astype(np.float64)
+                            v[~matched] = np.nan
+                        else:
+                            v = v.astype(object)
+                            v[~matched] = None
+                else:  # left join against an empty right side
+                    v = (
+                        np.full(total, np.nan)
+                        if numeric
+                        else np.full(total, None, dtype=object)
+                    )
+                out[c] = v
+        # dtype normalization: the tagged union's null padding widened
+        # int columns to float64 — restore ints where nulls are
+        # impossible (left columns, and right columns of an inner join);
+        # under a left join, right numeric columns are ALWAYS float64 so
+        # every reducer emits the same dtype whether or not it saw nulls
+        right_only = set(right_cols) - set(left_cols)
         for c, v in out.items():
-            if pa.types.is_integer(types[c]) and v.dtype.kind == "f":
-                out[c] = v.astype(np.int64)
+            if pa.types.is_integer(types[c]):
+                if how == "left" and c in right_only:
+                    out[c] = v.astype(np.float64)
+                elif v.dtype.kind == "f":
+                    out[c] = v.astype(np.int64)
         return pd.DataFrame(out)
 
     return unioned.groupby("rkey").map_groups(zip_sides, batch_format="pandas")

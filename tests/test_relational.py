@@ -52,6 +52,47 @@ class TestHashJoin:
         )
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
+    def test_left_join_matches_pandas_merge(self):
+        import ray.data
+
+        from geo_index_ray.pipelines import relational
+
+        rng = np.random.default_rng(8)
+        left = pd.DataFrame(
+            {
+                "lid": np.arange(2000, dtype=np.int64),
+                "k": rng.integers(0, 300, 2000),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "k2": rng.integers(0, 150, 900),  # half the key space
+                "rname": [f"x{i % 11}" for i in range(900)],
+            }
+        )
+        got = (
+            relational.hash_join(
+                ray.data.from_pandas(left).repartition(5),
+                ray.data.from_pandas(right).repartition(3),
+                "k", "k2", ["lid", "k"], ["rname"], how="left",
+            )
+            .to_pandas()
+            .sort_values(["lid", "rname"], na_position="last")
+            .reset_index(drop=True)
+        )
+        want = (
+            left.merge(right, left_on="k", right_on="k2", how="left")[
+                ["lid", "k", "rname"]
+            ]
+            .sort_values(["lid", "rname"], na_position="last")
+            .reset_index(drop=True)
+        )
+        # normalize null spelling (None vs NaN)
+        got["rname"] = got["rname"].where(got["rname"].notna(), None)
+        want["rname"] = want["rname"].where(want["rname"].notna(), None)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        assert got["rname"].isna().sum() > 0  # unmatched rows exist
+
     def test_disjoint_keys_empty(self):
         import ray.data
 
