@@ -1095,6 +1095,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["customer_orders_left"] = customer_orders_left
 
+    def _filtered_orders(sf_dir):
+        orders = tables.read_table(
+            sf_dir, "orders", columns=["o_orderkey", "o_custkey"]
+        )
+
+        def keep(batch: pa.Table) -> pa.Table:
+            keys = batch["o_orderkey"].to_numpy()
+            return batch.filter(pa.array(keys % 7 == 0)).select(["o_custkey"])
+
+        return orders.map_batches(keep, batch_format="pyarrow")
+
+    def customers_with_orders(sf_dir):
+        """Semi join (EXISTS): each customer emitted once iff a filtered
+        order matches — relational.hash_join(how='semi')."""
+        from geo_index_ray.pipelines import relational
+
+        cust = tables.read_table(sf_dir, "customer", columns=["c_custkey"])
+        return relational.hash_join(
+            cust, _filtered_orders(sf_dir), "c_custkey", "o_custkey",
+            ["c_custkey"], [], how="semi",
+        )
+
+    q["customers_with_orders"] = customers_with_orders
+
+    def customers_without_orders(sf_dir):
+        """Anti join (NOT EXISTS) — relational.hash_join(how='anti')."""
+        from geo_index_ray.pipelines import relational
+
+        cust = tables.read_table(sf_dir, "customer", columns=["c_custkey"])
+        return relational.hash_join(
+            cust, _filtered_orders(sf_dir), "c_custkey", "o_custkey",
+            ["c_custkey"], [], how="anti",
+        )
+
+    q["customers_without_orders"] = customers_without_orders
+
     return q
 
 
@@ -1921,6 +1957,18 @@ def oracle_sql() -> dict[str, str]:
           SELECT o_custkey, o_orderpriority FROM orders
           WHERE o_orderkey % 7 = 0
         ) o ON c_custkey = o_custkey
+    """
+
+    sql["customers_with_orders"] = """
+        SELECT c_custkey FROM customer WHERE EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderkey % 7 = 0)
+    """
+
+    sql["customers_without_orders"] = """
+        SELECT c_custkey FROM customer WHERE NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderkey % 7 = 0)
     """
 
     return sql

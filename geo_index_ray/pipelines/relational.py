@@ -38,18 +38,24 @@ def _key_rkey(keys: np.ndarray, R: int) -> np.ndarray:
 def hash_join(left, right, left_key: str, right_key: str,
               left_cols: list[str], right_cols: list[str],
               how: str = "inner"):
-    """Equi-join of two Datasets on an int64 key (``how`` = "inner" or
-    "left").
+    """Equi-join of two Datasets on an int64 key (``how`` = "inner",
+    "left", "semi", or "anti").
 
     Output columns: ``left_cols + right_cols`` (the key columns are
     included only if listed).  Many-to-many semantics, exact; "left"
-    emits unmatched left rows with nulls in the right columns.  The
+    emits unmatched left rows with nulls in the right columns; "semi" /
+    "anti" emit each left row at most once (EXISTS / NOT EXISTS — pass
+    ``right_cols=[]``).  The
     exchange carries only the listed columns plus (key, side, rkey);
     reducers zip both sides with one argsort + two searchsorteds —
     no per-key Python.
     """
-    if how not in ("inner", "left"):
-        raise ValueError(f"hash_join: how must be 'inner' or 'left', got {how!r}")
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(
+            f"hash_join: how must be one of inner/left/semi/anti, got {how!r}"
+        )
+    if how in ("semi", "anti") and right_cols:
+        raise ValueError(f"hash_join: right_cols must be empty for how={how!r}")
     R = reducer_count()
     all_cols = list(dict.fromkeys(left_cols + right_cols))
     # typed nulls for the tagged union (untyped pa.nulls would give the
@@ -99,7 +105,7 @@ def hash_join(left, right, left_key: str, right_key: str,
                 {c: g[c].to_numpy()[:0] for c in all_cols}
             )
 
-        if len(li) == 0 or (how == "inner" and len(ri) == 0):
+        if len(li) == 0 or (how in ("inner", "semi") and len(ri) == 0):
             return empty()
         rk = k[ri]
         rsort = np.argsort(rk, kind="stable")
@@ -107,6 +113,14 @@ def hash_join(left, right, left_key: str, right_key: str,
         lo = np.searchsorted(rks, k[li], side="left")
         hi = np.searchsorted(rks, k[li], side="right")
         counts = hi - lo
+        if how in ("semi", "anti"):
+            keep = (counts > 0) if how == "semi" else (counts == 0)
+            pick = li[keep]
+            out = {c: g[c].to_numpy()[pick] for c in left_cols}
+            for c, v in out.items():
+                if pa.types.is_integer(types[c]) and v.dtype.kind == "f":
+                    out[c] = v.astype(np.int64)
+            return pd.DataFrame(out)
         if how == "left":
             # unmatched left rows still emit once, with a null right side
             counts = np.maximum(counts, 1)

@@ -93,6 +93,34 @@ class TestHashJoin:
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
         assert got["rname"].isna().sum() > 0  # unmatched rows exist
 
+    def test_semi_and_anti_partition_left(self):
+        import ray.data
+
+        from geo_index_ray.pipelines import relational
+
+        rng = np.random.default_rng(13)
+        left = pd.DataFrame(
+            {
+                "lid": np.arange(1500, dtype=np.int64),
+                "k": rng.integers(0, 400, 1500),
+            }
+        )
+        right = pd.DataFrame({"k2": rng.integers(0, 200, 600)})
+        lds = ray.data.from_pandas(left).repartition(4)
+        rds = ray.data.from_pandas(right).repartition(3)
+        semi = relational.hash_join(
+            lds, rds, "k", "k2", ["lid", "k"], [], how="semi"
+        ).to_pandas()
+        anti = relational.hash_join(
+            lds, rds, "k", "k2", ["lid", "k"], [], how="anti"
+        ).to_pandas()
+        in_right = set(right["k2"].tolist())
+        want_semi = set(left.loc[left["k"].isin(in_right), "lid"])
+        want_anti = set(left.loc[~left["k"].isin(in_right), "lid"])
+        assert set(semi["lid"]) == want_semi
+        assert set(anti["lid"]) == want_anti
+        assert len(semi) + len(anti) == len(left)  # each row exactly once
+
     def test_disjoint_keys_empty(self):
         import ray.data
 
