@@ -199,7 +199,22 @@ def heavy_hitters(ds, text_col: str, k: int):
     totals = partials.groupby("token").sum("cnt").rename_columns(
         {"sum(cnt)": "cnt"}
     )
-    return totals.sort(["cnt", "token"], descending=[True, False]).limit(k)
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        # counts are final after the groupby, so the global top-k is a
+        # subset of each block's top-k — the final sort sees ~k rows per
+        # block instead of the whole vocabulary.  Keep ALL rows tied at
+        # the k-th count: the (cnt DESC, token ASC) tie-break belongs to
+        # the final sort, and dropping a tied token here could drop the
+        # global winner.
+        cnt = batch["cnt"].to_numpy()
+        if len(cnt) <= k:
+            return batch
+        kth = -np.partition(-cnt, k - 1)[k - 1]
+        return batch.filter(pa.array(cnt >= kth))
+
+    pruned = totals.map_batches(block_topk, batch_format="pyarrow")
+    return pruned.sort(["cnt", "token"], descending=[True, False]).limit(k)
 
 
 # -- Gopher-style repetition quality gates -----------------------------------
