@@ -310,7 +310,10 @@ class TestExtractTextProperties:
         from geo_index_ray.pipelines import webtext as wt
 
         plain = st.text(
-            alphabet=st.characters(blacklist_characters="<>&"),
+            alphabet=st.characters(
+                blacklist_characters="<>&",
+                blacklist_categories=("Cs",),  # no lone surrogates
+            ),
             max_size=120,
         )
 
