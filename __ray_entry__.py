@@ -1131,6 +1131,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["customers_without_orders"] = customers_without_orders
 
+    def docs_with_source_stats(sf_dir):
+        """String-key hash join — the per-domain-stats-joined-back-to-
+        pages pattern: aggregate documents per source, then attach the
+        count to every document of that source (the key itself rides the
+        exchange, so the join is exact, not hash-trusting)."""
+        import pyarrow.compute as pc
+
+        from geo_index_ray.pipelines import relational
+
+        docs = tables.read_table(sf_dir, "documents", columns=["doc_id", "source"])
+        stats = (
+            tables.read_table(sf_dir, "documents", columns=["source"])
+            .groupby("source")
+            .count()
+        )
+
+        def rn(batch: pa.Table) -> pa.Table:
+            i = batch.schema.get_field_index("count()")
+            return batch.set_column(
+                i, "n_docs", pc.cast(batch["count()"], pa.int64())
+            )
+
+        stats = stats.map_batches(rn, batch_format="pyarrow")
+        return relational.hash_join(
+            docs, stats, "source", "source", ["doc_id", "source"], ["n_docs"]
+        )
+
+    q["docs_with_source_stats"] = docs_with_source_stats
+
     return q
 
 
@@ -1969,6 +1998,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT c_custkey FROM customer WHERE NOT EXISTS (
           SELECT 1 FROM orders
           WHERE o_custkey = c_custkey AND o_orderkey % 7 = 0)
+    """
+
+    sql["docs_with_source_stats"] = """
+        SELECT d.doc_id, d.source, s.n_docs
+        FROM documents d JOIN (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY source
+        ) s ON d.source = s.source
     """
 
     return sql

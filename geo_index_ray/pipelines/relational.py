@@ -38,8 +38,8 @@ def _key_rkey(keys: np.ndarray, R: int) -> np.ndarray:
 def hash_join(left, right, left_key: str, right_key: str,
               left_cols: list[str], right_cols: list[str],
               how: str = "inner"):
-    """Equi-join of two Datasets on an int64 key (``how`` = "inner",
-    "left", "semi", or "anti").
+    """Equi-join of two Datasets on an int64 or string key (``how`` =
+    "inner", "left", "semi", or "anti").
 
     Output columns: ``left_cols + right_cols`` (the key columns are
     included only if listed).  Many-to-many semantics, exact; "left"
@@ -73,19 +73,35 @@ def hash_join(left, right, left_key: str, right_key: str,
         for name, typ in zip(sch.names, sch.types):
             types.setdefault(name, _pa_type(typ))
 
+    str_key = pa.types.is_string(types[left_key]) or pa.types.is_large_string(
+        types[left_key]
+    )
+
     def tag(key_col: str, cols: list[str], side: int):
         def fn(batch: pa.Table) -> pa.Table:
-            k = batch[key_col].to_numpy().astype(np.int64)
+            kc = batch[key_col]
+            if isinstance(kc, pa.ChunkedArray):
+                kc = kc.combine_chunks()
+            if str_key:
+                # the key itself rides the exchange (exact — the hash only
+                # routes); reducers group by the actual strings
+                from ..sources.pages import url_hash64
+
+                h = url_hash64(kc).view(np.int64)
+                rk, jk = _key_rkey(h, R), kc
+            else:
+                k = kc.to_numpy().astype(np.int64)
+                rk, jk = _key_rkey(k, R), pa.array(k)
             out = {
-                "rkey": pa.array(_key_rkey(k, R)),
-                "jk": pa.array(k),
-                "side": pa.array(np.full(len(k), side, dtype=np.int8)),
+                "rkey": pa.array(rk),
+                "jk": jk,
+                "side": pa.array(np.full(batch.num_rows, side, dtype=np.int8)),
             }
             for c in all_cols:
                 if c in cols:
                     out[c] = batch[c]
                 else:
-                    out[c] = pa.nulls(len(k), type=types[c])
+                    out[c] = pa.nulls(batch.num_rows, type=types[c])
             return pa.table(out)
 
         return fn

@@ -121,6 +121,44 @@ class TestHashJoin:
         assert set(anti["lid"]) == want_anti
         assert len(semi) + len(anti) == len(left)  # each row exactly once
 
+    def test_string_key_join_exact(self):
+        import ray.data
+
+        from geo_index_ray.pipelines import relational
+
+        rng = np.random.default_rng(21)
+        hosts = [f"host{i}.example.com" for i in range(40)]
+        left = pd.DataFrame(
+            {
+                "lid": np.arange(1200, dtype=np.int64),
+                "host": rng.choice(hosts, 1200),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "h2": hosts[:25],
+                "rank_val": np.arange(25, dtype=np.int64),
+            }
+        )
+        got = (
+            relational.hash_join(
+                ray.data.from_pandas(left).repartition(5),
+                ray.data.from_pandas(right).repartition(2),
+                "host", "h2", ["lid", "host"], ["rank_val"],
+            )
+            .to_pandas()
+            .sort_values(["lid"])
+            .reset_index(drop=True)
+        )
+        want = (
+            left.merge(right, left_on="host", right_on="h2")[
+                ["lid", "host", "rank_val"]
+            ]
+            .sort_values(["lid"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
     def test_disjoint_keys_empty(self):
         import ray.data
 
