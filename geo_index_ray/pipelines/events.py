@@ -426,8 +426,8 @@ def grouped_median(ds, key_col: str, value_col: str,
     DuckDB ``quantile_cont(0.5)``) is a cumulative-sum lookup.  A hot key
     is bounded by its distinct-value count, not its row count; for
     continuous never-repeating values this degenerates to the row count,
-    where an approximate quantile sketch (t-digest) is the documented
-    trade — this operator keeps the exact contract.
+    where ``grouped_quantiles_sketch`` (below) is the opt-in trade —
+    this operator keeps the exact contract.
     """
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -524,3 +524,93 @@ def grouped_percentiles(ds, key_col: str, value_col: str,
         return pa.table(out)
 
     return partials.groupby(key_col).map_groups(pct, batch_format="pyarrow")
+
+
+# -- approximate quantiles for continuous hot keys ---------------------------
+
+
+def _sketch_compress(codes, v, w, delta):
+    """Equi-weight compression: per key, bin rows by center-of-mass rank
+    into ≤ delta weighted centroids.  Vectorized across ALL keys in one
+    pass (sort → grouped cumsum → bincount); deterministic.
+
+    Returns (codes', means', weights') with codes' ascending.
+    """
+    order = np.lexsort((v, codes))
+    c_s, v_s, w_s = codes[order], v[order], w[order]
+    tot = np.bincount(c_s, weights=w_s)
+    cum = np.cumsum(w_s)
+    first = np.searchsorted(c_s, c_s, side="left")
+    base = cum[first] - w_s[first]
+    center = cum - base - w_s / 2.0
+    width = np.maximum(tot[c_s], 1e-300) / delta
+    bucket = np.minimum((center / width).astype(np.int64), delta - 1)
+    gid = c_s * delta + bucket
+    uniq, inv = np.unique(gid, return_inverse=True)
+    ws = np.bincount(inv, weights=w_s)
+    wv = np.bincount(inv, weights=w_s * v_s)
+    return (uniq // delta).astype(np.int64), wv / ws, ws
+
+
+def grouped_quantiles_sketch(ds, key_col: str, value_col: str,
+                             qs=(0.5, 0.9, 0.99), delta: int = 256):
+    """APPROXIMATE per-key quantiles with bounded reducer state — the
+    documented trade for continuous never-repeating values where the
+    exact distinct-value combiner (``grouped_percentiles``) degenerates
+    to the row count.
+
+    Mergeable equi-weight sketch: each batch compresses every key to
+    ≤ ``delta`` weighted centroids (rank width ``W/delta``), the shuffle
+    carries centroid rows only, and the reducer re-compresses the merged
+    centroids — per-key state is O(delta) regardless of row count, and
+    rank error is bounded by ~1/delta.  Deterministic under any
+    partitioning of equal batches; NOT oracle-gated (approximate by
+    design — tests pin the rank-error bound against exact numpy).
+    Returns one row per key: (key, q_<q> …, n_events).
+    """
+    names = [f"q_{str(q).replace('0.', '')}" for q in qs]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        dic = pc.dictionary_encode(keys)
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        w = np.ones(len(v), dtype=np.float64)
+        cc, mm, ww = _sketch_compress(codes, v, w, delta)
+        karr = dic.dictionary.take(pa.array(cc))
+        return pa.table(
+            {
+                key_col: karr,
+                "c_mean": pa.array(mm),
+                "c_w": pa.array(ww),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def final(g: pa.Table) -> pa.Table:
+        m = g["c_mean"].to_numpy(zero_copy_only=False)
+        w = g["c_w"].to_numpy(zero_copy_only=False)
+        codes = np.zeros(len(m), dtype=np.int64)
+        _, mm, ww = _sketch_compress(codes, m, w, delta)
+        cum = np.cumsum(ww)
+        n = cum[-1]
+        centers = cum - ww / 2.0
+        out = {key_col: g[key_col].slice(0, 1)}
+        for q, name in zip(qs, names):
+            t = q * n
+            i = np.searchsorted(centers, t)
+            if i == 0:
+                est = mm[0]
+            elif i >= len(mm):
+                est = mm[-1]
+            else:
+                f = (t - centers[i - 1]) / max(centers[i] - centers[i - 1], 1e-300)
+                est = mm[i - 1] * (1.0 - f) + mm[i] * f
+            out[name] = pa.array([float(est)], pa.float64())
+        out["n_events"] = pa.array([int(round(n))], pa.int64())
+        return pa.table(out)
+
+    return partials.groupby(key_col).map_groups(final, batch_format="pyarrow")

@@ -559,3 +559,76 @@ class TestKnnPartitioned:
             knn_pipe.knn(ds, np.array([[0.0, 0.0]]), 2, id_col="tid")
         ).sort_values("rank")
         assert got["target_id"].tolist() == [1, 2]
+
+
+class TestGroupedQuantilesSketch:
+    def test_rank_error_bounded_on_continuous_values(self, ray_session):
+        import ray.data
+
+        from geo_index_ray.pipelines import events
+
+        rng = np.random.default_rng(17)
+        n = 60_000
+        df = pd.DataFrame(
+            {
+                "k": rng.choice(["a", "b", "c"], n),
+                "v": rng.standard_normal(n) * 10.0 + rng.integers(0, 3, n) * 5,
+            }
+        )
+        ds = ray.data.from_pandas(df).repartition(8)
+        out = (
+            events.grouped_quantiles_sketch(ds, "k", "v", qs=(0.5, 0.9), delta=256)
+            .to_pandas()
+            .set_index("k")
+        )
+        for key, grp in df.groupby("k"):
+            vals = np.sort(grp["v"].to_numpy())
+            for q, col in [(0.5, "q_5"), (0.9, "q_9")]:
+                est = out.loc[key, col]
+                # rank of the estimate must be within ~2/delta of q
+                rank = np.searchsorted(vals, est) / len(vals)
+                assert abs(rank - q) < 2.5 / 256 + 0.01, (key, q, rank)
+            assert out.loc[key, "n_events"] == len(grp)
+
+    def test_deterministic_under_repartition(self, ray_session):
+        import ray.data
+
+        from geo_index_ray.pipelines import events
+
+        rng = np.random.default_rng(23)
+        df = pd.DataFrame(
+            {
+                "k": rng.choice(["x", "y"], 5000),
+                "v": rng.standard_normal(5000),
+            }
+        )
+        # identical BATCHES (not just rows) → identical sketches
+        a = (
+            events.grouped_quantiles_sketch(
+                ray.data.from_pandas(df).repartition(6), "k", "v"
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        b = (
+            events.grouped_quantiles_sketch(
+                ray.data.from_pandas(df).repartition(6), "k", "v"
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_compress_bounds_centroids(self):
+        from geo_index_ray.pipelines.events import _sketch_compress
+
+        rng = np.random.default_rng(3)
+        codes = np.zeros(100_000, dtype=np.int64)
+        v = rng.standard_normal(100_000)
+        w = np.ones(100_000)
+        cc, mm, ww = _sketch_compress(codes, v, w, 128)
+        assert len(mm) <= 128
+        assert abs(ww.sum() - 100_000) < 1e-6
+        assert (np.diff(mm) >= 0).all()  # centroid means ascending
