@@ -1160,6 +1160,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["docs_with_source_stats"] = docs_with_source_stats
 
+    def top_bigrams(sf_dir):
+        """Corpus-wide top-20 word bigrams (contamination/boilerplate
+        check shape) — webtext.heavy_hitter_bigrams; only (bigram,
+        partial count) rows shuffle."""
+        ds = tables.read_table(sf_dir, "documents", columns=["text"])
+        return webtext_pipe.heavy_hitter_bigrams(ds, "text", k=20)
+
+    q["top_bigrams"] = top_bigrams
+
     return q
 
 
@@ -2006,6 +2015,25 @@ def oracle_sql() -> dict[str, str]:
           SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
           FROM documents GROUP BY source
         ) s ON d.source = s.source
+    """
+
+    sql["top_bigrams"] = r"""
+        WITH toks AS (
+          SELECT doc_id, tok, ord FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '\s+')) AS tok,
+                   generate_subscripts(
+                     string_split_regex(lower(text), '\s+'), 1) AS ord
+            FROM documents)
+          WHERE tok <> ''),
+        seq AS (
+          SELECT doc_id, tok,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ord) AS rn
+          FROM toks)
+        SELECT a.tok || ' ' || b.tok AS bigram,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM seq a JOIN seq b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+        GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 20
     """
 
     return sql

@@ -217,6 +217,60 @@ def heavy_hitters(ds, text_col: str, k: int):
     return pruned.sort(["cnt", "token"], descending=[True, False]).limit(k)
 
 
+def heavy_hitter_bigrams(ds, text_col: str, k: int):
+    """Corpus-wide top-k word BIGRAMS ("tok1 tok2", lowercased; empty
+    tokens removed before pairing) — the n-gram analog of
+    ``heavy_hitters``, the shape contamination / boilerplate checks use.
+
+    Per-batch combiner: adjacency is computed on the flattened token
+    buffer (two zero-copy slices + one join kernel — no per-row
+    Python); only (bigram, partial count) rows shuffle.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(
+            pc.utf8_lower(batch[text_col]), r"\s+"
+        )
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        parents = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        wlens, _, _ = _string_views(flat)
+        nonempty = wlens > 0
+        f = flat.filter(pa.array(nonempty))
+        p = parents[nonempty]
+        if len(f) < 2:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        adjacent = p[1:] == p[:-1]
+        bigrams = pc.binary_join_element_wise(
+            f.slice(0, len(f) - 1), f.slice(1), " "
+        ).filter(pa.array(adjacent))
+        dic = pc.dictionary_encode(bigrams)
+        codes = dic.indices.to_numpy(zero_copy_only=False)
+        cnt = np.bincount(codes, minlength=len(dic.dictionary))
+        return pa.table(
+            {"bigram": dic.dictionary, "cnt": pa.array(cnt.astype(np.int64))}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    totals = partials.groupby("bigram").sum("cnt").rename_columns(
+        {"sum(cnt)": "cnt"}
+    )
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        cnt = batch["cnt"].to_numpy()
+        if len(cnt) <= k:
+            return batch
+        kth = -np.partition(-cnt, k - 1)[k - 1]
+        return batch.filter(pa.array(cnt >= kth))
+
+    pruned = totals.map_batches(block_topk, batch_format="pyarrow")
+    return pruned.sort(["cnt", "bigram"], descending=[True, False]).limit(k)
+
+
 # -- Gopher-style repetition quality gates -----------------------------------
 
 

@@ -108,6 +108,43 @@ class TestHeavyHitters:
         )
 
 
+class TestHeavyHitterBigrams:
+    def test_matches_counter(self):
+        import ray.data
+
+        from geo_index_ray.pipelines import webtext as wt
+
+        df = _docs_df(300)
+        ds = ray.data.from_pandas(df).repartition(6)
+        got = wt.heavy_hitter_bigrams(ds, "text", 5).to_pandas()
+        from collections import Counter
+
+        c = Counter()
+        for t in df["text"]:
+            toks = [x for x in t.lower().split() if x]
+            c.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+        want = (
+            pd.DataFrame(c.items(), columns=["bigram", "cnt"])
+            .sort_values(["cnt", "bigram"], ascending=[False, True])
+            .head(5)
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want, check_dtype=False
+        )
+
+    def test_no_cross_document_bigrams(self):
+        import ray.data
+
+        from geo_index_ray.pipelines import webtext as wt
+
+        df = pd.DataFrame({"text": ["aa bb", "cc dd"]})
+        got = wt.heavy_hitter_bigrams(
+            ray.data.from_pandas(df), "text", 10
+        ).to_pandas()
+        assert set(got["bigram"]) == {"aa bb", "cc dd"}
+
+
 class TestRepetitionStats:
     def test_gates_and_fractions(self):
         import ray.data
