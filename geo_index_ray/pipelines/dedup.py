@@ -21,21 +21,22 @@ _P61 = np.uint64((1 << 61) - 1)
 
 
 def _text_hash64(texts) -> np.ndarray:
-    """Stable 64-bit FNV-1a per text (vectorized padded-matrix loop)."""
-    enc = [t.encode() if t else b"" for t in texts]
-    n = len(enc)
-    if n == 0:
-        return np.empty(0, dtype=np.uint64)
-    maxlen = max(1, max(len(t) for t in enc))
-    mat = np.frombuffer(b"".join(t.ljust(maxlen, b"\x00") for t in enc), dtype=np.uint8)
-    mat = mat.reshape(n, maxlen).astype(np.uint64)
-    lens = np.array([len(t) for t in enc])
-    h = np.full(n, np.uint64(0xCBF29CE484222325), dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        for col in range(maxlen):
-            active = col < lens
-            h = np.where(active, (h ^ mat[:, col]) * np.uint64(1099511628211), h)
-    return h
+    """Stable 64-bit FNV-1a per text, computed off Arrow string buffers.
+
+    Accepts an Arrow string array (zero-copy path) or a list of Python
+    strings.  Work is sum(len) via the length-descending live-prefix pass
+    in ``text._fnv1a_ragged`` — no (rows × longest_doc) padded matrix, so
+    one 10 MB outlier in a 4k-row batch costs 10 MB of reads, not 40 GB
+    of temporaries.
+    """
+    from .text import _fnv1a_ragged, _string_views
+
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        arr = texts
+    else:
+        arr = pa.array([t if t is not None else "" for t in texts], pa.string())
+    lens, starts, values = _string_views(arr)
+    return _fnv1a_ragged(lens, starts, values)
 
 
 def exact_dedup(ds, id_col: str, text_col: str = "text"):
@@ -50,7 +51,7 @@ def exact_dedup(ds, id_col: str, text_col: str = "text"):
     R = reducer_count()
 
     def to_hash(batch: pa.Table) -> pa.Table:
-        h = _text_hash64(batch[text_col].to_pylist())
+        h = _text_hash64(batch[text_col])
         return pa.table(
             {
                 "rkey": pa.array(((h >> np.uint64(3)) % np.uint64(R)).astype(np.int64)),
@@ -536,25 +537,35 @@ def minhash_dedup(
 def simhash_stage(id_col: str, text_col: str = "text"):
     """Stage: (id, simhash int64) — sign aggregate of token hashes.
 
-    Vectorized batch-wide: every token of every row hashes in ONE padded
-    byte-matrix pass; per-row bit votes come from a cumulative-sum
-    difference over the flat token axis (handles empty rows exactly) —
-    no per-document Python in the hot path.
+    All-Arrow tokenization (``split_pattern_regex`` + list_parent_indices,
+    mirroring ``text._doc_term_tf``) and ragged-buffer token hashing; per-row
+    bit votes come from a cumulative-sum difference over the flat token axis
+    (handles empty rows exactly) — no per-document Python in the hot path.
     """
+    import pyarrow.compute as pc
+
+    from .text import _fnv1a_ragged, _string_views
+
     shifts = np.arange(64, dtype=np.uint64)
 
     def fn(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy().astype(np.int64)
         n = len(ids)
-        tok_lists = [(t or "").split() for t in batch[text_col].to_pylist()]
-        counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
-        flat = [tok for toks in tok_lists for tok in toks]
+        words = pc.split_pattern_regex(pc.fill_null(batch[text_col], ""), r"\s+")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        parents = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        wlens, wstarts, wvalues = _string_views(flat)
+        keep = wlens > 0  # regex split emits empties at string edges; str.split drops them
         out = np.zeros(n, dtype=np.uint64)
-        if flat:
-            th = _text_hash64(flat)
+        n_tok = int(keep.sum())
+        if n_tok:
+            th = _fnv1a_ragged(wlens[keep], wstarts[keep], wvalues)
+            counts = np.bincount(parents[keep], minlength=n).astype(np.int64)
             bits = ((th[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
             signs = 2 * bits - 1  # (n_tokens, 64)
-            cum = np.zeros((len(flat) + 1, 64), dtype=np.int64)
+            cum = np.zeros((n_tok + 1, 64), dtype=np.int64)
             np.cumsum(signs, axis=0, out=cum[1:])
             ends = np.cumsum(counts)
             starts = ends - counts

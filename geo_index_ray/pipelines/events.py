@@ -570,6 +570,22 @@ def grouped_quantiles_sketch(ds, key_col: str, value_col: str,
     """
     names = [f"q_{str(q).replace('0.', '')}" for q in qs]
 
+    from ..stages.util import coalesce_for_shuffle, reducer_count
+
+    R = reducer_count()
+    _GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def _rkey_of(karr: pa.Array) -> np.ndarray:
+        if pa.types.is_string(karr.type) or pa.types.is_large_string(karr.type):
+            from ..sources.pages import url_hash64
+
+            h = url_hash64(karr)
+        else:
+            with np.errstate(over="ignore"):
+                h = (karr.to_numpy(zero_copy_only=False).astype(np.int64)
+                     .view(np.uint64) * _GOLD) >> np.uint64(33)
+        return ((h % np.uint64(R)).astype(np.int64))
+
     def partial(batch: pa.Table) -> pa.Table:
         keys = batch[key_col]
         if isinstance(keys, pa.ChunkedArray):
@@ -582,35 +598,59 @@ def grouped_quantiles_sketch(ds, key_col: str, value_col: str,
         karr = dic.dictionary.take(pa.array(cc))
         return pa.table(
             {
+                "rkey": pa.array(_rkey_of(karr)),
                 key_col: karr,
                 "c_mean": pa.array(mm),
                 "c_w": pa.array(ww),
             }
         )
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    partials = coalesce_for_shuffle(
+        ds.map_batches(partial, batch_format="pyarrow"), 0.25
+    )
 
-    def final(g: pa.Table) -> pa.Table:
+    # coarse-key merge (rule 3): centroid rows shuffle under
+    # hash(key) % R and a reducer re-compresses ALL of its keys in one
+    # multi-key _sketch_compress pass, then reads the quantiles off a
+    # (keys × delta) padded rank matrix — zero per-key interpreter calls,
+    # so 10^6+-key workloads keep the same shape.
+    def final_many(g: pa.Table) -> pa.Table:
+        keys = g[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        dic = pc.dictionary_encode(keys)
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         m = g["c_mean"].to_numpy(zero_copy_only=False)
         w = g["c_w"].to_numpy(zero_copy_only=False)
-        codes = np.zeros(len(m), dtype=np.int64)
-        _, mm, ww = _sketch_compress(codes, m, w, delta)
-        cum = np.cumsum(ww)
-        n = cum[-1]
-        centers = cum - ww / 2.0
-        out = {key_col: g[key_col].slice(0, 1)}
+        cc, mm, ww = _sketch_compress(codes, m, w, delta)
+        nk = len(dic.dictionary)
+        counts = np.bincount(cc, minlength=nk)
+        seg_start = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        idx_in_key = np.arange(len(cc)) - seg_start[cc]
+        cumw = np.cumsum(ww)
+        base = cumw[seg_start] - ww[seg_start]
+        centers = cumw - base[cc] - ww / 2.0
+        n_key = np.bincount(cc, weights=ww, minlength=nk)
+        cmat = np.full((nk, delta), np.inf)
+        mmat = np.zeros((nk, delta))
+        cmat[cc, idx_in_key] = centers
+        mmat[cc, idx_in_key] = mm
+        last = np.maximum(counts - 1, 0)
+        out = {key_col: dic.dictionary}
+        rows = np.arange(nk)
         for q, name in zip(qs, names):
-            t = q * n
-            i = np.searchsorted(centers, t)
-            if i == 0:
-                est = mm[0]
-            elif i >= len(mm):
-                est = mm[-1]
-            else:
-                f = (t - centers[i - 1]) / max(centers[i] - centers[i - 1], 1e-300)
-                est = mm[i - 1] * (1.0 - f) + mm[i] * f
-            out[name] = pa.array([float(est)], pa.float64())
-        out["n_events"] = pa.array([int(round(n))], pa.int64())
+            t = q * n_key
+            i = (cmat < t[:, None]).sum(axis=1)  # searchsorted left, per key
+            lo_i = np.clip(i - 1, 0, last)
+            hi_i = np.clip(i, 0, last)
+            c_lo = cmat[rows, lo_i]
+            c_hi = cmat[rows, hi_i]
+            f = (t - c_lo) / np.maximum(c_hi - c_lo, 1e-300)
+            est = mmat[rows, lo_i] * (1.0 - f) + mmat[rows, hi_i] * f
+            est = np.where(i == 0, mmat[rows, 0], est)
+            est = np.where(i > last, mmat[rows, last], est)
+            out[name] = pa.array(est, pa.float64())
+        out["n_events"] = pa.array(np.round(n_key).astype(np.int64))
         return pa.table(out)
 
-    return partials.groupby(key_col).map_groups(final, batch_format="pyarrow")
+    return partials.groupby("rkey").map_groups(final_many, batch_format="pyarrow")

@@ -65,17 +65,178 @@ def _head_bytes(lens, starts, values, k: int) -> np.ndarray:
     return np.where(valid, values[safe], 0).astype(np.uint8)
 
 
+# JPEG start-of-frame markers (FF Cx) that carry dimensions — C4 (DHT),
+# C8 (JPG extension) and CC (DAC) are tables, not frames
+_JPEG_SOF = np.array(
+    [0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+     0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF],
+    dtype=np.uint8,
+)
+
+
+def parse_image_headers(lens, starts, values):
+    """(format, width, height) per payload — REAL container-header parsing
+    in pure numpy, no image library:
+
+    - PNG: 8-byte magic, then the IHDR chunk is mandatory-first, so width
+      and height are the big-endian u32 at byte offsets 16 and 20.
+    - GIF (87a/89a): logical-screen width/height are little-endian u16 at
+      offsets 6 and 8.
+    - JPEG: dimensions live in the first SOFn segment at a variable
+      offset.  One vectorized scan marks every ``FF Cx`` (SOF set) in the
+      whole batch's value buffer; each payload takes its first in-span
+      hit (entropy-coded data cannot contain FF C0..CF — FF is escaped as
+      FF 00 / RSTn — so the first SOF in the stream is the frame header).
+      Height/width are big-endian u16 at marker offsets +5 / +7.
+
+    Unrecognized payloads get format "unknown" and 0×0.  Everything is a
+    batch-wide numpy pass; no per-row Python.
+    """
+    n = len(lens)
+    head = _head_bytes(lens, starts, values, 24)
+    fmt = np.zeros(n, dtype=np.int8)  # 0 unknown, 1 png, 2 gif, 3 jpeg
+    w = np.zeros(n, dtype=np.int64)
+    h = np.zeros(n, dtype=np.int64)
+
+    png = (
+        (lens >= 24)
+        & (head[:, 0] == 0x89) & (head[:, 1] == 0x50)
+        & (head[:, 2] == 0x4E) & (head[:, 3] == 0x47)
+        & (head[:, 12] == ord("I")) & (head[:, 13] == ord("H"))
+        & (head[:, 14] == ord("D")) & (head[:, 15] == ord("R"))
+    )
+    be32 = lambda m, o: (  # noqa: E731
+        m[:, o].astype(np.int64) << 24 | m[:, o + 1].astype(np.int64) << 16
+        | m[:, o + 2].astype(np.int64) << 8 | m[:, o + 3].astype(np.int64)
+    )
+    fmt[png] = 1
+    w[png] = be32(head, 16)[png]
+    h[png] = be32(head, 20)[png]
+
+    gif = (
+        (lens >= 10) & ~png
+        & (head[:, 0] == ord("G")) & (head[:, 1] == ord("I"))
+        & (head[:, 2] == ord("F")) & (head[:, 3] == ord("8"))
+        & ((head[:, 4] == ord("7")) | (head[:, 4] == ord("9")))
+        & (head[:, 5] == ord("a"))
+    )
+    fmt[gif] = 2
+    w[gif] = (head[:, 6].astype(np.int64) | head[:, 7].astype(np.int64) << 8)[gif]
+    h[gif] = (head[:, 8].astype(np.int64) | head[:, 9].astype(np.int64) << 8)[gif]
+
+    jpeg = (lens >= 2) & ~png & ~gif & (head[:, 0] == 0xFF) & (head[:, 1] == 0xD8)
+    fmt[jpeg] = 3  # dimensions stay 0×0 unless an SOF segment is found
+    if jpeg.any() and len(values) >= 2:
+        sof_pos = np.nonzero(
+            (values[:-1] == 0xFF) & np.isin(values[1:], _JPEG_SOF)
+        )[0]
+        if len(sof_pos) == 0:
+            names = np.array(["unknown", "png", "gif", "jpeg"])
+            return names[fmt], w, h
+        # first in-span SOF per payload: the span must leave 9 bytes for
+        # the marker + length + precision + height + width fields
+        first = np.searchsorted(sof_pos, starts, side="left")
+        have = jpeg & (first < len(sof_pos))
+        first_c = np.minimum(first, max(len(sof_pos) - 1, 0))
+        p = sof_pos[first_c]
+        have &= p + 9 <= starts + lens
+        pj = p[have]
+        h[have] = values[pj + 5].astype(np.int64) << 8 | values[pj + 6]
+        w[have] = values[pj + 7].astype(np.int64) << 8 | values[pj + 8]
+    names = np.array(["unknown", "png", "gif", "jpeg"])
+    return names[fmt], w, h
+
+
+def synth_image_payloads(ids: np.ndarray) -> pa.Array:
+    """Deterministic per-id image payloads with REAL container headers
+    (no image library): format cycles png/gif/jpeg by ``ids % 3``; planted
+    dimensions are ``width = ids % 509 + 1`` and ``height = ids % 251 + 1``
+    so an SQL oracle can recompute what a correct header parse extracts.
+    Fully vectorized — per-format fixed-length templates scattered into
+    one flat value buffer."""
+    ids = np.asarray(ids, dtype=np.int64)
+    n = len(ids)
+    f = (ids % 3).astype(np.int64)
+    w = (ids % 509 + 1).astype(np.int64)
+    h = (ids % 251 + 1).astype(np.int64)
+    sizes = np.array([33, 13, 35], dtype=np.int64)[f]
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(sizes, out=offs[1:])
+    vals = np.zeros(int(offs[-1]), dtype=np.uint8)
+
+    def _scatter(rows, tpl):
+        if len(rows) == 0:
+            return
+        width = tpl.shape[1]
+        idx = offs[rows][:, None] + np.arange(width)[None, :]
+        vals[idx.ravel()] = tpl.ravel()
+
+    rows = np.nonzero(f == 0)[0]  # PNG: magic + IHDR chunk + zero CRC pad
+    if len(rows):
+        tpl = np.zeros((len(rows), 33), dtype=np.uint8)
+        tpl[:, :16] = np.frombuffer(
+            b"\x89PNG\r\n\x1a\n\x00\x00\x00\x0dIHDR", dtype=np.uint8
+        )
+        for j in range(4):
+            tpl[:, 16 + j] = (w[rows] >> (8 * (3 - j))) & 0xFF
+            tpl[:, 20 + j] = (h[rows] >> (8 * (3 - j))) & 0xFF
+        tpl[:, 24] = 8  # bit depth
+        tpl[:, 25] = 2  # truecolor
+        _scatter(rows, tpl)
+
+    rows = np.nonzero(f == 1)[0]  # GIF89a logical screen descriptor
+    if len(rows):
+        tpl = np.zeros((len(rows), 13), dtype=np.uint8)
+        tpl[:, :6] = np.frombuffer(b"GIF89a", dtype=np.uint8)
+        tpl[:, 6] = w[rows] & 0xFF
+        tpl[:, 7] = (w[rows] >> 8) & 0xFF
+        tpl[:, 8] = h[rows] & 0xFF
+        tpl[:, 9] = (h[rows] >> 8) & 0xFF
+        _scatter(rows, tpl)
+
+    rows = np.nonzero(f == 2)[0]  # JPEG: SOI + APP0(JFIF) + SOF0 + EOI
+    if len(rows):
+        tpl = np.zeros((len(rows), 35), dtype=np.uint8)
+        tpl[:, :22] = np.frombuffer(
+            b"\xff\xd8"                      # SOI
+            b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+            b"\xff\xc0",                     # SOF0 marker (segment continues)
+            dtype=np.uint8,
+        )
+        tpl[:, 22:24] = [0x00, 0x0B]         # SOF0 length: 8 + 1 component
+        tpl[:, 24] = 8                       # precision
+        tpl[:, 25] = (h[rows] >> 8) & 0xFF
+        tpl[:, 26] = h[rows] & 0xFF
+        tpl[:, 27] = (w[rows] >> 8) & 0xFF
+        tpl[:, 28] = w[rows] & 0xFF
+        tpl[:, 29] = 1                       # 1 component
+        tpl[:, 30:33] = [1, 0x11, 0]         # id, 1x1 sampling, qtable
+        tpl[:, 33:35] = [0xFF, 0xD9]         # EOI
+        _scatter(rows, tpl)
+
+    return pa.BinaryArray.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(offs.astype(np.int32).tobytes()),
+         pa.py_buffer(vals.tobytes())],
+    )
+
+
 class DecodeStage:
     """Actor-pool stage: binary payload → typed metadata/features.
 
     ``__init__`` is where the decoder loads once per actor; ``__call__``
     handles one (small) batch of payloads.
+
+    ``decode`` modes: "header" (REAL container-header parse, pure numpy —
+    see ``parse_image_headers``), "real" (full pixel decode via Pillow
+    when importable), "fake" (deterministic byte math, kept for plumbing
+    tests on non-image payloads).
     """
 
     def __init__(self, id_col: str, payload_col: str, decode: str = "fake"):
         self.id_col = id_col
         self.payload_col = payload_col
-        if decode not in ("fake", "real"):
+        if decode not in ("fake", "real", "header"):
             raise ValueError(decode)
         self.decode = decode
         self.pil = None
@@ -108,6 +269,17 @@ class DecodeStage:
                 if p:
                     with self.pil.open(io.BytesIO(p)) as im:
                         width[i], height[i] = im.size
+        elif self.decode == "header":
+            fmt, width, height = parse_image_headers(lens, starts, values)
+            return pa.table(
+                {
+                    self.id_col: pa.array(ids),
+                    "format": pa.array(fmt),
+                    "n_bytes": pa.array(lens.astype(np.int64)),
+                    "width": pa.array(width),
+                    "height": pa.array(height),
+                }
+            )
         else:
             # deterministic fake: pretend the first bytes are a header
             width = head[:, 0].astype(np.int64) * 16 + 64

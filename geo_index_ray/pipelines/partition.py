@@ -210,15 +210,50 @@ def _env_dist(qx, qy, mnx, mny, mxx, mxy):
     return dx * dx + dy * dy
 
 
+def _env_dist_metric(xy, env, metric: str):
+    """(queries × partitions) point-to-envelope distance in the metric's
+    own units — the same lower bound the reference's pluggable
+    ``distance_to_bbox`` gives its traversal (src/rtree/distance.rs:57-125,
+    haversine = great-circle meters to the clamped closest point)."""
+    if metric == "squared":
+        return _env_dist(
+            xy[:, 0], xy[:, 1],
+            env["min_x"], env["min_y"], env["max_x"], env["max_y"],
+        )
+    if metric == "euclidean":
+        return np.sqrt(
+            _env_dist(
+                xy[:, 0], xy[:, 1],
+                env["min_x"], env["min_y"], env["max_x"], env["max_y"],
+            )
+        )
+    if metric == "haversine":
+        from ..kernels import geom
+
+        # haversine_env_lower, not haversine_to_bbox: the clamped-point
+        # distance the reference uses inside trees is an UPPER bound of
+        # the spherical min distance, and partition envelopes are large
+        # enough for the gap to mis-prune true neighbors (measured: rank
+        # flips at nation-query scale).  The cross-track/latitude lower
+        # bound is provably ≤ every in-envelope distance.
+        return geom.haversine_env_lower(
+            xy[:, 0][:, None], xy[:, 1][:, None],
+            env["min_x"][None, :], env["min_y"][None, :],
+            env["max_x"][None, :], env["max_y"][None, :],
+        )
+    raise ValueError(f"unknown metric {metric!r}")
+
+
 class _PartitionKnnProbe:
     """Probe stage: each partition row runs the best-first kNN traversal
     (kernels.rtree.neighbors) for just the queries its envelope can still
     serve, per the broadcast plan.  Lazy plasma resolution."""
 
-    def __init__(self, state_ref, k: int):
+    def __init__(self, state_ref, k: int, metric: str = "squared"):
         self.state_ref = state_ref
         self.state = None
         self.k = k
+        self.metric = metric
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import ray
@@ -248,6 +283,7 @@ class _PartitionKnnProbe:
                     float(qy[qi]),
                     max_results=self.k,
                     max_distance=float(bounds[qi]),
+                    metric=self.metric,
                     return_distances=True,
                     tie_inclusive=True,
                 )
@@ -274,7 +310,8 @@ class _PartitionKnnProbe:
 
 def knn_partitioned(index_ds, query_xy: np.ndarray, k: int,
                     query_ids: np.ndarray | None = None,
-                    return_stats: bool = False):
+                    return_stats: bool = False,
+                    metric: str = "squared"):
     """Sub-linear global kNN through the two-level index (ring expansion).
 
     The partition-envelope table IS the top level of the global index
@@ -315,10 +352,7 @@ def knn_partitioned(index_ds, query_xy: np.ndarray, k: int,
     env = {c: np.concatenate(v) for c, v in env_cols.items()}
     pid = env["partition_id"].astype(np.int64)
     nonempty = env["num_items"].astype(np.int64) > 0
-    d_env = _env_dist(
-        xy[:, 0], xy[:, 1],
-        env["min_x"], env["min_y"], env["max_x"], env["max_y"],
-    )  # (nq, nparts)
+    d_env = _env_dist_metric(xy, env, metric)  # (nq, nparts), metric units
     d_env[:, ~nonempty] = np.inf
 
     def group_plan(part_col: np.ndarray, q_idx: np.ndarray):
@@ -348,7 +382,7 @@ def knn_partitioned(index_ds, query_xy: np.ndarray, k: int,
         )
         qs, ts, dd = [], [], []
         for b in index_ds.map_batches(
-            _PartitionKnnProbe(state_ref, k), batch_format="pyarrow"
+            _PartitionKnnProbe(state_ref, k, metric), batch_format="pyarrow"
         ).iter_batches(batch_format="pyarrow"):
             if b.num_rows:
                 qs.append(b["query_id"].to_numpy())
@@ -415,6 +449,198 @@ def knn_partitioned(index_ds, query_xy: np.ndarray, k: int,
             "probes_a": int(nq),
             "probes_b": int(n_probes_b),
         }
+    return out
+
+
+class _PartitionRadiusProbe:
+    """Probe stage for ``radius_partitioned``: each surviving partition
+    answers ALL of its planned queries with one batched frontier search
+    (kernels.rtree.search_batch), then refines candidates by exact metric
+    distance.  Target coordinates are recovered from the tree's own leaf
+    boxes (zero extra storage — a point's leaf box IS its coordinates)."""
+
+    def __init__(self, state_ref, radius: float, metric: str):
+        self.state_ref = state_ref
+        self.state = None
+        self.radius = radius
+        self.metric = metric
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        from ..kernels import geom, rtree
+
+        if self.state is None:
+            self.state = ray.get(self.state_ref)
+        plan = self.state["plan"]
+        qx, qy, qids = self.state["qx"], self.state["qy"], self.state["qids"]
+        r = self.radius
+        out_q, out_t = [], []
+        pids = batch["partition_id"].to_numpy().astype(np.int64)
+        for i in np.nonzero(np.isin(pids, self.state["pids"]))[0]:
+            qlist = plan[int(pids[i])]
+            buf = np.frombuffer(batch["index"][i].as_py(), dtype=np.uint8)
+            ids = np.frombuffer(batch["ids"][i].as_py(), dtype=np.int64)
+            meta, boxes, indices = rtree._attach(buf)
+            n_items = meta.num_items
+            if n_items == 0 or len(qlist) == 0:
+                continue
+            # leaf box (x, y, x, y) at slot s belongs to insertion index
+            # indices[s] — invert to coordinates-by-insertion-index
+            ins = indices[:n_items].astype(np.int64)
+            tx = np.empty(n_items, dtype=np.float64)
+            ty = np.empty(n_items, dtype=np.float64)
+            tx[ins] = boxes[0 : 4 * n_items : 4]
+            ty[ins] = boxes[1 : 4 * n_items : 4]
+            sx, sy = qx[qlist], qy[qlist]
+            if self.metric == "haversine":
+                # exact spherical-cap bounding box: Δφ = δ; Δλ =
+                # arcsin(sin δ / cos φ) (the cap's widest longitude is NOT
+                # at the query's latitude); a cap reaching a pole spans
+                # every longitude; windows crossing ±180 split into two
+                # disjoint boxes.  The exact haversine refine below keeps
+                # the window conservative-only.
+                delta = r / geom.EARTH_RADIUS
+                dlat = np.degrees(delta)
+                by0 = np.maximum(sy - dlat, -90.0)
+                by1 = np.minimum(sy + dlat, 90.0)
+                full = np.radians(np.abs(sy)) + delta >= np.pi / 2 - 1e-12
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    dl = np.degrees(
+                        np.arcsin(
+                            np.clip(
+                                np.sin(delta) / np.cos(np.radians(sy)), -1.0, 1.0
+                            )
+                        )
+                    )
+                bx0 = np.where(full, -180.0, sx - dl)
+                bx1 = np.where(full, 180.0, sx + dl)
+                src = [np.arange(len(sx))]
+                B0 = [np.maximum(bx0, -180.0)]
+                B1 = [np.minimum(bx1, 180.0)]
+                Y0, Y1 = [by0], [by1]
+                lo_wrap = (bx0 < -180.0) & ~full
+                if lo_wrap.any():
+                    w = np.nonzero(lo_wrap)[0]
+                    src.append(w)
+                    B0.append(bx0[w] + 360.0)
+                    B1.append(np.full(len(w), 180.0))
+                    Y0.append(by0[w])
+                    Y1.append(by1[w])
+                hi_wrap = (bx1 > 180.0) & ~full
+                if hi_wrap.any():
+                    w = np.nonzero(hi_wrap)[0]
+                    src.append(w)
+                    B0.append(np.full(len(w), -180.0))
+                    B1.append(bx1[w] - 360.0)
+                    Y0.append(by0[w])
+                    Y1.append(by1[w])
+                src = np.concatenate(src)
+                bx0, bx1 = np.concatenate(B0), np.concatenate(B1)
+                by0, by1 = np.concatenate(Y0), np.concatenate(Y1)
+            else:  # euclidean
+                bx0, bx1 = sx - r, sx + r
+                by0, by1 = sy - r, sy + r
+                src = np.arange(len(sx))
+            rq, hits = rtree.search_batch(buf, bx0, by0, bx1, by1)
+            if not len(hits):
+                continue
+            rq = src[rq]  # window → original query index within qlist
+            hi = hits.astype(np.int64)
+            hqx, hqy = sx[rq], sy[rq]
+            if self.metric == "haversine":
+                d = geom.haversine(hqx, hqy, tx[hi], ty[hi])
+            else:
+                d = np.sqrt(geom.sq_dist(hqx, hqy, tx[hi], ty[hi]))
+            keep = d <= r
+            kq = np.asarray(qlist)[rq[keep]]
+            kt = ids[hi[keep]]
+            # split wrap windows are disjoint, but dedup (query, target)
+            # defensively — a duplicated pair would break exact-set oracles
+            if len(kq):
+                u = np.unique(np.stack([kq, kt], axis=1), axis=0)
+                out_q.append(qids[u[:, 0]])
+                out_t.append(u[:, 1])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "target_id": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "target_id": pa.array(np.concatenate(out_t)),
+            }
+        )
+
+
+def radius_partitioned(index_ds, query_xy: np.ndarray, radius: float,
+                       query_ids: np.ndarray | None = None,
+                       metric: str = "euclidean",
+                       return_stats: bool = False):
+    """Within-radius search through the two-level index: partitions whose
+    ENVELOPE distance exceeds the radius are never deserialized (the
+    partition-envelope table is the global index's top level — the
+    ``within``-style radius analog of ``pruned_box_search``, with the
+    reference's metric pluggability, src/rtree/distance.rs:57-125, lifted
+    to the partition level).  ``metric`` is "euclidean" (degrees) or
+    "haversine" (great-circle meters).  Returns a Dataset
+    (query_id, target_id); with ``return_stats``, also
+    {partitions_total, probes}.
+    """
+    import ray
+
+    if metric not in ("euclidean", "haversine"):
+        raise ValueError(
+            f"radius_partitioned: metric must be euclidean/haversine, got {metric!r}"
+        )
+    xy = np.ascontiguousarray(query_xy, dtype=np.float64)
+    nq = len(xy)
+    if query_ids is None:
+        query_ids = np.arange(nq, dtype=np.int64)
+    query_ids = np.asarray(query_ids, dtype=np.int64)
+
+    index_ds = index_ds.materialize()
+    env_cols = {
+        c: []
+        for c in ("partition_id", "num_items", "min_x", "min_y", "max_x", "max_y")
+    }
+    for b in index_ds.select_columns(list(env_cols)).iter_batches(
+        batch_format="pyarrow"
+    ):
+        for c in env_cols:
+            env_cols[c].append(b[c].to_numpy(zero_copy_only=False))
+    env = {c: np.concatenate(v) for c, v in env_cols.items()}
+    pid = env["partition_id"].astype(np.int64)
+    nonempty = env["num_items"].astype(np.int64) > 0
+    d_env = _env_dist_metric(xy, env, metric)
+    d_env[:, ~nonempty] = np.inf
+
+    cand_q, cand_p = np.nonzero(d_env <= radius)
+    n_probes = len(cand_q)
+    order = np.argsort(cand_p, kind="stable")
+    p_s, q_s = cand_p[order], cand_q[order]
+    starts = np.r_[0, 1 + np.nonzero(p_s[1:] != p_s[:-1])[0]] if len(p_s) else np.empty(0, np.int64)
+    ends = np.r_[starts[1:], len(q_s)] if len(p_s) else np.empty(0, np.int64)
+    plan = {int(pid[p_s[s]]): q_s[s:e] for s, e in zip(starts, ends)}
+
+    state_ref = ray.put(
+        {
+            "plan": plan,
+            "pids": np.array(sorted(plan), dtype=np.int64),
+            "qx": xy[:, 0],
+            "qy": xy[:, 1],
+            "qids": query_ids,
+        }
+    )
+    out = index_ds.map_batches(
+        _PartitionRadiusProbe(state_ref, float(radius), metric),
+        batch_format="pyarrow",
+    )
+    if return_stats:
+        return out, {"partitions_total": int(len(pid)), "probes": n_probes}
     return out
 
 

@@ -4,13 +4,30 @@ The spatial/dedup layers all join through domain-specific machinery
 (cell shuffles, pair joins, anti-joins); these are the two generic
 building blocks a pipeline author reaches for directly:
 
-- ``hash_join`` — large × large inner equi-join: ONE tagged-union
-  exchange on ``hash(key) % reducer_count`` (coarse keys — rule 3),
-  then a vectorized sort + searchsorted many-to-many zip per reducer.
-  Only the projected columns enter the exchange (rule 1).
+- ``hash_join`` — large × large equi-join (inner/left/right/full/semi/
+  anti): ONE tagged-union exchange on ``hash(key) % reducer_count``
+  (coarse keys — rule 3), then a vectorized sort + searchsorted
+  many-to-many zip per reducer, executed entirely in Arrow.
 - ``broadcast_join`` — large × small inner equi-join: the small side is
   ``ray.put`` once (plasma caches per node — rule 4) and each batch
   resolves matches with two searchsorteds; no shuffle at all.
+
+Lean-exchange layout: the two sides of the union share TYPE-BUCKETED
+SLOT columns (``int64_0``, ``string_1``, …).  Each side writes its own
+projected columns into slots of the matching Arrow type; because a row
+belongs to exactly one side, the same physical slot carries a left
+column in left rows and a right column in right rows.  Exchanged width
+is therefore max(side widths) per type — NOT left+right — and the only
+null padding is the per-type count difference between the sides.  (A
+typed ``pa.nulls`` int64 column eagerly allocates its full 8 B/row data
+buffer — measured — so padding every row with the other side's full
+schema ships dead bytes through the exchange; this layout avoids that,
+the same fix stages/pairjoin.py applies to list payloads.)
+
+Reducers gather output columns with ``pa.Array.take`` on the slot
+columns — types survive exactly (an int64 id above 2^53 is never routed
+through pandas' float64 null widening) and null join-misses come from
+take-with-null-index, so every reducer emits one stable schema.
 
 Reference scope note: kylebarron/geo-index is an index library with no
 relational layer; these belong to the engine-added operators audited in
@@ -19,9 +36,11 @@ SURVEY.md §2.4/§2.5.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..stages.util import coalesce_for_shuffle, reducer_count
 
@@ -35,31 +54,35 @@ def _key_rkey(keys: np.ndarray, R: int) -> np.ndarray:
         ).astype(np.int64)
 
 
+def _type_key(t: pa.DataType) -> str:
+    return re.sub(r"[^A-Za-z0-9]+", "_", str(t))
+
+
 def hash_join(left, right, left_key: str, right_key: str,
               left_cols: list[str], right_cols: list[str],
               how: str = "inner"):
     """Equi-join of two Datasets on an int64 or string key (``how`` =
-    "inner", "left", "semi", or "anti").
+    "inner", "left", "right", "full", "semi", or "anti").
 
     Output columns: ``left_cols + right_cols`` (the key columns are
-    included only if listed).  Many-to-many semantics, exact; "left"
-    emits unmatched left rows with nulls in the right columns; "semi" /
-    "anti" emit each left row at most once (EXISTS / NOT EXISTS — pass
-    ``right_cols=[]``).  The
-    exchange carries only the listed columns plus (key, side, rkey);
-    reducers zip both sides with one argsort + two searchsorteds —
-    no per-key Python.
+    included only if listed; a name listed on both sides is emitted once,
+    coalesced left-then-right so outer rows keep their key).  Many-to-many
+    semantics, exact; "left"/"right"/"full" emit unmatched rows with nulls
+    in the other side's columns; "semi" / "anti" emit each left row at
+    most once (EXISTS / NOT EXISTS — pass ``right_cols=[]``).  The
+    exchange carries only (rkey, jk, side) + the shared slot columns (see
+    module docstring); reducers zip both sides with one argsort + two
+    searchsorteds — no per-key Python, no pandas dtype round-trips.
     """
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "right", "full", "semi", "anti"):
         raise ValueError(
-            f"hash_join: how must be one of inner/left/semi/anti, got {how!r}"
+            "hash_join: how must be one of inner/left/right/full/semi/anti,"
+            f" got {how!r}"
         )
     if how in ("semi", "anti") and right_cols:
         raise ValueError(f"hash_join: right_cols must be empty for how={how!r}")
     R = reducer_count()
-    all_cols = list(dict.fromkeys(left_cols + right_cols))
-    # typed nulls for the tagged union (untyped pa.nulls would give the
-    # two sides incompatible schemas); schema() reads metadata only
+
     def _pa_type(t):
         if isinstance(t, pa.DataType):
             return t
@@ -68,129 +91,153 @@ def hash_join(left, right, left_key: str, right_key: str,
         except (TypeError, pa.ArrowNotImplementedError):
             return pa.string()  # pandas object columns
 
-    types = {}
-    for sch in (left.schema(), right.schema()):
+    types: dict[str, pa.DataType] = {}
+    for sch, cols, key in (
+        (left.schema(), left_cols, left_key),
+        (right.schema(), right_cols, right_key),
+    ):
         for name, typ in zip(sch.names, sch.types):
-            types.setdefault(name, _pa_type(typ))
+            if name in cols or name == key:
+                types.setdefault(name, _pa_type(typ))
 
     str_key = pa.types.is_string(types[left_key]) or pa.types.is_large_string(
         types[left_key]
     )
 
-    def tag(key_col: str, cols: list[str], side: int):
+    # --- slot plan: per side, columns of one Arrow type fill slots
+    # <typekey>_0, <typekey>_1, …; the union allocates max(side counts)
+    # slots per type, so a slot carries live data for (almost) every row.
+    def _side_slots(cols: list[str]) -> dict[str, str]:
+        counters: dict[str, int] = {}
+        mapping = {}
+        for c in cols:
+            tk = _type_key(types[c])
+            i = counters.get(tk, 0)
+            counters[tk] = i + 1
+            mapping[c] = f"{tk}_{i}"
+        return mapping
+
+    left_slots = _side_slots(left_cols)
+    right_slots = _side_slots(right_cols)
+    slot_types: dict[str, pa.DataType] = {}
+    for mapping, cols in ((left_slots, left_cols), (right_slots, right_cols)):
+        for c, s in mapping.items():
+            slot_types.setdefault(s, types[c])
+    all_slots = sorted(slot_types)
+    jk_type = pa.string() if str_key else pa.int64()
+
+    def tag(key_col: str, slots: dict[str, str], side: int):
+        inv = {s: c for c, s in slots.items()}
+
         def fn(batch: pa.Table) -> pa.Table:
             kc = batch[key_col]
             if isinstance(kc, pa.ChunkedArray):
                 kc = kc.combine_chunks()
             if str_key:
                 # the key itself rides the exchange (exact — the hash only
-                # routes); reducers group by the actual strings
+                # routes); reducers group by dictionary codes of the strings
                 from ..sources.pages import url_hash64
 
                 h = url_hash64(kc).view(np.int64)
-                rk, jk = _key_rkey(h, R), kc
+                rk, jk = _key_rkey(h, R), kc.cast(jk_type)
             else:
-                k = kc.to_numpy().astype(np.int64)
+                k = kc.to_numpy(zero_copy_only=False).astype(np.int64)
                 rk, jk = _key_rkey(k, R), pa.array(k)
             out = {
                 "rkey": pa.array(rk),
                 "jk": jk,
                 "side": pa.array(np.full(batch.num_rows, side, dtype=np.int8)),
             }
-            for c in all_cols:
-                if c in cols:
-                    out[c] = batch[c]
+            for s in all_slots:
+                if s in inv:
+                    col = batch[inv[s]]
+                    if isinstance(col, pa.ChunkedArray):
+                        col = col.combine_chunks()
+                    out[s] = col
                 else:
-                    out[c] = pa.nulls(batch.num_rows, type=types[c])
+                    # per-type count difference between the sides only
+                    out[s] = pa.nulls(batch.num_rows, type=slot_types[s])
             return pa.table(out)
 
         return fn
 
-    lt = left.map_batches(tag(left_key, left_cols, 0), batch_format="pyarrow")
-    rt = right.map_batches(tag(right_key, right_cols, 1), batch_format="pyarrow")
+    lt = left.map_batches(tag(left_key, left_slots, 0), batch_format="pyarrow")
+    rt = right.map_batches(tag(right_key, right_slots, 1), batch_format="pyarrow")
     unioned = coalesce_for_shuffle(lt.union(rt), 0.5)
 
-    def zip_sides(g: pd.DataFrame) -> pd.DataFrame:
-        side = g["side"].to_numpy()
-        k = g["jk"].to_numpy()
+    out_cols = list(dict.fromkeys(left_cols + right_cols))
+    shared = set(left_cols) & set(right_cols)
+
+    def _opt_idx(idx: np.ndarray) -> pa.Array:
+        """int64 gather indices with -1 → null (take yields null rows)."""
+        return pa.array(idx, pa.int64(), mask=idx < 0)
+
+    def zip_sides(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        jk = g["jk"]
+        if isinstance(jk, pa.ChunkedArray):
+            jk = jk.combine_chunks()
+        if str_key:
+            codes = pc.dictionary_encode(jk).indices.to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+        else:
+            codes = jk.to_numpy(zero_copy_only=False).astype(np.int64)
         li = np.nonzero(side == 0)[0]
         ri = np.nonzero(side == 1)[0]
-
-        def empty():
-            return pd.DataFrame(
-                {c: g[c].to_numpy()[:0] for c in all_cols}
-            )
-
-        if len(li) == 0 or (how in ("inner", "semi") and len(ri) == 0):
-            return empty()
-        rk = k[ri]
+        rk = codes[ri]
         rsort = np.argsort(rk, kind="stable")
         rks = rk[rsort]
-        lo = np.searchsorted(rks, k[li], side="left")
-        hi = np.searchsorted(rks, k[li], side="right")
+        lk = codes[li]
+        lo = np.searchsorted(rks, lk, side="left")
+        hi = np.searchsorted(rks, lk, side="right")
         counts = hi - lo
+
         if how in ("semi", "anti"):
             keep = (counts > 0) if how == "semi" else (counts == 0)
-            pick = li[keep]
-            out = {c: g[c].to_numpy()[pick] for c in left_cols}
-            for c, v in out.items():
-                if pa.types.is_integer(types[c]) and v.dtype.kind == "f":
-                    out[c] = v.astype(np.int64)
-            return pd.DataFrame(out)
-        if how == "left":
-            # unmatched left rows still emit once, with a null right side
-            counts = np.maximum(counts, 1)
-        total = int(counts.sum())
-        if total == 0:
-            return empty()
-        l_rep = np.repeat(np.arange(len(li)), counts)
-        # within-match offsets: arange minus each match-run's start
-        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-        offs = np.arange(total) - np.repeat(starts, counts)
-        matched = np.repeat(hi - lo, counts) > 0
-        pos = np.minimum(np.repeat(lo, counts) + offs, len(rks) - 1) if len(
-            rks
-        ) else np.zeros(total, dtype=np.int64)
-        l_pick = li[l_rep]
-        out = {}
-        for c in left_cols:
-            out[c] = g[c].to_numpy()[l_pick]
-        for c in right_cols:
-            if c not in out:
-                numeric = pa.types.is_integer(types[c]) or pa.types.is_floating(
-                    types[c]
-                )
-                if len(rks):
-                    v = g[c].to_numpy()[ri[rsort[pos]]]
-                    if how == "left" and not matched.all():
-                        if numeric:
-                            v = v.astype(np.float64)
-                            v[~matched] = np.nan
-                        else:
-                            v = v.astype(object)
-                            v[~matched] = None
-                else:  # left join against an empty right side
-                    v = (
-                        np.full(total, np.nan)
-                        if numeric
-                        else np.full(total, None, dtype=object)
-                    )
-                out[c] = v
-        # dtype normalization: the tagged union's null padding widened
-        # int columns to float64 — restore ints where nulls are
-        # impossible (left columns, and right columns of an inner join);
-        # under a left join, right numeric columns are ALWAYS float64 so
-        # every reducer emits the same dtype whether or not it saw nulls
-        right_only = set(right_cols) - set(left_cols)
-        for c, v in out.items():
-            if pa.types.is_integer(types[c]):
-                if how == "left" and c in right_only:
-                    out[c] = v.astype(np.float64)
-                elif v.dtype.kind == "f":
-                    out[c] = v.astype(np.int64)
-        return pd.DataFrame(out)
+            pick = pa.array(li[keep], pa.int64())
+            return pa.table(
+                {c: g[left_slots[c]].take(pick) for c in left_cols}
+            )
 
-    return unioned.groupby("rkey").map_groups(zip_sides, batch_format="pandas")
+        total = int(counts.sum())
+        # matched pairs (many-to-many): left row i repeats counts[i] times,
+        # right partner walks rsort[lo[i]:hi[i]]
+        l_rep = np.repeat(li, counts)
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        offs = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+        r_pos = np.repeat(lo, counts) + offs
+        r_rep = ri[rsort[r_pos]] if total else np.empty(0, np.int64)
+
+        l_take, r_take = [l_rep], [r_rep]
+        if how in ("left", "full"):
+            lx = li[counts == 0]
+            l_take.append(lx)
+            r_take.append(np.full(len(lx), -1, dtype=np.int64))
+        if how in ("right", "full"):
+            rmatched = np.zeros(len(ri), dtype=bool)
+            if total:
+                rmatched[rsort[r_pos]] = True
+            rx = ri[~rmatched]
+            l_take.append(np.full(len(rx), -1, dtype=np.int64))
+            r_take.append(rx)
+        l_idx = _opt_idx(np.concatenate(l_take))
+        r_idx = _opt_idx(np.concatenate(r_take))
+
+        out = {}
+        for c in out_cols:
+            if c in shared:
+                out[c] = pc.coalesce(
+                    g[left_slots[c]].take(l_idx), g[right_slots[c]].take(r_idx)
+                )
+            elif c in left_slots:
+                out[c] = g[left_slots[c]].take(l_idx)
+            else:
+                out[c] = g[right_slots[c]].take(r_idx)
+        return pa.table(out)
+
+    return unioned.groupby("rkey").map_groups(zip_sides, batch_format="pyarrow")
 
 
 def broadcast_join(big, small_tbl: pa.Table, big_key: str, small_key: str,

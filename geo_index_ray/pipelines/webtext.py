@@ -460,7 +460,7 @@ def curation_pipeline(ds, id_col: str, text_col: str, lang_col: str,
             batch, text_col, max_dup_frac, max_top_frac
         )
         kept = batch.filter(pa.array(keep))
-        h = _text_hash64(kept[text_col].to_pylist())
+        h = _text_hash64(kept[text_col])
         return pa.table(
             {
                 "rkey": pa.array(
@@ -544,24 +544,53 @@ def json_field_stats(ds, key_col: str, json_col: str, field: str):
             }
         )
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    from ..sources.pages import url_hash64
+    from ..stages.util import coalesce_for_shuffle, reducer_count
 
-    def final(g: pa.Table) -> pa.Table:
-        cnt = int(pc.sum(g["cnt"]).as_py() or 0)
+    R = reducer_count()
+
+    def partial_with_rkey(batch: pa.Table) -> pa.Table:
+        out = partial(batch)
+        h = url_hash64(out[key_col])
+        return out.append_column(
+            "rkey", pa.array((h % np.uint64(R)).astype(np.int64))
+        )
+
+    partials = coalesce_for_shuffle(
+        ds.map_batches(partial_with_rkey, batch_format="pyarrow"), 0.25
+    )
+
+    # coarse-key merge: one shuffle on hash(key) % R, then ALL of a
+    # reducer's keys aggregate in one vectorized pass (rule 3 — never one
+    # interpreter call per key; key cardinality can be 10^5+).  Keys with
+    # zero extracted values emit SQL aggregate NULLs (SUM/MIN/MAX over
+    # all-NULL), matching the DuckDB oracle — not int64 sentinels.
+    def final_many(g: pa.Table) -> pa.Table:
+        keys = g[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        dic = pc.dictionary_encode(keys)
+        codes = dic.indices.to_numpy(zero_copy_only=False)
+        nk = len(dic.dictionary)
+        cnt = np.zeros(nk, dtype=np.int64)
+        s = np.zeros(nk, dtype=np.int64)
+        mn = np.full(nk, np.iinfo(np.int64).max, dtype=np.int64)
+        mx = np.full(nk, np.iinfo(np.int64).min, dtype=np.int64)
+        # int64 accumulation via add.at (bincount weights would round-trip
+        # through float64 and corrupt sums above 2^53)
+        np.add.at(cnt, codes, g["cnt"].to_numpy(zero_copy_only=False))
+        np.add.at(s, codes, g["s"].to_numpy(zero_copy_only=False))
+        np.minimum.at(mn, codes, g["mn"].to_numpy(zero_copy_only=False))
+        np.maximum.at(mx, codes, g["mx"].to_numpy(zero_copy_only=False))
+        empty = cnt == 0
         return pa.table(
             {
-                key_col: g[key_col][:1],
-                "n_vals": pa.array([cnt], pa.int64()),
-                "sum_val": pa.array(
-                    [int(pc.sum(g["s"]).as_py() or 0)], pa.int64()
-                ),
-                "min_val": pa.array(
-                    [int(pc.min(g["mn"]).as_py())], pa.int64()
-                ),
-                "max_val": pa.array(
-                    [int(pc.max(g["mx"]).as_py())], pa.int64()
-                ),
+                key_col: dic.dictionary,
+                "n_vals": pa.array(cnt),
+                "sum_val": pa.array(s, mask=empty),
+                "min_val": pa.array(mn, mask=empty),
+                "max_val": pa.array(mx, mask=empty),
             }
         )
 
-    return partials.groupby(key_col).map_groups(final, batch_format="pyarrow")
+    return partials.groupby("rkey").map_groups(final_many, batch_format="pyarrow")

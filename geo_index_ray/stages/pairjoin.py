@@ -111,9 +111,15 @@ def _bloom_of_pairs(pairs_ds) -> np.ndarray:
              "blob": pa.array([bits.tobytes()], pa.binary())}
         )
 
+    from .util import cluster_cpus
+
+    # fan-in sized to the cluster: ~1 merge task per 4 cores keeps the
+    # driver's final OR at a fixed handful of 1 MiB bitmaps while the
+    # merge stage itself stays parallel on big clusters
+    fan_in = max(2, cluster_cpus() // 4)
     merged = (
         pairs_ds.map_batches(block_bloom, batch_format="pyarrow")
-        .repartition(8)
+        .repartition(fan_in)
         .map_batches(merge_blooms, batch_format="pyarrow", batch_size=None)
     )
     agg = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)

@@ -79,6 +79,11 @@ def topk_per_group(cands, group_col: str, k: int, sort_cols, sort_desc,
     ROW_NUMBER-style); ``keep_cols`` are the output columns (group and
     sort columns included only if listed); ``rank_col`` is appended
     1-based.
+
+    Descending integer sort columns are negated IN int64 (bias-flip from
+    the dtype max), never via float64 — a float cast would collapse
+    distinct int64 magnitudes above 2^53 (timestamps/hash ids) and
+    mis-rank.  Float columns negate in their own dtype.
     """
     import numpy as np
     import pandas as pd
@@ -102,7 +107,16 @@ def topk_per_group(cands, group_col: str, k: int, sort_cols, sort_desc,
         keys = []
         for c, d in zip(sort_cols, sort_desc):
             a = g[c].to_numpy()
-            keys.append(-a.astype(np.float64) if d else a)
+            if not d:
+                keys.append(a)
+            elif a.dtype.kind == "i":
+                # ~a = -a-1: order-reversing, exact at any magnitude,
+                # no overflow anywhere in the int64 range
+                keys.append(np.bitwise_not(a.astype(np.int64)))
+            elif a.dtype.kind == "u":
+                keys.append(np.iinfo(a.dtype).max - a)  # exact, in-dtype
+            else:
+                keys.append(-a.astype(np.float64))
         # lexsort: primary key last
         perm = np.lexsort(tuple(reversed(keys)) + (grp,))
         gs = grp[perm]

@@ -632,3 +632,112 @@ class TestGroupedQuantilesSketch:
         assert len(mm) <= 128
         assert abs(ww.sum() - 100_000) < 1e-6
         assert (np.diff(mm) >= 0).all()  # centroid means ascending
+
+
+class TestHaversinePartitioned:
+    """Haversine through the two-level index (round 4): envelope pruning
+    must use a TRUE spherical lower bound — the reference's clamped
+    closest-point bbox distance over-estimates across large or
+    antimeridian-spanning envelopes and would mis-prune."""
+
+    def test_env_lower_bounds_every_in_box_distance(self):
+        from geo_index_ray.kernels import geom
+
+        rng = np.random.default_rng(3)
+        for _ in range(300):
+            qlon = rng.uniform(-180, 180)
+            qlat = rng.uniform(-89, 89)
+            lo_lon, hi_lon = np.sort(rng.uniform(-180, 180, 2))
+            lo_lat, hi_lat = np.sort(rng.uniform(-89, 89, 2))
+            lb = float(
+                geom.haversine_env_lower(qlon, qlat, lo_lon, lo_lat, hi_lon, hi_lat)
+            )
+            plon = rng.uniform(lo_lon, hi_lon, 64)
+            plat = rng.uniform(lo_lat, hi_lat, 64)
+            d = geom.haversine(qlon, qlat, plon, plat)
+            assert lb <= d.min() + 1e-6, (
+                qlon, qlat, lo_lon, lo_lat, hi_lon, hi_lat, lb, d.min()
+            )
+
+    def test_knn_haversine_matches_brute(self):
+        import ray.data
+
+        from geo_index_ray.kernels import geom
+        from geo_index_ray.pipelines import partition as pp
+
+        rng = np.random.default_rng(9)
+        n = 3000
+        tx = rng.uniform(-180, 180, n)
+        ty = rng.uniform(-86, 86, n)
+        tid = rng.permutation(n).astype(np.int64)
+        ds = ray.data.from_arrow(
+            pa.table({"tid": pa.array(tid), "x": pa.array(tx), "y": pa.array(ty)})
+        ).repartition(4)
+        idx = pp.build_partitioned_index(ds, "tid", 128)
+        # include polar + antimeridian queries (the measured failure modes)
+        qxy = np.array(
+            [[-180.0, -85.0], [179.5, 2.0], [-179.5, 60.0], [0.0, 0.0],
+             [10.0, 89.0], [-90.0, -45.0]]
+        )
+        qids = np.arange(6, dtype=np.int64)
+        k = 7
+        got = pp.knn_partitioned(idx, qxy, k, query_ids=qids, metric="haversine")
+        # brute oracle
+        order_t = np.argsort(tid, kind="stable")
+        sx, sy, sid = tx[order_t], ty[order_t], tid[order_t]
+        rows = []
+        for qi in range(len(qxy)):
+            d = geom.haversine(qxy[qi, 0], qxy[qi, 1], sx, sy)
+            o = np.lexsort((sid, d))[:k]
+            for r, j in enumerate(o):
+                rows.append((qids[qi], sid[j], r + 1))
+        want = pd.DataFrame(rows, columns=["query_id", "target_id", "rank"])
+        cols = ["query_id", "target_id", "rank"]
+        a = got[cols].sort_values(cols).reset_index(drop=True)
+        b = want.sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_radius_matches_brute_euclidean_and_haversine(self):
+        import ray.data
+
+        from geo_index_ray.kernels import geom
+        from geo_index_ray.pipelines import partition as pp
+
+        rng = np.random.default_rng(17)
+        n = 2500
+        tx = rng.uniform(-180, 180, n)
+        ty = rng.uniform(-86, 86, n)
+        tid = np.arange(n, dtype=np.int64)
+        ds = ray.data.from_arrow(
+            pa.table({"tid": pa.array(tid), "x": pa.array(tx), "y": pa.array(ty)})
+        ).repartition(3)
+        idx = pp.build_partitioned_index(ds, "tid", 256)
+        qxy = np.array(
+            [[-180.0, -85.0], [179.0, 10.0], [0.0, 0.0], [5.0, 88.5]]
+        )
+        qids = np.arange(4, dtype=np.int64)
+
+        got, stats = pp.radius_partitioned(
+            idx, qxy, 2_000_000.0, query_ids=qids, metric="haversine",
+            return_stats=True,
+        )
+        gt = _to_df(got)
+        a = sorted(zip(gt["query_id"], gt["target_id"]))
+        b = []
+        for qi in range(len(qxy)):
+            d = geom.haversine(qxy[qi, 0], qxy[qi, 1], tx, ty)
+            for j in np.nonzero(d <= 2_000_000.0)[0]:
+                b.append((qids[qi], tid[j]))
+        assert a == sorted(b)
+
+        got_e = _to_df(
+            pp.radius_partitioned(idx, qxy, 25.0, query_ids=qids,
+                                  metric="euclidean")
+        )
+        a = sorted(zip(got_e["query_id"], got_e["target_id"]))
+        b = []
+        for qi in range(len(qxy)):
+            d2 = (tx - qxy[qi, 0]) ** 2 + (ty - qxy[qi, 1]) ** 2
+            for j in np.nonzero(d2 <= 25.0**2)[0]:
+                b.append((qids[qi], tid[j]))
+        assert a == sorted(b)

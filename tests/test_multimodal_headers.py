@@ -1,0 +1,115 @@
+"""Real image-container header parsing (pipelines/multimodal.py) — pure
+numpy PNG IHDR / GIF LSD / JPEG SOF extraction, no image library.
+
+The byte layouts asserted here are the published container formats:
+PNG magic + mandatory-first IHDR (width/height BE u32 at offsets 16/20),
+GIF87a/89a logical screen descriptor (LE u16 at 6/8), JPEG SOFn segment
+found by marker scan at a variable offset.
+"""
+
+import numpy as np
+import pyarrow as pa
+
+from geo_index_ray.pipelines.multimodal import (
+    _binary_views,
+    parse_image_headers,
+    synth_image_payloads,
+)
+
+
+def _parse(payloads):
+    col = pa.array(payloads, pa.binary())
+    return parse_image_headers(*_binary_views(pa.chunked_array([col])))
+
+
+def _png(w, h):
+    import struct
+
+    return (
+        b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00" + b"\x00" * 4
+    )
+
+
+def _gif(w, h):
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+
+
+def _jpeg(w, h, pad_segments=b""):
+    import struct
+
+    app0 = b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = b"\xff\xc0" + struct.pack(">HBHH", 11, 8, h, w) + b"\x01\x11\x00"
+    return b"\xff\xd8" + app0 + pad_segments + sof0 + b"\xff\xd9"
+
+
+class TestHeaderParse:
+    def test_png_gif_jpeg_roundtrip(self):
+        fmt, w, h = _parse([_png(640, 480), _gif(320, 200), _jpeg(1920, 1080)])
+        assert list(fmt) == ["png", "gif", "jpeg"]
+        assert list(w) == [640, 320, 1920]
+        assert list(h) == [480, 200, 1080]
+
+    def test_jpeg_sof_at_variable_offset(self):
+        """A DQT segment (FF DB) before SOF moves the frame header — the
+        vectorized marker scan must still find it; progressive JPEG uses
+        SOF2 (FF C2) instead of SOF0."""
+        dqt = b"\xff\xdb\x00\x43" + bytes(65)
+        j1 = _jpeg(33, 44, pad_segments=dqt)
+        j2 = j1.replace(b"\xff\xc0", b"\xff\xc2")  # SOF2 (progressive)
+        fmt, w, h = _parse([j1, j2])
+        assert list(fmt) == ["jpeg", "jpeg"]
+        assert list(w) == [33, 33]
+        assert list(h) == [44, 44]
+
+    def test_dht_is_not_a_frame_marker(self):
+        """FF C4 (Huffman table) is in the C0..CF range but NOT an SOF —
+        it must be skipped in favor of the real SOF0 after it."""
+        dht = b"\xff\xc4\x00\x1f\x00" + bytes(28)
+        fmt, w, h = _parse([_jpeg(100, 50, pad_segments=dht)])
+        assert list(fmt) == ["jpeg"]
+        assert (list(w), list(h)) == ([100], [50])
+
+    def test_unknown_and_truncated_payloads(self):
+        fmt, w, h = _parse([b"", b"not an image", b"\x89PNG\r\n\x1a\n tru",
+                            b"\xff\xd8\xff\xd9"])  # JPEG with no SOF
+        assert list(fmt) == ["unknown", "unknown", "unknown", "jpeg"]
+        assert list(w) == [0, 0, 0, 0]
+        assert list(h) == [0, 0, 0, 0]
+
+    def test_mixed_batch_rows_do_not_bleed(self):
+        """JPEG scan hits are per-payload: a PNG between two JPEGs must not
+        inherit a neighbor's SOF."""
+        fmt, w, h = _parse([_jpeg(11, 22), _png(7, 9), _jpeg(33, 44)])
+        assert list(fmt) == ["jpeg", "png", "jpeg"]
+        assert list(w) == [11, 7, 33]
+        assert list(h) == [22, 9, 44]
+
+
+class TestSynthPayloads:
+    def test_synth_parses_back_to_planted_dims(self):
+        ids = np.arange(1, 2000, dtype=np.int64)
+        arr = synth_image_payloads(ids)
+        fmt, w, h = parse_image_headers(*_binary_views(pa.chunked_array([arr])))
+        want_fmt = np.array(["png", "gif", "jpeg"])[(ids % 3).astype(int)]
+        assert np.array_equal(fmt, want_fmt)
+        assert np.array_equal(w, ids % 509 + 1)
+        assert np.array_equal(h, ids % 251 + 1)
+
+    def test_decode_stage_header_mode(self, ray_session):
+        import ray.data
+
+        from geo_index_ray.pipelines.multimodal import decode_metadata
+
+        ids = np.arange(600, dtype=np.int64)
+        tbl = pa.table({"doc_id": pa.array(ids),
+                        "payload": synth_image_payloads(ids)})
+        out = decode_metadata(
+            ray.data.from_arrow(tbl), "doc_id", "payload", decode="header"
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert list(out.columns) == ["doc_id", "format", "n_bytes", "width",
+                                     "height"]
+        assert np.array_equal(out["width"].to_numpy(), ids % 509 + 1)
+        assert np.array_equal(out["height"].to_numpy(), ids % 251 + 1)

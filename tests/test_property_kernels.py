@@ -169,3 +169,58 @@ class TestGeomProperties:
         d2 = geom.haversine(b[0], b[1], a[0], a[1])
         assert np.isclose(d1, d2)
         assert 0.0 <= d1 <= np.pi * geom.EARTH_RADIUS + 1.0
+
+
+class TestTextHashProperties:
+    """The exact-dedup text hash must be value-stable (it is pinned by the
+    SQL oracle twin) and must do O(sum len) work off Arrow buffers — the
+    round-3 padded-matrix version made one 10 MB outlier in a 4k-row
+    batch allocate rows × 10 MB of temporaries."""
+
+    @staticmethod
+    def _fnv_scalar(s: str) -> int:
+        h = 0xCBF29CE484222325
+        for byte in s.encode():
+            h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        texts=st.lists(
+            st.text(
+                alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FFF),
+                max_size=64,
+            ),
+            max_size=40,
+        )
+    )
+    def test_matches_scalar_fnv1a(self, texts):
+        import pyarrow as pa
+
+        from geo_index_ray.pipelines.dedup import _text_hash64
+
+        got = _text_hash64(pa.array(texts, pa.string()))
+        want = np.array([self._fnv_scalar(t) for t in texts], dtype=np.uint64)
+        assert np.array_equal(got, want)
+        # the list-of-str path must agree with the Arrow path
+        assert np.array_equal(_text_hash64(texts), want)
+
+    def test_skewed_batch_one_huge_doc(self):
+        """4k short docs + one 4 MB doc: work (and therefore time/space) is
+        O(sum len), not O(rows × max len).  The padded-matrix version
+        needed a 4k × 4 MB ≈ 16 GB uint64 temporary and would OOM/stall;
+        the ragged path finishes in well under a minute."""
+        import time
+
+        import pyarrow as pa
+
+        from geo_index_ray.pipelines.dedup import _text_hash64
+
+        texts = [f"doc {i}" for i in range(4000)] + ["z" * 4_000_000]
+        t0 = time.perf_counter()
+        got = _text_hash64(pa.array(texts, pa.string()))
+        elapsed = time.perf_counter() - t0
+        assert elapsed < 60.0
+        assert len(got) == 4001
+        assert got[0] == self._fnv_scalar("doc 0")
+        assert len(np.unique(got[:4000])) == 4000  # shorts all distinct

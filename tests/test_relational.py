@@ -159,6 +159,81 @@ class TestHashJoin:
         )
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
+    def test_right_and_full_outer_match_pandas_merge(self):
+        import ray.data
+
+        from geo_index_ray.pipelines import relational
+
+        rng = np.random.default_rng(31)
+        left = pd.DataFrame(
+            {
+                "lid": np.arange(800, dtype=np.int64),
+                "k": rng.integers(0, 120, 800),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "k2": rng.integers(60, 200, 500),  # partial overlap both ways
+                "rv": rng.integers(0, 9, 500),
+            }
+        )
+        lds = ray.data.from_pandas(left).repartition(4)
+        rds = ray.data.from_pandas(right).repartition(3)
+        for how in ("right", "full"):
+            got = (
+                relational.hash_join(
+                    lds, rds, "k", "k2", ["lid", "k"], ["k2", "rv"], how=how
+                )
+                .to_pandas()
+                .sort_values(["lid", "k", "k2", "rv"], na_position="last")
+                .reset_index(drop=True)
+            )
+            want = (
+                left.merge(
+                    right, left_on="k", right_on="k2",
+                    how="outer" if how == "full" else how,
+                )[["lid", "k", "k2", "rv"]]
+                .sort_values(["lid", "k", "k2", "rv"], na_position="last")
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(got, want, check_dtype=False)
+            # unmatched right rows exist and carry null left columns
+            assert got["lid"].isna().sum() > 0
+
+    def test_int64_ids_above_2_53_survive_outer_join(self):
+        """The lean Arrow reducer must never route int64 through float64:
+        ids above 2^53 would silently collapse (the ADVICE-r3 trap)."""
+        import ray.data
+
+        from geo_index_ray.pipelines import relational
+
+        base = (1 << 61) + 1  # not representable in float64
+        lids = np.array([base, base + 1, base + 2, base + 3], dtype=np.int64)
+        left = pd.DataFrame({"lid": lids, "k": np.array([0, 0, 1, 2], np.int64)})
+        right = pd.DataFrame(
+            {
+                "k2": np.array([0, 1, 9], dtype=np.int64),
+                "rbig": np.array([base + 10, base + 11, base + 12], np.int64),
+            }
+        )
+        ds = relational.hash_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            "k", "k2", ["lid", "k"], ["rbig"], how="full",
+        )
+        # assert on the Arrow blocks — .to_pandas() itself would widen
+        # nullable int64 to float64, which is exactly what the join's
+        # internals must NOT do
+        import ray as _ray
+
+        got = pa.concat_tables(_ray.get(ds.to_arrow_refs()))
+        assert got.schema.field("lid").type == pa.int64()
+        assert got.schema.field("rbig").type == pa.int64()
+        got_lids = set(got["lid"].drop_null().to_pylist())
+        assert got_lids == set(int(v) for v in lids)  # exact, bit-for-bit
+        got_rbig = set(got["rbig"].drop_null().to_pylist())
+        assert got_rbig == {base + 10, base + 11, base + 12}
+        assert got["lid"].null_count > 0  # the k2=9 right row survived
+
     def test_disjoint_keys_empty(self):
         import ray.data
 
