@@ -58,6 +58,37 @@ def _type_key(t: pa.DataType) -> str:
     return re.sub(r"[^A-Za-z0-9]+", "_", str(t))
 
 
+def plan_slots(types: dict[str, pa.DataType], left_cols: list[str],
+               right_cols: list[str]):
+    """Slot plan for the lean tagged union: per side, columns of one Arrow
+    type fill slots ``<typekey>_0``, ``<typekey>_1``, …; the union
+    allocates max(side counts) slots per type, so a slot carries live data
+    for (almost) every exchanged row and the only null padding is the
+    per-type count difference between the sides.
+
+    Returns ``(left_slots, right_slots, slot_types)`` where the first two
+    map column name → slot name and the third maps slot name → type.
+    """
+
+    def _side(cols: list[str]) -> dict[str, str]:
+        counters: dict[str, int] = {}
+        mapping = {}
+        for c in cols:
+            tk = _type_key(types[c])
+            i = counters.get(tk, 0)
+            counters[tk] = i + 1
+            mapping[c] = f"{tk}_{i}"
+        return mapping
+
+    left_slots = _side(left_cols)
+    right_slots = _side(right_cols)
+    slot_types: dict[str, pa.DataType] = {}
+    for mapping, cols in ((left_slots, left_cols), (right_slots, right_cols)):
+        for c, s in mapping.items():
+            slot_types.setdefault(s, types[c])
+    return left_slots, right_slots, slot_types
+
+
 def hash_join(left, right, left_key: str, right_key: str,
               left_cols: list[str], right_cols: list[str],
               how: str = "inner"):
@@ -104,25 +135,7 @@ def hash_join(left, right, left_key: str, right_key: str,
         types[left_key]
     )
 
-    # --- slot plan: per side, columns of one Arrow type fill slots
-    # <typekey>_0, <typekey>_1, …; the union allocates max(side counts)
-    # slots per type, so a slot carries live data for (almost) every row.
-    def _side_slots(cols: list[str]) -> dict[str, str]:
-        counters: dict[str, int] = {}
-        mapping = {}
-        for c in cols:
-            tk = _type_key(types[c])
-            i = counters.get(tk, 0)
-            counters[tk] = i + 1
-            mapping[c] = f"{tk}_{i}"
-        return mapping
-
-    left_slots = _side_slots(left_cols)
-    right_slots = _side_slots(right_cols)
-    slot_types: dict[str, pa.DataType] = {}
-    for mapping, cols in ((left_slots, left_cols), (right_slots, right_cols)):
-        for c, s in mapping.items():
-            slot_types.setdefault(s, types[c])
+    left_slots, right_slots, slot_types = plan_slots(types, left_cols, right_cols)
     all_slots = sorted(slot_types)
     jk_type = pa.string() if str_key else pa.int64()
 
