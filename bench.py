@@ -697,7 +697,9 @@ def scaling_main():
     # that ceiling and approximates node-count scaling, where each added
     # node brings its own memory bandwidth.  The 8→32 numbers are
     # reported in BASELINE.md alongside the ceiling measurement.
-    levels = [2, 8]
+    levels = [
+        int(v) for v in os.environ.get("GRAFT_SCALE_LEVELS", "2,8").split(",")
+    ][:2]
     results = {n: [] for n in levels}
     calm_budget = 600.0  # total seconds we may spend waiting out drift
     for _rep in range(3):

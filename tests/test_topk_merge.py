@@ -112,3 +112,37 @@ class TestTopkPerGroup:
         )
         assert len(got) == 3
         assert got.loc[0, "neighbor_id"] == 11  # highest sim ranks first
+
+    def test_int64_descending_keys_above_2_53_rank_exactly(self):
+        """Descending int64 sort keys (timestamps/hash ids) must negate
+        in-dtype: a float64 cast collapses magnitudes above 2^53 and
+        mis-ranks (the ADVICE-r3 trap)."""
+        import ray.data
+
+        from geo_index_ray.stages.util import topk_per_group
+
+        base = (1 << 61) + 1
+        # three consecutive huge ids in one group: float64 would see all
+        # three as EQUAL and rank arbitrarily
+        df = pd.DataFrame(
+            {
+                "g": np.array([7, 7, 7, 8], dtype=np.int64),
+                "ts": np.array(
+                    [base, base + 2, base + 1, base], dtype=np.int64
+                ),
+                "row": np.array([0, 1, 2, 3], dtype=np.int64),
+            }
+        )
+        got = (
+            topk_per_group(
+                ray.data.from_pandas(df), "g", 2,
+                ["ts", "row"], [True, False], ["g", "ts", "row"],
+            )
+            .to_pandas()
+            .sort_values(["g", "rank"])
+            .reset_index(drop=True)
+        )
+        g7 = got[got["g"] == 7].reset_index(drop=True)
+        assert g7["ts"].tolist() == [base + 2, base + 1]  # exact desc order
+        assert g7["row"].tolist() == [1, 2]
+        assert int(got[got["g"] == 8]["ts"].iloc[0]) == base
