@@ -1288,6 +1288,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["radius_pruned"] = radius_pruned
 
+    def pii_scrub(sf_dir):
+        """Streaming PII redaction (emails / phone-shaped numbers /
+        IPv4) with per-document redaction counts — webtext.pii_scrub.
+        Pure per-batch RE2 kernels, no shuffle; DuckDB twin nests the
+        same patterns with regexp_replace(..., 'g')."""
+        ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        return webtext_pipe.pii_scrub(ds, "doc_id", "text")
+
+    q["pii_scrub"] = pii_scrub
+
+    def domain_stats(sf_dir):
+        """Per-host page stats over the derived CC-style pages table
+        (count + first/last capture): one extract_regex kernel, per-batch
+        partials, host-keyed groupby bounded by hosts-per-block."""
+        ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "source"])
+        pages = webtext_pipe.derive_pages(ds, "doc_id", "source")
+        return webtext_pipe.domain_stats(pages, "url", "warc_ts")
+
+    q["domain_stats"] = domain_stats
+
     # ------------------------------------------------------------------
     # registration order = driver sampling order.  The driver's
     # correctness harness checks the FIRST 50 registrations; rounds 2/3
@@ -2222,5 +2242,13 @@ def oracle_sql() -> dict[str, str]:
         FROM q CROSS JOIN t
         WHERE {hav} <= {WITHIN_M}
     """
+
+    sql["pii_scrub"] = webtext_pipe.sql_pii_scrub(
+        "documents", "doc_id", "text"
+    )
+
+    sql["domain_stats"] = webtext_pipe.sql_domain_stats(
+        webtext_pipe.sql_derive_pages("documents", "doc_id", "source")
+    )
 
     return sql

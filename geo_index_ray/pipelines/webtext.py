@@ -594,3 +594,124 @@ def json_field_stats(ds, key_col: str, json_col: str, field: str):
         )
 
     return partials.groupby("rkey").map_groups(final_many, batch_format="pyarrow")
+
+
+# -- PII scrubbing -----------------------------------------------------------
+
+# Order matters: each pattern counts and replaces over the text as left
+# by the previous one, and the SQL twin nests regexp_replace in the same
+# order.  Arrow's string kernels and DuckDB both run RE2, so a shared
+# pattern string behaves identically on both sides.
+_PII_PATTERNS = [
+    ("n_email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("n_phone", r"\+?\d{1,3}[-. ]\d{3}[-. ]\d{4}", "<PHONE>"),
+    ("n_ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def pii_scrub(ds, id_col: str, text_col: str):
+    """Streaming PII redaction (emails, phone-shaped numbers, IPv4) —
+    the standard webtext scrub step run before a corpus is released.
+
+    Pure per-batch map over zero-copy Arrow — ``count_substring_regex``
+    to report how much was redacted, ``replace_substring_regex`` to
+    redact — no shuffle, no Python per row, so it streams at any corpus
+    size.  Non-overlapping left-to-right replacement matches DuckDB's
+    ``regexp_replace(..., 'g')`` exactly (both are RE2).
+    """
+
+    def stage(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        counts = {}
+        for name, pat, repl in _PII_PATTERNS:
+            counts[name] = pc.cast(
+                pc.count_substring_regex(txt, pat), pa.int64()
+            )
+            txt = pc.replace_substring_regex(txt, pat, repl)
+        cols = {id_col: batch[id_col], "scrubbed": txt}
+        cols.update(counts)
+        return pa.table(cols)
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def sql_pii_scrub(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin of :func:`pii_scrub` — same RE2 patterns, same order."""
+    count_exprs = []
+    cur = text_col
+    for name, pat, _repl in _PII_PATTERNS:
+        count_exprs.append(f"len(regexp_extract_all({cur}, '{pat}')) AS {name}")
+        cur = f"regexp_replace({cur}, '{pat}', '{_repl}', 'g')"
+    return (
+        f"SELECT {id_col}, {cur} AS scrubbed, {', '.join(count_exprs)} "
+        f"FROM {table}"
+    )
+
+
+# -- per-host (domain) stats -------------------------------------------------
+
+
+def domain_stats(ds, url_col: str, ts_col: str):
+    """Per-host page statistics over a CC-style pages table: page count
+    and first/last capture time per hostname.
+
+    Host extraction is one RE2 ``extract_regex`` kernel; per-batch
+    partials (dictionary-encode + bincount / minimum.at) mean the
+    groupby exchange carries one row per (host, block), never per page.
+    Host cardinality is registry-bounded (millions at crawl scale), so
+    the final groupby is small relative to the corpus.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    _host_re = r"^https?://(?P<host>[^/#]+)"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        host = pc.struct_field(
+            pc.extract_regex(pc.utf8_lower(batch[url_col]), _host_re),
+            "host",
+        )
+        dic = pc.dictionary_encode(host)
+        if isinstance(dic, pa.ChunkedArray):
+            dic = dic.combine_chunks()
+        codes = dic.indices.to_numpy(zero_copy_only=False)
+        k = len(dic.dictionary)
+        n = np.bincount(codes, minlength=k).astype(np.int64)
+        ts = batch[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mn = np.full(k, np.iinfo(np.int64).max, dtype=np.int64)
+        mx = np.full(k, np.iinfo(np.int64).min, dtype=np.int64)
+        np.minimum.at(mn, codes, ts)
+        np.maximum.at(mx, codes, ts)
+        return pa.table(
+            {
+                "host": dic.dictionary,
+                "n_pages": pa.array(n),
+                "first_ts": pa.array(mn),
+                "last_ts": pa.array(mx),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = partials.groupby("host").aggregate(
+        Sum("n_pages"), Min("first_ts"), Max("last_ts")
+    )
+    return out.rename_columns(
+        {
+            "sum(n_pages)": "n_pages",
+            "min(first_ts)": "first_ts",
+            "max(last_ts)": "last_ts",
+        }
+    ).sort("host")
+
+
+def sql_domain_stats(pages_cte: str) -> str:
+    """DuckDB twin of :func:`domain_stats` over the derived pages CTE."""
+    return f"""
+        WITH pages AS ({pages_cte})
+        SELECT regexp_extract(lower(url), '^https?://([^/#]+)', 1) AS host,
+               count(*) AS n_pages,
+               min(warc_ts) AS first_ts,
+               max(warc_ts) AS last_ts
+        FROM pages
+        GROUP BY host
+        ORDER BY host
+    """

@@ -426,3 +426,108 @@ class TestJsonFieldStats:
             .reset_index()
         )
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestPiiScrub:
+    def test_redacts_and_counts(self):
+        import ray.data
+
+        from geo_index_ray.pipelines import webtext as wt
+
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(5, dtype=np.int64),
+                "text": [
+                    "write to a.b-c%d@mail.example.co today",
+                    "call +1 555 867-5309 or 020-555 1234 now",
+                    "server at 10.0.0.1 and 192.168.255.254",
+                    "no pii here at all",
+                    "two mails x@y.io z@w.org one ip 8.8.8.8",
+                ],
+            }
+        )
+        ds = ray.data.from_pandas(df).repartition(2)
+        got = (
+            wt.pii_scrub(ds, "doc_id", "text")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got.loc[0, "scrubbed"] == "write to <EMAIL> today"
+        assert got.loc[0, "n_email"] == 1
+        assert got.loc[1, "n_phone"] == 2
+        assert "<PHONE>" in got.loc[1, "scrubbed"]
+        assert got.loc[2, "n_ipv4"] == 2
+        assert got.loc[2, "scrubbed"] == "server at <IP> and <IP>"
+        assert got.loc[3, "scrubbed"] == "no pii here at all"
+        assert (
+            got.loc[3, ["n_email", "n_phone", "n_ipv4"]] == 0
+        ).all()
+        assert got.loc[4, "n_email"] == 2 and got.loc[4, "n_ipv4"] == 1
+
+    def test_matches_duckdb_twin(self):
+        import duckdb
+        import ray.data
+
+        from geo_index_ray.pipelines import webtext as wt
+
+        rng = np.random.default_rng(11)
+        frags = [
+            "plain words", "u%d@ex%d.com", "1.2.3.4", "+44 123 4567",
+            "dot.name+tag@sub.domain.org", "999.999.999.999",
+        ]
+        texts = [
+            " ".join(
+                (frags[j] % (i, j) if "%d" in frags[j] else frags[j])
+                for j in rng.integers(0, len(frags), rng.integers(1, 6))
+            )
+            for i in range(200)
+        ]
+        df = pd.DataFrame(
+            {"doc_id": np.arange(200, dtype=np.int64), "text": texts}
+        )
+        ds = ray.data.from_pandas(df).repartition(3)
+        got = (
+            wt.pii_scrub(ds, "doc_id", "text")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", df)
+        want = (
+            con.execute(wt.sql_pii_scrub("documents", "doc_id", "text"))
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[want.columns.tolist()], want, check_dtype=False
+        )
+
+
+class TestDomainStats:
+    def test_matches_pandas(self):
+        import ray.data
+
+        from geo_index_ray.pipelines import webtext as wt
+
+        df = _docs_df(300)
+        ds = ray.data.from_pandas(df).repartition(4)
+        pages = wt.derive_pages(ds, "doc_id", "source")
+        pdf = pages.to_pandas()
+        got = wt.domain_stats(pages, "url", "warc_ts").to_pandas()
+        host = (
+            pdf["url"]
+            .str.lower()
+            .str.extract(r"^https?://([^/#]+)", expand=False)
+        )
+        want = (
+            pdf.assign(host=host)
+            .groupby("host")["warc_ts"]
+            .agg(n_pages="count", first_ts="min", last_ts="max")
+            .reset_index()
+            .sort_values("host")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
