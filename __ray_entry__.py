@@ -1308,6 +1308,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["domain_stats"] = domain_stats
 
+    def pack_sequences(sf_dir):
+        """GPT-style packing plan: exact global token start offset per
+        document (doc_id order) + fixed-length chunk id, via a
+        distributed bucket-histogram prefix sum — no global sort
+        (text.pack_sequences)."""
+        from geo_index_ray.pipelines import text as text_pipe
+
+        ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        return text_pipe.pack_sequences(ds, "doc_id", "text", seq_len=2048)
+
+    q["pack_sequences"] = pack_sequences
+
     # ------------------------------------------------------------------
     # registration order = driver sampling order.  The driver's
     # correctness harness checks the FIRST 50 registrations; rounds 2/3
@@ -2249,6 +2261,12 @@ def oracle_sql() -> dict[str, str]:
 
     sql["domain_stats"] = webtext_pipe.sql_domain_stats(
         webtext_pipe.sql_derive_pages("documents", "doc_id", "source")
+    )
+
+    from geo_index_ray.pipelines import text as _text_pipe
+
+    sql["pack_sequences"] = _text_pipe.sql_pack_sequences(
+        "documents", "doc_id", "text", seq_len=2048
     )
 
     return sql

@@ -625,3 +625,128 @@ def sql_span_dedup(table: str, id_col: str, span_words: int = 8) -> str:
           GROUP BY {id_col}
         ) s USING ({id_col})
     """
+
+
+# -- sequence packing --------------------------------------------------------
+
+
+def pack_sequences(ds, id_col: str, text_col: str = "text",
+                   seq_len: int = 2048, bucket_shift: int = 16):
+    """GPT-style concatenate-and-chunk packing plan: give every document
+    its exclusive global token start offset (documents concatenated in
+    ``id_col`` order) and the fixed-length training chunk (``pack_id``)
+    its first token lands in.
+
+    A distributed EXACT prefix sum with no global sort (the same
+    two-pass shape as ``partition.spatial_partition``'s exact Hilbert
+    rank):
+
+    - pass 1: per-``(id >> bucket_shift)`` token totals — per-batch
+      combiners, then a bucket-sized groupby (one 16-byte row per
+      bucket, never per document);
+    - driver: exclusive cumsum over the bucket totals (8 B/bucket;
+      ``bucket_shift`` trades driver memory against bucket count —
+      16 ⇒ 65k ids per bucket, so 10^12 ids need shift 24 for a 60 MB
+      driver array, documented knob);
+    - pass 2: reducers keyed on CONTIGUOUS bucket ranges compute the
+      within-bucket exclusive cumsum for ALL their buckets in one
+      vectorized pass and add the broadcast bucket base.
+
+    Output: ``(id, n_tokens, start_offset, pack_id)``.  SQL twin:
+    ``sum(n_tokens) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING
+    AND 1 PRECEDING)`` — :func:`sql_pack_sequences`.
+    """
+    import pandas as pd
+
+    from ..stages.util import reducer_count
+
+    count = token_count_stage(id_col, text_col)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        t = count(batch)
+        ids = t[id_col].to_numpy()
+        return t.append_column(
+            "bucket", pa.array((ids >> np.int64(bucket_shift)).astype(np.int64))
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow")
+
+    def partial_sums(batch: pa.Table) -> pa.Table:
+        b = batch["bucket"].to_numpy()
+        n = batch["n_tokens"].to_numpy()
+        uniq, inv = np.unique(b, return_inverse=True)
+        s = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(s, inv, n)
+        return pa.table({"bucket": pa.array(uniq), "s": pa.array(s)})
+
+    hist = (
+        keyed_ds.map_batches(partial_sums, batch_format="pyarrow")
+        .groupby("bucket")
+        .sum("s")
+    )
+    bks, sums = [], []
+    for b in hist.iter_batches(batch_format="pyarrow"):
+        bks.append(b["bucket"].to_numpy())
+        sums.append(b["sum(s)"].to_numpy())
+    bks = np.concatenate(bks) if bks else np.zeros(0, dtype=np.int64)
+    sums = np.concatenate(sums) if sums else np.zeros(0, dtype=np.int64)
+    order = np.argsort(bks)
+    bks = bks[order]
+    base = np.r_[np.int64(0), np.cumsum(sums[order])[:-1]]
+
+    R = reducer_count()
+    nb = max(1, len(bks))
+    shift2 = max(0, int(np.ceil(np.log2(nb / max(2, R)))) if nb > R else 0)
+
+    def add_rkey(batch: pa.Table) -> pa.Table:
+        b = batch["bucket"].to_numpy()
+        return batch.append_column("rkey", pa.array(b >> np.int64(shift2)))
+
+    def pack_reducer(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        tok = g["n_tokens"].to_numpy()
+        bkt = g["bucket"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids, tok, bkt = ids[order], tok[order], bkt[order]
+        ecs = np.r_[np.int64(0), np.cumsum(tok)[:-1]]
+        new_b = np.r_[True, bkt[1:] != bkt[:-1]]
+        starts = np.nonzero(new_b)[0]
+        seglen = np.diff(np.r_[starts, len(ids)])
+        within = ecs - np.repeat(ecs[starts], seglen)
+        start = base[np.searchsorted(bks, bkt)] + within
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "n_tokens": tok,
+                "start_offset": start,
+                "pack_id": start // np.int64(seq_len),
+            }
+        )
+
+    return (
+        keyed_ds.map_batches(add_rkey, batch_format="pyarrow")
+        .groupby("rkey")
+        .map_groups(pack_reducer, batch_format="pandas")
+    )
+
+
+def sql_pack_sequences(table: str, id_col: str, text_col: str = "text",
+                       seq_len: int = 2048) -> str:
+    """DuckDB twin of :func:`pack_sequences`."""
+    return f"""
+        WITH t AS (
+          SELECT {id_col},
+                 CAST(len(list_filter(string_split_regex({text_col}, '\\s+'),
+                          x -> x <> '')) AS BIGINT) AS n_tokens
+          FROM {table})
+        SELECT {id_col}, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                      ORDER BY {id_col}
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS start_offset,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                      ORDER BY {id_col}
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) // {seq_len} AS BIGINT) AS pack_id
+        FROM t
+    """

@@ -312,3 +312,39 @@ class TestSpanDedup:
         assert got["clean_text"].tolist() == want
         # the exact-duplicate doc must be fully emptied
         assert got["clean_text"][len(docs) - 2] == "" or docs[0] == ""
+
+
+class TestPackSequences:
+    def test_matches_pandas_prefix_sum(self):
+        import ray.data
+
+        from geo_index_ray.pipelines import text as tx
+
+        rng = np.random.default_rng(5)
+        # sparse, shuffled ids across many buckets (bucket_shift=4 ->
+        # 16 ids/bucket, with empty buckets in between)
+        ids = np.sort(rng.choice(5000, 700, replace=False)).astype(np.int64)
+        texts = [
+            " ".join(["w"] * int(k)) if k else ""
+            for k in rng.integers(0, 40, len(ids))
+        ]
+        df = pd.DataFrame({"doc_id": ids, "text": texts})
+        shuffled = df.sample(frac=1.0, random_state=1).reset_index(drop=True)
+        ds = ray.data.from_pandas(shuffled).repartition(7)
+        got = (
+            tx.pack_sequences(ds, "doc_id", "text", seq_len=64, bucket_shift=4)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        n_tok = df["text"].str.split().str.len().astype(np.int64)
+        start = n_tok.cumsum().shift(1, fill_value=0).astype(np.int64)
+        want = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_tokens": n_tok,
+                "start_offset": start,
+                "pack_id": start // 64,
+            }
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
