@@ -1320,6 +1320,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["pack_sequences"] = pack_sequences
 
+    def contamination(sf_dir):
+        """Benchmark decontamination: per train-doc distinct k-shingle
+        count + overlap with the eval split's shingle set (eval hashes
+        broadcast once via ray.put; train side streams, no shuffle) —
+        dedup.contamination_stats."""
+        ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        return dedup_pipe.contamination_stats(ds, "doc_id", "text")
+
+    q["contamination"] = contamination
+
     # ------------------------------------------------------------------
     # registration order = driver sampling order.  The driver's
     # correctness harness checks the FIRST 50 registrations; rounds 2/3
@@ -2267,6 +2277,10 @@ def oracle_sql() -> dict[str, str]:
 
     sql["pack_sequences"] = _text_pipe.sql_pack_sequences(
         "documents", "doc_id", "text", seq_len=2048
+    )
+
+    sql["contamination"] = sqltext.sql_contamination_stats(
+        "documents", "doc_id"
     )
 
     return sql

@@ -214,3 +214,20 @@ SELECT d.{id_col},
             ELSE COALESCE(p.lang, 'en') END AS lang_pred
 FROM {table} d JOIN __cjk c USING ({id_col}) LEFT JOIN __pick p USING ({id_col})
 """
+
+
+def sql_contamination_stats(table: str, id_col: str, eval_mod: int = 37,
+                            k: int = 5) -> str:
+    """Twin of dedup.contamination_stats: per train-doc distinct-shingle
+    count and how many of those shingles appear in the eval split."""
+    return f"""
+WITH __sh AS ({sql_shingle_cte(table, id_col, k)}),
+__ev AS (SELECT DISTINCT h FROM __sh WHERE {id_col} % {eval_mod} = 0),
+__tr AS (SELECT * FROM __sh WHERE {id_col} % {eval_mod} <> 0)
+SELECT {id_col},
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated
+FROM __tr t LEFT JOIN __ev e ON t.h = e.h
+GROUP BY {id_col}
+"""

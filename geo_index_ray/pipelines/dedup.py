@@ -981,3 +981,109 @@ def simhash_pairs(ds, id_col: str, text_col: str = "text", max_hamming: int = 3)
         .groupby("pkey")
         .map_groups(unique_pairs, batch_format="pyarrow")
     )
+
+
+# -- benchmark decontamination ----------------------------------------------
+
+
+class _ContaminationStage:
+    """Broadcast-probe: the eval split's sorted distinct shingle hashes
+    live in the object store; only the ObjectRef is pickled into the
+    task closure, each task resolves it plasma-local (same shape as
+    ann._BruteCosine)."""
+
+    def __init__(self, ev_ref, id_col: str, text_col: str,
+                 eval_mod: int, shingle_k: int):
+        self.ev_ref = ev_ref
+        self.ev = None
+        self.id_col = id_col
+        self.text_col = text_col
+        self.eval_mod = eval_mod
+        self.shingle_k = shingle_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        if self.ev is None:
+            self.ev = ray.get(self.ev_ref)
+        ids = batch[self.id_col].to_numpy()
+        keep = ids % self.eval_mod != 0
+        ids = ids[keep]
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    self.id_col: pa.array(ids),
+                    "n_shingles": pa.array(np.zeros(0, np.int64)),
+                    "n_contaminated": pa.array(np.zeros(0, np.int64)),
+                }
+            )
+        texts = [
+            t if t is not None else ""
+            for t in batch[self.text_col].filter(pa.array(keep)).to_pylist()
+        ]
+        h, doc, _ = _batch_shingle_hashes(texts, self.shingle_k)
+        # distinct (doc, shingle) — the SQL twin's SELECT DISTINCT
+        order = np.lexsort((h, doc))
+        h, doc = h[order], doc[order]
+        first = np.r_[True, (h[1:] != h[:-1]) | (doc[1:] != doc[:-1])]
+        h, doc = h[first], doc[first]
+        ev = self.ev
+        pos = np.searchsorted(ev, h)
+        member = np.zeros(len(h), dtype=bool)
+        inb = pos < len(ev)
+        member[inb] = ev[pos[inb]] == h[inb]
+        n_sh = np.bincount(doc, minlength=len(ids)).astype(np.int64)
+        n_ct = np.bincount(doc[member], minlength=len(ids)).astype(np.int64)
+        return pa.table(
+            {
+                self.id_col: pa.array(ids),
+                "n_shingles": pa.array(n_sh),
+                "n_contaminated": pa.array(n_ct),
+            }
+        )
+
+
+def contamination_stats(ds, id_col: str, text_col: str = "text",
+                        eval_mod: int = 37, shingle_k: int = 5):
+    """Benchmark decontamination: for every train document, how many of
+    its distinct k-char shingles also appear anywhere in the eval split
+    (documents with ``id % eval_mod == 0`` — the deterministic stand-in
+    for a held-out benchmark set).
+
+    Scale shape: the eval side is benchmark-sized by definition, so its
+    DISTINCT shingle hashes are reduced per batch, uniqued once and
+    broadcast via ``ray.put`` (8 B per distinct shingle — a 10^8-shingle
+    benchmark suite is an 800 MB plasma object, fetched once per node);
+    the corpus side then STREAMS with a per-batch sorted-array
+    membership test — no shuffle at all on the train side.  If the eval
+    side ever outgrows plasma, the named swap is a hash-partitioned
+    semi-join on shingle hash (stages/pairjoin shape).
+    """
+    import ray
+
+    def eval_hashes(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        keep = ids % eval_mod == 0
+        if not keep.any():
+            return pa.table({"h": pa.array(np.zeros(0, np.uint64))})
+        texts = [
+            t if t is not None else ""
+            for t in batch[text_col].filter(pa.array(keep)).to_pylist()
+        ]
+        h, _, _ = _batch_shingle_hashes(texts, shingle_k)
+        return pa.table({"h": pa.array(np.unique(h))})
+
+    parts = []
+    for b in (
+        ds.map_batches(eval_hashes, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        parts.append(b["h"].to_numpy())
+    ev = (
+        np.unique(np.concatenate(parts))
+        if parts
+        else np.zeros(0, np.uint64)
+    )
+    ev_ref = ray.put(ev)
+    stage = _ContaminationStage(ev_ref, id_col, text_col, eval_mod, shingle_k)
+    return ds.map_batches(stage, batch_format="pyarrow")

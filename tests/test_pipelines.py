@@ -281,3 +281,72 @@ class TestPages:
         _, counts = np.unique(cell, return_counts=True)
         # hot cells must exist (clustered 20%) — max cell count far above uniform
         assert counts.max() > 5 * counts.mean()
+
+
+class TestContamination:
+    def test_planted_overlap(self, ray_session):
+        import ray.data
+
+        from geo_index_ray.pipelines import dedup as dd
+
+        # doc 0 and 37 are eval (id % 37 == 0); doc 5 copies doc 37's
+        # text so every one of its shingles is contaminated; doc 6 is
+        # unique text sharing nothing with the eval docs
+        texts = {
+            0: "held out benchmark question alpha beta",
+            37: "the exact answer string to leak",
+            5: "the exact answer string to leak",
+            6: "zzqqy wwxxv unrelated uuu material",
+            8: "partial overlap: the exact answer here",
+        }
+        ids = np.array(sorted(texts), dtype=np.int64)
+        df = pd.DataFrame({"doc_id": ids, "text": [texts[i] for i in ids]})
+        ds = ray.data.from_pandas(df).repartition(3)
+        got = (
+            dd.contamination_stats(ds, "doc_id", "text")
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        # eval docs excluded from output
+        assert set(got.index) == {5, 6, 8}
+        assert got.loc[5, "n_contaminated"] == got.loc[5, "n_shingles"]
+        assert got.loc[6, "n_contaminated"] == 0
+        assert 0 < got.loc[8, "n_contaminated"] < got.loc[8, "n_shingles"]
+
+    def test_matches_duckdb_twin(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from geo_index_ray.functions import sqltext
+        from geo_index_ray.pipelines import dedup as dd
+
+        rng = np.random.default_rng(13)
+        vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(150, dtype=np.int64),
+                "text": [
+                    " ".join(rng.choice(vocab, rng.integers(1, 12)))
+                    for _ in range(150)
+                ],
+            }
+        )
+        ds = ray.data.from_pandas(df).repartition(4)
+        got = (
+            dd.contamination_stats(ds, "doc_id", "text")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", df)
+        want = (
+            con.execute(sqltext.sql_contamination_stats("documents", "doc_id"))
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[want.columns.tolist()], want, check_dtype=False
+        )
