@@ -56,8 +56,16 @@ def compare(name, ray_df, ora_df) -> str:
         av = a[c].to_numpy()
         bv = b[c].to_numpy()
         if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
-            if not np.array_equal(av.astype(np.float64), bv.astype(np.float64)):
-                bad = np.nonzero(av.astype(np.float64) != bv.astype(np.float64))[0][:3]
+            # NaN-aligned equality: a null on both sides in the same row
+            # (e.g. outer-join non-matches) is a match, per SQL semantics
+            if not np.array_equal(
+                av.astype(np.float64), bv.astype(np.float64), equal_nan=True
+            ):
+                neq = av.astype(np.float64) != bv.astype(np.float64)
+                both_nan = np.isnan(av.astype(np.float64)) & np.isnan(
+                    bv.astype(np.float64)
+                )
+                bad = np.nonzero(neq & ~both_nan)[0][:3]
                 return f"VALUE MISMATCH col={c} rows={bad.tolist()} ray={av[bad]} ora={bv[bad]}"
         else:
             if not np.array_equal(av, bv):
