@@ -1245,12 +1245,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             k = batch["o_orderkey"].to_numpy()
             return batch.filter(pa.array(k % 7 == 0))
 
-        return relational.hash_join(
+        joined = relational.hash_join(
             cust.map_batches(keep_c, batch_format="pyarrow"),
             orders.map_batches(keep_o, batch_format="pyarrow"),
             "c_custkey", "o_custkey",
             ["c_custkey"], ["o_orderkey", "o_custkey"], how="full",
         )
+
+        # non-match nulls → -1 sentinel on both sides of the oracle gate
+        # so the driver compare never depends on NaN-equality semantics
+        # (the join's typed-null path itself is unit-tested in
+        # tests/test_relational.py)
+        def fill(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            for c in batch.column_names:
+                batch = batch.set_column(
+                    batch.schema.get_field_index(c), c,
+                    pc.fill_null(batch[c], -1),
+                )
+            return batch
+
+        return joined.map_batches(fill, batch_format="pyarrow")
 
     q["orders_full_outer"] = orders_full_outer
 
@@ -2247,7 +2263,9 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["orders_full_outer"] = """
-        SELECT c.c_custkey, o.o_orderkey, o.o_custkey
+        SELECT COALESCE(c.c_custkey, -1) AS c_custkey,
+               COALESCE(o.o_orderkey, -1) AS o_orderkey,
+               COALESCE(o.o_custkey, -1) AS o_custkey
         FROM (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0) c
         FULL OUTER JOIN
              (SELECT o_orderkey, o_custkey FROM orders
