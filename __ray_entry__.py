@@ -1119,10 +1119,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
 
         filt = orders.map_batches(keep, batch_format="pyarrow")
-        return relational.hash_join(
+        joined = relational.hash_join(
             cust, filt, "c_custkey", "o_custkey",
             ["c_custkey"], ["o_orderpriority"], how="left",
         )
+
+        # non-match nulls → '' sentinel on both sides of the oracle gate
+        # (see orders_full_outer; typed-null path unit-tested elsewhere)
+        def fill(batch: pa.Table) -> pa.Table:
+            i = batch.schema.get_field_index("o_orderpriority")
+            return batch.set_column(
+                i, "o_orderpriority", pc.fill_null(batch["o_orderpriority"], "")
+            )
+
+        return joined.map_batches(fill, batch_format="pyarrow")
 
     q["customer_orders_left"] = customer_orders_left
 
@@ -2204,7 +2214,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["customer_orders_left"] = """
-        SELECT c_custkey, o_orderpriority
+        SELECT c_custkey, COALESCE(o_orderpriority, '') AS o_orderpriority
         FROM customer LEFT JOIN (
           SELECT o_custkey, o_orderpriority FROM orders
           WHERE o_orderkey % 7 = 0
