@@ -1356,6 +1356,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["contamination"] = contamination
 
+    def domain_cap(sf_dir):
+        """Crawl quota capping: keep the 5 most recent captures per
+        hostname (ROW_NUMBER semantics) — derive_pages → RE2 host
+        extract → ranking.grouped_topk, so the exchange carries ≤ k
+        rows per (host, block)."""
+        import pyarrow.compute as pc
+
+        ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "source"])
+        pages = webtext_pipe.derive_pages(ds, "doc_id", "source")
+
+        def add_host(batch: pa.Table) -> pa.Table:
+            host = pc.struct_field(
+                pc.extract_regex(
+                    pc.utf8_lower(batch["url"]), r"^https?://(?P<host>[^/#]+)"
+                ),
+                "host",
+            )
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "host": host,
+                    "warc_ts": batch["warc_ts"],
+                }
+            )
+
+        hosted = pages.map_batches(add_host, batch_format="pyarrow")
+        return rank_pipe.grouped_topk(hosted, "host", "warc_ts", "doc_id", k=5)
+
+    q["domain_cap"] = domain_cap
+
     # ------------------------------------------------------------------
     # registration order = driver sampling order.  The driver's
     # correctness harness checks the FIRST 50 registrations; rounds 2/3
@@ -2310,5 +2340,19 @@ def oracle_sql() -> dict[str, str]:
     sql["contamination"] = sqltext.sql_contamination_stats(
         "documents", "doc_id"
     )
+
+    sql["domain_cap"] = f"""
+        WITH pages AS ({webtext_pipe.sql_derive_pages("documents", "doc_id", "source")}),
+        h AS (
+          SELECT doc_id,
+                 regexp_extract(lower(url), '^https?://([^/#]+)', 1) AS host,
+                 warc_ts
+          FROM pages)
+        SELECT doc_id, host, warc_ts, CAST(rnk AS BIGINT) AS rnk FROM (
+          SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY host ORDER BY warc_ts DESC, doc_id) AS rnk
+          FROM h)
+        WHERE rnk <= 5
+    """
 
     return sql
