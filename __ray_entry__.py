@@ -1386,6 +1386,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["domain_cap"] = domain_cap
 
+    def embedding_dedup_keep(sf_dir):
+        """Embedding near-dup dedup chain: exact-cosine pairs →
+        large/small-star connected components → hash-partitioned
+        keep-list anti-join — the embedding-space twin of the minhash
+        dedup_keep chain."""
+        emb = tables.read_table(
+            sf_dir, "embeddings", columns=["vec_id", "embedding"]
+        )
+        pairs = ann_pipe.cosine_pairs_exact(emb, COS_THRESHOLD, "vec_id")
+        clusters = comp_pipe.connected_components(pairs)
+        return comp_pipe.keep_list(
+            emb.select_columns(["vec_id"]), clusters, "vec_id"
+        )
+
+    q["embedding_dedup_keep"] = embedding_dedup_keep
+
     # ------------------------------------------------------------------
     # registration order = driver sampling order.  The driver's
     # correctness harness checks the FIRST 50 registrations; rounds 2/3
@@ -2340,6 +2356,28 @@ def oracle_sql() -> dict[str, str]:
     sql["contamination"] = sqltext.sql_contamination_stats(
         "documents", "doc_id"
     )
+
+    sql["embedding_dedup_keep"] = f"""
+        WITH pairs AS MATERIALIZED ({sql['cosine_pairs_exact']}),
+        edges AS MATERIALIZED (
+            SELECT a_id AS u, b_id AS v FROM pairs
+            UNION
+            SELECT b_id, a_id FROM pairs
+        )
+        SELECT vec_id FROM embeddings
+        WHERE vec_id NOT IN (
+          SELECT node FROM (
+            WITH RECURSIVE reach(node, label) AS (
+                SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+                UNION
+                SELECT e.v, r.label
+                FROM reach r JOIN edges e ON e.u = r.node
+                WHERE r.label < e.v
+            )
+            SELECT node, MIN(label) AS component FROM reach GROUP BY node
+          ) WHERE node <> component
+        )
+    """
 
     sql["domain_cap"] = f"""
         WITH pages AS ({webtext_pipe.sql_derive_pages("documents", "doc_id", "source")}),
