@@ -413,6 +413,84 @@ def distinct_count(ds, key_col: str, distinct_col: str, ts_col: str | None = Non
     return agg.map_batches(rn, batch_format="pyarrow")
 
 
+def _rkeyed(partials, key_col: str):
+    """Append a coarse reducer key (hash(key) % reducer_count) so the
+    final merge handles MANY keys per Python call — never one call per
+    key (rule 3).  String keys hash off the Arrow UTF-8 buffer."""
+    from ..sources.pages import url_hash64
+    from ..stages.util import reducer_count
+
+    R = reducer_count()
+    _GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def add_rkey(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        if pa.types.is_string(keys.type) or pa.types.is_large_string(keys.type):
+            h = url_hash64(keys)
+        else:
+            with np.errstate(over="ignore"):
+                h = (
+                    keys.to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                    .view(np.uint64)
+                    * _GOLD
+                )
+        return batch.append_column(
+            "rkey",
+            pa.array(((h >> np.uint64(3)) % np.uint64(R)).astype(np.int64)),
+        )
+
+    return partials.map_batches(add_rkey, batch_format="pyarrow")
+
+
+def _weighted_key_segments(g: pa.Table, key_col: str, value_col: str):
+    """Vectorized multi-key weighted-quantile scaffolding over a coarse
+    reducer group of (key, value, cnt) rows: merge duplicate values per
+    key, compute per-key totals and a within-key cumulative count, and
+    return a ``locate(target_per_key)`` that answers "first distinct
+    value whose within-key cumulative count reaches target" for ALL keys
+    in one ``searchsorted`` (within-key cumulatives are lifted onto
+    disjoint ranges via ``key_index * BIG``)."""
+    keys = g[key_col]
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    g = g.drop_columns(["rkey"]) if "rkey" in g.column_names else g
+    dic = pc.dictionary_encode(keys)
+    codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    v = g[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    c = g["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((v, codes))
+    codes, v, c = codes[order], v[order], c[order]
+    # merge duplicate (key, value) rows arriving from different blocks
+    new = np.r_[True, (codes[1:] != codes[:-1]) | (v[1:] != v[:-1])]
+    idx = np.nonzero(new)[0]
+    vu = v[new]
+    cu = np.add.reduceat(c, idx)
+    ku = codes[new]
+    starts = np.nonzero(np.r_[True, ku[1:] != ku[:-1]])[0]
+    seglen = np.diff(np.r_[starts, len(ku)])
+    n_per = np.add.reduceat(cu, starts)
+    cum = np.cumsum(cu)
+    seg_before = np.repeat(np.r_[np.int64(0), cum[starts[1:] - 1]], seglen)
+    cumk = cum - seg_before
+    big = np.int64(n_per.max()) + 1 if len(n_per) else np.int64(1)
+    kidx_row = np.repeat(np.arange(len(starts), dtype=np.int64), seglen)
+    adjusted = cumk + kidx_row * big
+    kidx = np.arange(len(starts), dtype=np.int64)
+
+    def locate(target_per_key):
+        pos = np.searchsorted(adjusted, target_per_key + kidx * big, side="left")
+        return vu[pos]
+
+    return {
+        "keys": dic.dictionary.take(pa.array(ku[starts])),
+        "n_per": n_per,
+        "locate": locate,
+    }
+
+
 def grouped_median(ds, key_col: str, value_col: str,
                    median_name: str = "median_value",
                    count_name: str = "n_events"):
@@ -420,8 +498,9 @@ def grouped_median(ds, key_col: str, value_col: str,
 
     Classic combiner shape: ``map_batches`` pre-aggregates each batch to
     (key, value, cnt) — the shuffle then carries at most one row per
-    distinct (key, value) per block, and the per-key reducer holds only
-    the key's DISTINCT values with weights, from which the exact median
+    distinct (key, value) per block, and the coarse-keyed reducer (many
+    keys per Python call, one lexsort each) holds only DISTINCT values
+    with weights per key, from which the exact median
     (midpoint interpolation for even n, matching ``numpy.median`` /
     DuckDB ``quantile_cont(0.5)``) is a cumulative-sum lookup.  A hot key
     is bounded by its distinct-value count, not its row count; for
@@ -446,30 +525,25 @@ def grouped_median(ds, key_col: str, value_col: str,
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
-    def med(g: pa.Table) -> pa.Table:
-        v = g[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        c = g["cnt"].to_numpy().astype(np.int64)
-        order = np.argsort(v, kind="stable")
-        v, c = v[order], c[order]
-        # merge duplicate values arriving from different blocks
-        new = np.r_[True, v[1:] != v[:-1]]
-        vu = v[new]
-        cu = np.add.reduceat(c, np.nonzero(new)[0])
-        n = int(cu.sum())
-        cum = np.cumsum(cu)
-        lo = (n + 1) // 2  # 1-indexed middle positions
-        hi = n // 2 + 1
-        vlo = vu[np.searchsorted(cum, lo)]
-        vhi = vu[np.searchsorted(cum, hi)]
+    def med_many(g: pa.Table) -> pa.Table:
+        st = _weighted_key_segments(g, key_col, value_col)
+        lo = (st["n_per"] + 1) // 2  # 1-indexed middle positions
+        hi = st["n_per"] // 2 + 1
+        vlo = st["locate"](lo)
+        vhi = st["locate"](hi)
         return pa.table(
             {
-                key_col: g[key_col].slice(0, 1),
-                median_name: pa.array([float((vlo + vhi) / 2.0)], pa.float64()),
-                count_name: pa.array([n], pa.int64()),
+                key_col: st["keys"],
+                median_name: pa.array((vlo + vhi) / 2.0, pa.float64()),
+                count_name: pa.array(st["n_per"]),
             }
         )
 
-    return partials.groupby(key_col).map_groups(med, batch_format="pyarrow")
+    return (
+        _rkeyed(partials, key_col)
+        .groupby("rkey")
+        .map_groups(med_many, batch_format="pyarrow")
+    )
 
 
 def grouped_percentiles(ds, key_col: str, value_col: str,
@@ -500,30 +574,25 @@ def grouped_percentiles(ds, key_col: str, value_col: str,
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
-    def pct(g: pa.Table) -> pa.Table:
-        v = g[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        c = g["cnt"].to_numpy().astype(np.int64)
-        order = np.argsort(v, kind="stable")
-        v, c = v[order], c[order]
-        new = np.r_[True, v[1:] != v[:-1]]
-        vu = v[new]
-        cu = np.add.reduceat(c, np.nonzero(new)[0])
-        n = int(cu.sum())
-        cum = np.cumsum(cu)
-        out = {key_col: g[key_col].slice(0, 1)}
+    def pct_many(g: pa.Table) -> pa.Table:
+        st = _weighted_key_segments(g, key_col, value_col)
+        n = st["n_per"]
+        out = {key_col: st["keys"]}
         for q, name in zip(qs, names):
-            pos = q * (n - 1)
-            i = int(np.floor(pos))
+            pos = q * (n - 1).astype(np.float64)
+            i = np.floor(pos).astype(np.int64)
             frac = pos - i
-            lo = vu[np.searchsorted(cum, i + 1)]
-            hi = vu[np.searchsorted(cum, min(i + 2, n))]
-            out[name] = pa.array(
-                [float(lo * (1.0 - frac) + hi * frac)], pa.float64()
-            )
-        out["n_events"] = pa.array([n], pa.int64())
+            lo = st["locate"](i + 1)
+            hi = st["locate"](np.minimum(i + 2, n))
+            out[name] = pa.array(lo * (1.0 - frac) + hi * frac, pa.float64())
+        out["n_events"] = pa.array(n)
         return pa.table(out)
 
-    return partials.groupby(key_col).map_groups(pct, batch_format="pyarrow")
+    return (
+        _rkeyed(partials, key_col)
+        .groupby("rkey")
+        .map_groups(pct_many, batch_format="pyarrow")
+    )
 
 
 # -- approximate quantiles for continuous hot keys ---------------------------

@@ -741,3 +741,84 @@ class TestHaversinePartitioned:
             for j in np.nonzero(d2 <= 25.0**2)[0]:
                 b.append((qids[qi], tid[j]))
         assert a == sorted(b)
+
+
+class TestGroupedQuantilesManyKeys:
+    """Multi-key-per-reducer path: with key cardinality >> reducer_count,
+    each coarse reducer ranks MANY keys in one vectorized pass — pin the
+    segment arithmetic against DuckDB's quantile_cont."""
+
+    def test_median_and_percentiles_200_keys(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from geo_index_ray.pipelines import events as ev
+
+        rng = np.random.default_rng(21)
+        n = 8000
+        df = pd.DataFrame(
+            {
+                "k": rng.integers(0, 200, n),
+                "value": np.round(rng.normal(50, 20, n), 2),
+            }
+        )
+        # force duplicate (key, value) rows across blocks
+        df = pd.concat([df, df.iloc[: n // 4]], ignore_index=True)
+        ds = ray.data.from_pandas(df).repartition(9)
+        got_med = (
+            ev.grouped_median(ds, "k", "value")
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        got_pct = (
+            ev.grouped_percentiles(ds, "k", "value")
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", df)
+        want_med = con.execute(
+            "SELECT k, quantile_cont(value, 0.5) AS median_value,"
+            " CAST(COUNT(*) AS BIGINT) AS n_events FROM t GROUP BY k ORDER BY k"
+        ).df()
+        want_pct = con.execute(
+            "SELECT k, quantile_cont(value, 0.25) AS p25,"
+            " quantile_cont(value, 0.5) AS p50,"
+            " quantile_cont(value, 0.9) AS p90,"
+            " quantile_cont(value, 0.99) AS p99,"
+            " CAST(COUNT(*) AS BIGINT) AS n_events FROM t GROUP BY k ORDER BY k"
+        ).df()
+        pd.testing.assert_frame_equal(
+            got_med[want_med.columns.tolist()], want_med, check_dtype=False
+        )
+        pd.testing.assert_frame_equal(
+            got_pct[want_pct.columns.tolist()], want_pct, check_dtype=False
+        )
+
+    def test_string_keys_multi_per_reducer(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from geo_index_ray.pipelines import events as ev
+
+        rng = np.random.default_rng(22)
+        keys = [f"key_{i:03d}" for i in rng.integers(0, 60, 3000)]
+        df = pd.DataFrame({"k": keys, "value": rng.integers(0, 50, 3000).astype(np.float64)})
+        ds = ray.data.from_pandas(df).repartition(5)
+        got = (
+            ev.grouped_median(ds, "k", "value")
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", df)
+        want = con.execute(
+            "SELECT k, quantile_cont(value, 0.5) AS median_value,"
+            " CAST(COUNT(*) AS BIGINT) AS n_events FROM t GROUP BY k ORDER BY k"
+        ).df()
+        pd.testing.assert_frame_equal(
+            got[want.columns.tolist()], want, check_dtype=False
+        )
