@@ -1407,10 +1407,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # correctness harness checks the FIRST 50 registrations; rounds 2/3
     # sampled two fixed 50-row windows, so everything registered after
     # `knn_boxes` never received a driver row.  Round-4 order: the 16
-    # never-verified queries, this round's 4 new operators, the 10 that
-    # were green only in round 2, then re-verification picks whose code
-    # changed this round — cumulative driver coverage reaches 80/80
-    # across rounds.  Relative order of the rest is unchanged.
+    # queries those windows both missed, every operator that is NEW this
+    # round (incl. the late round-4 additions — PII scrub, sequence
+    # packing, decontamination, host quota, per-host stats, the
+    # embedding-dedup chain), the 10 that were green only in round 2,
+    # then re-verification rows for r3-green queries whose code changed
+    # this round — cumulative driver coverage reaches 86/86 across
+    # rounds.  Relative order of the rest is unchanged.
     # ------------------------------------------------------------------
     first_50 = [
         # never driver-verified (r2/r3 windows both missed them)
@@ -1423,19 +1426,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new in round 4
         "multimodal_decode_real", "orders_full_outer",
         "knn_pruned_haversine", "radius_pruned",
+        "pii_scrub", "domain_stats", "pack_sequences", "contamination",
+        "domain_cap", "embedding_dedup_keep",
         # green only in round 2's window — re-land a driver row
         "knn_polygons", "simhash_pairs", "tree_join_parts",
         "spatial_partition", "partition_boxes", "knn_pruned",
         "pruned_box_search", "cosine_pairs_exact", "ngram_jaccard_pairs",
         "multimodal_decode",
         # r3-green queries whose code changed in round 4 (re-verify)
-        "dedup_exact", "simhash", "cell_stats",
+        "dedup_exact", "simhash", "cell_stats", "value_median",
+        "value_percentiles",
         # heaviest / most central r3-green pipelines
         "box_join", "pip_join", "knn_nation_customer", "minhash_pairs",
-        "dup_clusters", "dedup_keep", "span_dedup", "ann_topk", "ann_ivf",
-        "embed_neardup", "top_docs_per_lang", "bm25_search", "top_terms",
-        "kmeans_clusters", "kd_range", "knn_haversine", "knn_boxes",
+        "span_dedup", "ann_topk", "ann_ivf",
+        "top_docs_per_lang", "bm25_search",
     ]
+    assert len(first_50) == 50, len(first_50)
     missing = [k for k in first_50 if k not in q]
     assert not missing, f"queries() reorder references unknown keys: {missing}"
     rest = {k: v for k, v in q.items() if k not in set(first_50)}
