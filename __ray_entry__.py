@@ -899,6 +899,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["ngram_jaccard_pairs"] = ngram_jaccard
 
+    def similarity_join(sf_dir):
+        """Cross-split exact-Jaccard similarity join: eval-side docs
+        (doc_id % 37 == 0, the contamination split) against the train
+        side — dedup.ngram_jaccard_dedup(side_of=...)."""
+        ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        return dedup_pipe.ngram_jaccard_dedup(
+            ds, "doc_id", threshold=0.3,
+            side_of=lambda ids: (np.asarray(ids) % 37) == 0,
+        )
+
+    q["similarity_join"] = similarity_join
+
+    def inverted_index(sf_dir):
+        ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        return text_pipe.inverted_index(ds, "doc_id", min_df=2)
+
+    q["inverted_index"] = inverted_index
+
+    def length_bins(sf_dir):
+        ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+        return rank_pipe.ntile_bins(ds, "n_chars", "doc_id", 10)
+
+    q["length_bins"] = length_bins
+
     # --- multimodal (stubbed decode, real plumbing) ---
     def multimodal(sf_dir):
         ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1428,6 +1452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_pruned_haversine", "radius_pruned",
         "pii_scrub", "domain_stats", "pack_sequences", "contamination",
         "domain_cap", "embedding_dedup_keep",
+        "similarity_join", "inverted_index", "length_bins",
         # green only in round 2's window — re-land a driver row
         "knn_polygons", "simhash_pairs", "tree_join_parts",
         "spatial_partition", "partition_boxes", "knn_pruned",
@@ -1436,10 +1461,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r3-green queries whose code changed in round 4 (re-verify)
         "dedup_exact", "simhash", "cell_stats", "value_median",
         "value_percentiles",
-        # heaviest / most central r3-green pipelines
-        "box_join", "pip_join", "knn_nation_customer", "minhash_pairs",
-        "span_dedup", "ann_topk", "ann_ivf",
-        "top_docs_per_lang", "bm25_search",
+        # heaviest / most central r3-green pipelines (the rest of the
+        # r3-green surface is unchanged code with r3 driver rows on record)
+        "box_join", "pip_join", "minhash_pairs",
+        "ann_ivf", "top_docs_per_lang", "bm25_search",
     ]
     assert len(first_50) == 50, len(first_50)
     missing = [k for k in first_50 if k not in q]
@@ -1989,6 +2014,18 @@ def oracle_sql() -> dict[str, str]:
 
     sql["ngram_jaccard_pairs"] = sqltext.sql_ngram_jaccard_pairs(
         "documents", "doc_id", threshold=0.3
+    )
+
+    sql["similarity_join"] = sqltext.sql_ngram_similarity_join(
+        "documents", "doc_id", side_pred="doc_id % 37 = 0", threshold=0.3
+    )
+
+    sql["inverted_index"] = text_pipe.sql_inverted_index(
+        "documents", "doc_id", min_df=2
+    )
+
+    sql["length_bins"] = rank_pipe.sql_ntile_bins(
+        "documents", "n_chars", "doc_id", 10
     )
 
     # transitive closure of the minhash pair graph: min-id label reached

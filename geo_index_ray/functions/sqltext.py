@@ -174,6 +174,29 @@ WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= {threshold}
 """
 
 
+def sql_ngram_similarity_join(table: str, id_col: str, side_pred: str,
+                              threshold: float, k: int = 5) -> str:
+    """Twin of dedup.ngram_jaccard_dedup(side_of=...): cross-side pairs
+    with exact k-gram Jaccard ≥ threshold, oriented (a_id = side-True,
+    b_id = side-False).  ``side_pred`` is a SQL boolean over ``{id_col}``
+    (e.g. ``doc_id % 37 = 0``)."""
+    return f"""
+WITH __sh AS ({sql_shingle_cte(table, id_col, k)}),
+__cnt AS (SELECT {id_col}, COUNT(*) AS n FROM __sh GROUP BY 1),
+__inter AS (
+  SELECT x.{id_col} AS a_id, y.{id_col} AS b_id, COUNT(*) AS i
+  FROM __sh x JOIN __sh y ON x.h = y.h
+  WHERE ({side_pred.replace(id_col, 'x.' + id_col)})
+    AND NOT ({side_pred.replace(id_col, 'y.' + id_col)})
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+FROM __inter
+JOIN __cnt ca ON ca.{id_col} = a_id JOIN __cnt cb ON cb.{id_col} = b_id
+WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= {threshold}
+"""
+
+
 def sql_lang_id(table: str, id_col: str, markers: dict[str, list[str]]) -> str:
     """Twin of text.lang_id_stage: kana/CJK codepoint dominance first,
     else the stopword vote with first-language-wins ties."""

@@ -690,11 +690,20 @@ def ngram_jaccard_dedup(
     heavy_sample: float = 1.0 / 64.0,
     heavy_min_count: int = 8,
     heavy_max: int = 65536,
+    side_of=None,
 ):
     """Near-duplicate pairs by *exact* character-n-gram Jaccard with
     prefix-filter candidate generation (AllPairs/PPJoin-family, public:
     Bayardo et al. WWW'07, Xiao et al. WWW'08) — EXACT recall for
     jaccard >= threshold, never all-pairs.
+
+    ``side_of`` (optional) turns the self-dedup into a SIMILARITY JOIN:
+    a vectorized ``ids -> bool array`` callable splitting the corpus into
+    a left (True) and right (False) side — only cross-side pairs are
+    emitted, oriented (a_id = left, b_id = right).  Two physical tables
+    join by unioning them under a disjoint id namespace and deriving the
+    side from the id range; the prefix-filter recall guarantee is
+    side-agnostic, so exactness is unchanged.
 
     Scale shape — three lean shuffles, no full sets and no text in any of
     them except the final per-candidate payload join:
@@ -801,11 +810,19 @@ def ngram_jaccard_dedup(
             # J >= t ⟹ t·max <= |A∩B| <= min; small slack keeps float
             # rounding from ever dropping a true pair
             keep = (ids[ai] != ids[bi]) & (lo >= threshold * hi - 1e-9)
+            if side_of is not None:
+                sa = side_of(ids[ai])
+                keep &= sa != side_of(ids[bi])
             if keep.any():
                 a = ids[ai][keep]
                 b = ids[bi][keep]
-                out_a.append(np.minimum(a, b))
-                out_b.append(np.maximum(a, b))
+                if side_of is None:
+                    out_a.append(np.minimum(a, b))
+                    out_b.append(np.maximum(a, b))
+                else:
+                    swap = ~sa[keep]  # ai on the right side → orient
+                    out_a.append(np.where(swap, b, a))
+                    out_b.append(np.where(swap, a, b))
         if not out_a:
             return _empty_ab
         return pa.table(

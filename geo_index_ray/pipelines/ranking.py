@@ -132,3 +132,116 @@ def stratified_sample(ds, stratum_col: str, id_col: str,
 def sql_threshold(rate: float) -> int:
     """The oracle-side integer threshold for ``rate`` (same floor)."""
     return min(int(rate * 2.0**64), 2**64 - 1)
+
+
+def ntile_bins(ds, value_col: str, id_col: str, k: int):
+    """Equal-frequency binning (SQL ``NTILE(k) OVER (ORDER BY value,
+    id)``) without a global sort — curriculum/quality bucketing for
+    training-data pipelines.
+
+    Two-pass distributed exact rank (same shape as
+    ``text.pack_sequences``'s prefix sum and
+    ``partition.spatial_partition``'s Hilbert rank):
+
+    - pass 1: per-``value`` row counts via per-batch ``np.unique``
+      combiners then a value-keyed groupby; the driver holds one
+      (value, count) row per DISTINCT value (exclusive cumsum → the
+      global base rank of each value) and broadcasts it.  Distinct-value
+      cardinality bounds driver memory — right for discrete scores
+      (lengths, quality levels); for continuous scores quantize first or
+      use ``events.grouped_quantiles_sketch``.
+    - pass 2: ONE lean shuffle of ``(value, id)`` (16 B/row) keyed on
+      ``hash(value) % R`` — all rows of a value land in one reducer,
+      which ranks every one of its values in a single lexsort and applies
+      the NTILE split (first ``n % k`` bins get ``⌈n/k⌉`` rows).
+
+    Returns ``(id, value, bin)`` with ``bin`` in 1..k.
+    """
+    import ray
+
+    from ..stages.util import coalesce_for_shuffle, reducer_count
+
+    R = reducer_count()
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, cnt = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(uniq), "c": pa.array(cnt.astype(np.int64))})
+
+    hist = (
+        ds.map_batches(count_partial, batch_format="pyarrow").groupby("v").sum("c")
+    )
+    vs, cs = [], []
+    for b in hist.iter_batches(batch_format="pyarrow"):
+        vs.append(b["v"].to_numpy())
+        cs.append(b["sum(c)"].to_numpy())
+    vs = np.concatenate(vs) if vs else np.zeros(0, np.int64)
+    cs = np.concatenate(cs) if cs else np.zeros(0, np.int64)
+    order = np.argsort(vs)
+    vs, cs = vs[order], cs[order]
+    base = np.r_[np.int64(0), np.cumsum(cs)[:-1]]
+    n_total = int(cs.sum())
+    ref = ray.put((vs, base))
+
+    q, rem = divmod(n_total, max(k, 1))
+    boundary = rem * (q + 1)
+
+    def lean(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(over="ignore"):
+            rkey = (v.view(np.uint64) * _GOLDEN) % np.uint64(R)
+        return pa.table(
+            {
+                "rkey": pa.array(rkey.astype(np.int64)),
+                "v": pa.array(v),
+                id_col: batch[id_col],
+            }
+        )
+
+    lean_ds = coalesce_for_shuffle(ds.map_batches(lean, batch_format="pyarrow"), 0.5)
+
+    _empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            value_col: pa.array([], pa.int64()),
+            "bin": pa.array([], pa.int64()),
+        }
+    )
+
+    def bin_reducer(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _empty
+        vs_g, base_g = ray.get(ref)
+        v = g["v"].to_numpy()
+        ids = g[id_col].to_numpy().astype(np.int64)
+        order = np.lexsort((ids, v))
+        v_s, id_s = v[order], ids[order]
+        run_start = np.r_[True, v_s[1:] != v_s[:-1]]
+        starts = np.nonzero(run_start)[0]
+        seglen = np.diff(np.r_[starts, len(v_s)])
+        within = np.arange(len(v_s)) - np.repeat(starts, seglen)
+        rank = base_g[np.searchsorted(vs_g, v_s)] + within
+        bins = np.where(
+            rank < boundary,
+            rank // max(q + 1, 1),
+            rem + (rank - boundary) // max(q, 1),
+        ) + 1
+        return pa.table(
+            {
+                id_col: pa.array(id_s),
+                value_col: pa.array(v_s),
+                "bin": pa.array(bins.astype(np.int64)),
+            }
+        )
+
+    return lean_ds.groupby("rkey").map_groups(bin_reducer, batch_format="pyarrow")
+
+
+def sql_ntile_bins(table: str, value_col: str, id_col: str, k: int) -> str:
+    """DuckDB twin of :func:`ntile_bins`."""
+    return f"""
+        SELECT {id_col}, {value_col},
+               CAST(NTILE({k}) OVER (ORDER BY {value_col}, {id_col}) AS BIGINT)
+                 AS bin
+        FROM {table}
+    """

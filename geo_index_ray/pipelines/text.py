@@ -750,3 +750,95 @@ def sql_pack_sequences(table: str, id_col: str, text_col: str = "text",
                     0) // {seq_len} AS BIGINT) AS pack_id
         FROM t
     """
+
+
+def inverted_index(ds, id_col: str, text_col: str = "text", min_df: int = 1):
+    """Full-text inverted index: one row per term with its document
+    frequency and the ascending-id posting list (comma-joined string —
+    a stable, engine-neutral wire format).
+
+    Scale shape: tokenization is the all-Arrow ``_doc_term_tf`` pass;
+    the ONLY exchange carries distinct ``(term, id)`` pairs keyed on
+    ``hash(term) % R`` (the term string + 8 B id — nothing else), and a
+    reducer builds posting strings for ALL of its terms in one pass: a
+    single lexsort groups ``(term, id)`` runs, ``pa.ListArray`` +
+    ``pc.binary_join`` materialize the joined lists with zero per-term
+    Python.  Postings for a df=10⁹ term would be a multi-GB string —
+    at that scale cap df or emit ``list<int64>`` chunks per (term,
+    shard); ``min_df`` bounds the tail instead (df < min_df terms are
+    dropped AFTER the exchange, where df is exact).
+
+    Mirrors the query surface of the reference's index-then-probe shape
+    (reference: ``src/rtree/index.rs`` builds a static index once, many
+    probes) for the text modality.
+    """
+    from ..stages.util import coalesce_for_shuffle, reducer_count
+
+    R = reducer_count()
+    _GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def term_id_pairs(batch: pa.Table) -> pa.Table:
+        rows, codes, _, dictionary = _doc_term_tf(batch, id_col, text_col)
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        terms = dictionary.take(pa.array(codes))
+        from ..sources.pages import url_hash64
+
+        rkey = (url_hash64(terms) % np.uint64(R)).astype(np.int64)
+        return pa.table(
+            {"rkey": pa.array(rkey), "term": terms, id_col: pa.array(ids[rows])}
+        )
+
+    pairs = coalesce_for_shuffle(
+        ds.map_batches(term_id_pairs, batch_format="pyarrow"), 0.5
+    )
+
+    _empty = pa.table(
+        {
+            "term": pa.array([], pa.string()),
+            "df": pa.array([], pa.int64()),
+            "postings": pa.array([], pa.string()),
+        }
+    )
+
+    def build_postings(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _empty
+        terms = g["term"]
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        dic = pc.dictionary_encode(terms)
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = g[id_col].to_numpy().astype(np.int64)
+        order = np.lexsort((ids, codes))
+        cs, is_ = codes[order], ids[order]
+        df = np.bincount(cs, minlength=len(dic.dictionary)).astype(np.int64)
+        offsets = np.zeros(len(df) + 1, dtype=np.int32)
+        offsets[1:] = np.cumsum(df)
+        id_strs = pc.cast(pa.array(is_), pa.string())
+        lists = pa.ListArray.from_arrays(pa.array(offsets), id_strs)
+        postings = pc.binary_join(lists, ",")
+        out = pa.table(
+            {"term": dic.dictionary, "df": pa.array(df), "postings": postings}
+        )
+        if min_df > 1:
+            out = out.filter(pc.greater_equal(out["df"], min_df))
+        return out
+
+    return pairs.groupby("rkey").map_groups(build_postings, batch_format="pyarrow")
+
+
+def sql_inverted_index(table: str, id_col: str, text_col: str = "text",
+                       min_df: int = 1) -> str:
+    """DuckDB twin of :func:`inverted_index` (same lower → \\s+ split →
+    drop-empties tokenization as the ``top_terms`` oracle)."""
+    return f"""
+        WITH toks AS (
+          SELECT DISTINCT {id_col},
+                 unnest(list_filter(string_split_regex(lower({text_col}), '\\s+'),
+                        x -> x <> '')) AS term
+          FROM {table})
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+               string_agg(CAST({id_col} AS VARCHAR), ',' ORDER BY {id_col})
+                 AS postings
+        FROM toks GROUP BY term HAVING COUNT(*) >= {min_df}
+    """
