@@ -729,6 +729,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["roundtrip_parquet"] = roundtrip_parquet
 
+    def roundtrip_jsonl(sf_dir):
+        """Source-format coverage: JSONL sink + source (int columns —
+        text formats don't guarantee float ULPs; see sources.textio)."""
+        import tempfile
+
+        from geo_index_ray.sources import textio
+
+        ds = tables.read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+        out = tempfile.mkdtemp(prefix="rt_jsonl_", dir="/tmp")
+        textio.write_jsonl(ds, out)
+        return textio.read_jsonl(out).select_columns(["s_suppkey", "s_nationkey"])
+
+    q["roundtrip_jsonl"] = roundtrip_jsonl
+
+    def roundtrip_csv(sf_dir):
+        import tempfile
+
+        from geo_index_ray.sources import textio
+
+        ds = tables.read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+        out = tempfile.mkdtemp(prefix="rt_csv_", dir="/tmp")
+        textio.write_csv(ds, out)
+        return textio.read_csv(out).select_columns(["s_suppkey", "s_nationkey"])
+
+    q["roundtrip_csv"] = roundtrip_csv
+
     # --- more index probes / joins ---
     def kd_range(sf_dir):
         ds = tables.points_ds(sf_dir, "supplier", "s_suppkey")
@@ -922,6 +948,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return rank_pipe.ntile_bins(ds, "n_chars", "doc_id", 10)
 
     q["length_bins"] = length_bins
+
+    def pagerank_events(sf_dir):
+        """Integer-exact PageRank over the bipartite user → props-k
+        graph (nodes disjoint by parity) — components.pagerank_int,
+        composed from the repo's own hash_join + groupby stages."""
+        ds = tables.read_table(sf_dir, "events", columns=["user_id", "props"])
+
+        def edges(batch):
+            import pyarrow.compute as pc
+
+            ex = pc.extract_regex(batch["props"], r'"k"\s*:\s*(?P<v>-?\d+)')
+            if isinstance(ex, pa.ChunkedArray):
+                ex = ex.combine_chunks()
+            k = pc.cast(pc.struct_field(ex, "v"), pa.int64())
+            ok = pc.is_valid(k).to_numpy(zero_copy_only=False)
+            kv = pc.fill_null(k, 0).to_numpy(zero_copy_only=False)
+            u = batch["user_id"].to_numpy().astype(np.int64)
+            return pa.table(
+                {
+                    "src": pa.array(u[ok] * 2),
+                    "dst": pa.array(kv[ok] * 2 + 1),
+                }
+            )
+
+        e = ds.map_batches(edges, batch_format="pyarrow")
+        return comp_pipe.pagerank_int(e, "src", "dst", iters=3)
+
+    q["pagerank_events"] = pagerank_events
+
+    def top_tokens_per_source(sf_dir):
+        ds = tables.read_table(sf_dir, "documents", columns=["source", "text"])
+        return webtext_pipe.heavy_hitters_per_group(ds, "source", "text", k=5)
+
+    q["top_tokens_per_source"] = top_tokens_per_source
 
     # --- multimodal (stubbed decode, real plumbing) ---
     def multimodal(sf_dir):
@@ -1453,6 +1513,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub", "domain_stats", "pack_sequences", "contamination",
         "domain_cap", "embedding_dedup_keep",
         "similarity_join", "inverted_index", "length_bins",
+        "pagerank_events", "top_tokens_per_source",
+        "roundtrip_jsonl", "roundtrip_csv",
         # green only in round 2's window — re-land a driver row
         "knn_polygons", "simhash_pairs", "tree_join_parts",
         "spatial_partition", "partition_boxes", "knn_pruned",
@@ -1463,8 +1525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_percentiles",
         # heaviest / most central r3-green pipelines (the rest of the
         # r3-green surface is unchanged code with r3 driver rows on record)
-        "box_join", "pip_join", "minhash_pairs",
-        "ann_ivf", "top_docs_per_lang", "bm25_search",
+        "box_join", "minhash_pairs",
     ]
     assert len(first_50) == 50, len(first_50)
     missing = [k for k in first_50 if k not in q]
@@ -1785,6 +1846,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT s_suppkey, {pt('s_suppkey')} FROM supplier
     """
 
+    sql["roundtrip_jsonl"] = "SELECT s_suppkey, CAST(s_nationkey AS BIGINT) AS s_nationkey FROM supplier"
+    sql["roundtrip_csv"] = "SELECT s_suppkey, CAST(s_nationkey AS BIGINT) AS s_nationkey FROM supplier"
+
     sql["asof_click_purchase"] = """
         SELECT c.event_id AS click_id, p.event_id AS purchase_id
         FROM (SELECT * FROM events WHERE event_type = 'click') c
@@ -2027,6 +2091,33 @@ def oracle_sql() -> dict[str, str]:
     sql["length_bins"] = rank_pipe.sql_ntile_bins(
         "documents", "n_chars", "doc_id", 10
     )
+
+    sql["pagerank_events"] = comp_pipe.sql_pagerank_int(
+        r"""SELECT user_id * 2 AS src,
+               TRY_CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1)
+                        AS BIGINT) * 2 + 1 AS dst
+        FROM events
+        WHERE regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) <> ''""",
+        iters=3,
+    )
+
+    sql["top_tokens_per_source"] = """
+        WITH w AS (
+          SELECT source,
+                 unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                        x -> x <> '')) AS token
+          FROM documents
+        ),
+        c AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM w GROUP BY 1, 2)
+        SELECT source, token, cnt, rnk FROM (
+          SELECT source, token, cnt,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY cnt DESC, token) AS BIGINT)
+                   AS rnk
+          FROM c
+        ) WHERE rnk <= 5
+    """
 
     # transitive closure of the minhash pair graph: min-id label reached
     # by every node (the engine's large-star/small-star result)

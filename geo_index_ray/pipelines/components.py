@@ -254,3 +254,146 @@ def keep_list(docs_ds, clusters_ds, id_col: str = "doc_id"):
         tagged.groupby("rkey").map_groups(anti, batch_format="pyarrow"),
         {id_col: pa.int64()},
     )
+
+
+def pagerank_int(edges, src_col: str, dst_col: str, iters: int = 3,
+                 scale: int = 10**12, damp_num: int = 85,
+                 damp_den: int = 100):
+    """PageRank over an int64 edge list in EXACT integer arithmetic —
+    ``iters`` synchronous power-iteration rounds of ``pr' = base +
+    (damp_num * Σ_in floor(pr/outdeg)) // damp_den`` with ``base =
+    scale*(damp_den-damp_num)//damp_den`` (dangling mass dropped, the
+    standard sparse simplification).  Integer floor-division at every
+    step makes the result independent of summation order, so the same
+    recurrence in any engine reproduces it bit-for-bit (the oracle twin
+    unrolls it in SQL); overflow bound: ``damp_num * max_indegree *
+    scale`` must stay under 2^63 — at the default scale that is ~10^5
+    in-edges per node; shrink ``scale`` for denser graphs.
+
+    Shape per iteration (all composed from this repo's own operators —
+    the engine eating its own dog food):
+
+    - contributions: ``hash_join(pr, edges⋈outdeg, node=src)`` — the
+      pr table never broadcasts (node count can be corpus-sized); the
+      join + the ``groupby(dst).sum`` are the two lean all-to-alls.
+    - refresh: ``hash_join(nodes, incoming, how="left")`` fills nodes
+      with no in-edges from the base term.
+
+    Driver holds nothing; per-round state is the (node, pr) dataset.
+    O(iters) chained lazy stages — fine for the small fixed iteration
+    counts PageRank needs (10-20); checkpoint through parquet between
+    rounds if an engine restart mid-iteration matters.
+    """
+    import pyarrow.compute as pc
+
+    from .relational import hash_join
+
+    base = scale * (damp_den - damp_num) // damp_den
+
+    # static per-run tables: out-degrees and the node universe
+    def src_count(batch: pa.Table) -> pa.Table:
+        s = batch[src_col].to_numpy().astype(np.int64)
+        u, c = np.unique(s, return_counts=True)
+        return pa.table({"src": pa.array(u), "d": pa.array(c.astype(np.int64))})
+
+    outdeg = (
+        edges.map_batches(src_count, batch_format="pyarrow")
+        .groupby("src")
+        .sum("d")
+        .rename_columns({"sum(d)": "d"})
+    )
+
+    def node_rows(batch: pa.Table) -> pa.Table:
+        u = np.unique(
+            np.concatenate(
+                [
+                    batch[src_col].to_numpy().astype(np.int64),
+                    batch[dst_col].to_numpy().astype(np.int64),
+                ]
+            )
+        )
+        return pa.table({"node": pa.array(u)})
+
+    nodes = (
+        edges.map_batches(node_rows, batch_format="pyarrow")
+        .groupby("node")
+        .count()
+        .select_columns(["node"])
+    )
+
+    def init_pr(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "pr", pa.array(np.full(batch.num_rows, scale, dtype=np.int64))
+        )
+
+    pr = nodes.map_batches(init_pr, batch_format="pyarrow")
+
+    # edges with the out-degree of their source attached (computed once)
+    edges_deg = hash_join(
+        edges.select_columns([src_col, dst_col]), outdeg, src_col, "src",
+        [src_col, dst_col], ["d"],
+    )
+
+    for _ in range(iters):
+        contrib = hash_join(
+            edges_deg, pr, src_col, "node", [dst_col, "d"], ["pr"]
+        )
+
+        def share_partial(batch: pa.Table) -> pa.Table:
+            d = batch[dst_col].to_numpy().astype(np.int64)
+            s = batch["pr"].to_numpy() // batch["d"].to_numpy()
+            u, inv = np.unique(d, return_inverse=True)
+            acc = np.zeros(len(u), dtype=np.int64)
+            np.add.at(acc, inv, s)
+            return pa.table({"node": pa.array(u), "inc": pa.array(acc)})
+
+        incoming = (
+            contrib.map_batches(share_partial, batch_format="pyarrow")
+            .groupby("node")
+            .sum("inc")
+            .rename_columns({"sum(inc)": "inc"})
+        )
+
+        joined = hash_join(
+            nodes, incoming, "node", "node", ["node"], ["inc"], how="left"
+        )
+
+        def refresh(batch: pa.Table) -> pa.Table:
+            inc = pc.fill_null(batch["inc"], 0).to_numpy(zero_copy_only=False)
+            npr = base + (damp_num * inc.astype(np.int64)) // damp_den
+            return pa.table({"node": batch["node"], "pr": pa.array(npr)})
+
+        pr = joined.map_batches(refresh, batch_format="pyarrow")
+
+    return pr
+
+
+def sql_pagerank_int(edges_sql: str, iters: int = 3, scale: int = 10**12,
+                     damp_num: int = 85, damp_den: int = 100) -> str:
+    """DuckDB twin of :func:`pagerank_int` — the identical integer
+    recurrence unrolled ``iters`` times over ``edges_sql`` (a SELECT
+    yielding ``src, dst``)."""
+    base = scale * (damp_den - damp_num) // damp_den
+    ctes = [
+        f"e AS ({edges_sql})",
+        "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1)",
+        "nodes AS (SELECT DISTINCT src AS node FROM e"
+        " UNION SELECT DISTINCT dst FROM e)",
+        f"pr0 AS (SELECT node, CAST({scale} AS BIGINT) AS pr FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""pr{i} AS (
+  SELECT n.node,
+         CAST({base} + ({damp_num} * COALESCE(s.inc, 0)) // {damp_den}
+              AS BIGINT) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, CAST(SUM(p.pr // d.d) AS BIGINT) AS inc
+    FROM e JOIN deg d ON e.src = d.src JOIN pr{i - 1} p ON p.node = e.src
+    GROUP BY 1
+  ) s ON n.node = s.node
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT node, pr FROM pr{iters}"
+    )

@@ -715,3 +715,113 @@ def sql_domain_stats(pages_cte: str) -> str:
         GROUP BY host
         ORDER BY host
     """
+
+
+def heavy_hitters_per_group(ds, group_col: str, text_col: str, k: int):
+    """Top-k tokens per group (domain/source/language) by occurrence
+    count, ROW_NUMBER semantics (cnt DESC, token ASC) — the per-group
+    variant of :func:`heavy_hitters`.
+
+    Per-batch combiner: one composite ``np.unique`` over (group code ×
+    token code) emits (group, token, partial cnt) rows, so the single
+    shuffle is bounded by block vocabulary × groups-per-block.  Rows
+    route under ``hash(group) % R`` (all of a group's tokens meet in one
+    reducer, so its sums are global there) and a reducer finishes ALL of
+    its groups in one ``pc.sort_indices`` (native string collation for
+    the token tie-break) + first-occurrence rank — no per-group Python.
+    """
+    from ..sources.pages import url_hash64
+    from ..stages.util import coalesce_for_shuffle, reducer_count
+
+    R = reducer_count()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(pc.utf8_lower(batch[text_col]), r"\s+")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        parents = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        wlens, _, _ = _string_views(flat)
+        nonempty = wlens > 0
+        tok_dic = pc.dictionary_encode(flat.filter(pa.array(nonempty)))
+        t_codes = tok_dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        grp = batch[group_col]
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        g_dic = pc.dictionary_encode(grp)
+        g_codes = (
+            g_dic.indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)[parents[nonempty]]
+        )
+        n_tok = max(len(tok_dic.dictionary), 1)
+        comp, cnt = np.unique(g_codes * n_tok + t_codes, return_counts=True)
+        g_out = g_dic.dictionary.take(pa.array(comp // n_tok))
+        rkey = (url_hash64(g_out) % np.uint64(R)).astype(np.int64)
+        return pa.table(
+            {
+                "rkey": pa.array(rkey),
+                group_col: g_out,
+                "token": tok_dic.dictionary.take(pa.array(comp % n_tok)),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    partials = coalesce_for_shuffle(
+        ds.map_batches(partial, batch_format="pyarrow"), 0.5
+    )
+
+    _empty = pa.table(
+        {
+            group_col: pa.array([], pa.string()),
+            "token": pa.array([], pa.string()),
+            "cnt": pa.array([], pa.int64()),
+            "rnk": pa.array([], pa.int64()),
+        }
+    )
+
+    def reduce_topk(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _empty
+        grp = g[group_col]
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        tok = g["token"]
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        g_dic = pc.dictionary_encode(grp)
+        t_dic = pc.dictionary_encode(tok)
+        gc = g_dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        tc = t_dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = g["cnt"].to_numpy()
+        n_tok = max(len(t_dic.dictionary), 1)
+        comp = gc * n_tok + tc
+        uniq, inv = np.unique(comp, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, cnt)
+        merged = pa.table(
+            {
+                group_col: g_dic.dictionary.take(pa.array(uniq // n_tok)),
+                "token": t_dic.dictionary.take(pa.array(uniq % n_tok)),
+                "cnt": pa.array(sums),
+            }
+        )
+        idx = pc.sort_indices(
+            merged,
+            sort_keys=[
+                (group_col, "ascending"),
+                ("cnt", "descending"),
+                ("token", "ascending"),
+            ],
+        )
+        s = merged.take(idx)
+        sg = pc.dictionary_encode(s[group_col].combine_chunks()).indices.to_numpy(
+            zero_copy_only=False
+        )
+        first = np.searchsorted(sg, sg, side="left")
+        rnk = np.arange(len(sg)) - first + 1
+        keep = rnk <= k
+        return s.filter(pa.array(keep)).append_column(
+            "rnk", pa.array(rnk[keep].astype(np.int64))
+        )
+
+    return partials.groupby("rkey").map_groups(reduce_topk, batch_format="pyarrow")
