@@ -284,41 +284,36 @@ def pagerank_int(edges, src_col: str, dst_col: str, iters: int = 3,
     counts PageRank needs (10-20); checkpoint through parquet between
     rounds if an engine restart mid-iteration matters.
     """
-    import pyarrow.compute as pc
-
     from .relational import hash_join
 
     base = scale * (damp_den - damp_num) // damp_den
 
-    # static per-run tables: out-degrees and the node universe
-    def src_count(batch: pa.Table) -> pa.Table:
+    # node state carries the STATIC out-degree alongside the evolving
+    # rank: one groupby builds (node, d) from both edge endpoints (dst
+    # rows contribute d=0, so sinks appear with degree 0) and every later
+    # iteration is exactly ONE hash_join (pr ⋈ edges on src) + one
+    # union-groupby refresh — no per-iteration edge⋈outdeg re-derivation
+    # and no second join for the base term.
+    def endpoint_rows(batch: pa.Table) -> pa.Table:
         s = batch[src_col].to_numpy().astype(np.int64)
-        u, c = np.unique(s, return_counts=True)
-        return pa.table({"src": pa.array(u), "d": pa.array(c.astype(np.int64))})
+        t = batch[dst_col].to_numpy().astype(np.int64)
+        us, cs = np.unique(s, return_counts=True)
+        ut = np.unique(t)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([us, ut])),
+                "d": pa.array(
+                    np.concatenate([cs.astype(np.int64),
+                                    np.zeros(len(ut), np.int64)])
+                ),
+            }
+        )
 
-    outdeg = (
-        edges.map_batches(src_count, batch_format="pyarrow")
-        .groupby("src")
+    node_deg = (
+        edges.map_batches(endpoint_rows, batch_format="pyarrow")
+        .groupby("node")
         .sum("d")
         .rename_columns({"sum(d)": "d"})
-    )
-
-    def node_rows(batch: pa.Table) -> pa.Table:
-        u = np.unique(
-            np.concatenate(
-                [
-                    batch[src_col].to_numpy().astype(np.int64),
-                    batch[dst_col].to_numpy().astype(np.int64),
-                ]
-            )
-        )
-        return pa.table({"node": pa.array(u)})
-
-    nodes = (
-        edges.map_batches(node_rows, batch_format="pyarrow")
-        .groupby("node")
-        .count()
-        .select_columns(["node"])
     )
 
     def init_pr(batch: pa.Table) -> pa.Table:
@@ -326,46 +321,64 @@ def pagerank_int(edges, src_col: str, dst_col: str, iters: int = 3,
             "pr", pa.array(np.full(batch.num_rows, scale, dtype=np.int64))
         )
 
-    pr = nodes.map_batches(init_pr, batch_format="pyarrow")
+    pr = node_deg.map_batches(init_pr, batch_format="pyarrow")
 
-    # edges with the out-degree of their source attached (computed once)
-    edges_deg = hash_join(
-        edges.select_columns([src_col, dst_col]), outdeg, src_col, "src",
-        [src_col, dst_col], ["d"],
-    )
+    def zero_inc(batch: pa.Table) -> pa.Table:
+        # the refresh union leg that re-seeds every node (and carries the
+        # static degree forward; the incoming leg ships d=0).  Sourced
+        # from the STATIC node_deg, never from pr: consuming the evolving
+        # pr twice per iteration would re-execute its lazy lineage once
+        # per consumer and compound exponentially across iterations.
+        return pa.table(
+            {
+                "node": batch["node"],
+                "d": batch["d"],
+                "inc": pa.array(np.zeros(batch.num_rows, np.int64)),
+            }
+        )
 
     for _ in range(iters):
         contrib = hash_join(
-            edges_deg, pr, src_col, "node", [dst_col, "d"], ["pr"]
+            edges.select_columns([src_col, dst_col]), pr, src_col, "node",
+            [dst_col], ["pr", "d"],
         )
 
         def share_partial(batch: pa.Table) -> pa.Table:
-            d = batch[dst_col].to_numpy().astype(np.int64)
-            s = batch["pr"].to_numpy() // batch["d"].to_numpy()
-            u, inv = np.unique(d, return_inverse=True)
+            t = batch[dst_col].to_numpy().astype(np.int64)
+            s = batch["pr"].to_numpy() // np.maximum(batch["d"].to_numpy(), 1)
+            u, inv = np.unique(t, return_inverse=True)
             acc = np.zeros(len(u), dtype=np.int64)
             np.add.at(acc, inv, s)
-            return pa.table({"node": pa.array(u), "inc": pa.array(acc)})
+            return pa.table(
+                {
+                    "node": pa.array(u),
+                    "d": pa.array(np.zeros(len(u), np.int64)),
+                    "inc": pa.array(acc),
+                }
+            )
 
-        incoming = (
-            contrib.map_batches(share_partial, batch_format="pyarrow")
+        incoming = contrib.map_batches(share_partial, batch_format="pyarrow")
+        merged = (
+            node_deg.map_batches(zero_inc, batch_format="pyarrow")
+            .union(incoming)
             .groupby("node")
-            .sum("inc")
-            .rename_columns({"sum(inc)": "inc"})
-        )
-
-        joined = hash_join(
-            nodes, incoming, "node", "node", ["node"], ["inc"], how="left"
+            .sum(["d", "inc"])
         )
 
         def refresh(batch: pa.Table) -> pa.Table:
-            inc = pc.fill_null(batch["inc"], 0).to_numpy(zero_copy_only=False)
+            inc = batch["sum(inc)"].to_numpy()
             npr = base + (damp_num * inc.astype(np.int64)) // damp_den
-            return pa.table({"node": batch["node"], "pr": pa.array(npr)})
+            return pa.table(
+                {
+                    "node": batch["node"],
+                    "d": batch["sum(d)"],
+                    "pr": pa.array(npr),
+                }
+            )
 
-        pr = joined.map_batches(refresh, batch_format="pyarrow")
+        pr = merged.map_batches(refresh, batch_format="pyarrow")
 
-    return pr
+    return pr.select_columns(["node", "pr"])
 
 
 def sql_pagerank_int(edges_sql: str, iters: int = 3, scale: int = 10**12,
