@@ -983,6 +983,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["top_tokens_per_source"] = top_tokens_per_source
 
+    def audio_wav_stats(sf_dir):
+        """REAL end-to-end audio decode, no library: deterministic WAV
+        payloads (canonical 44-byte header + integer PCM16) → pure-numpy
+        RIFF parse + exact per-sample aggregation (multimodal.parse_wav);
+        the oracle recomputes every PCM sample with generate_series."""
+        ds = tables.read_table(sf_dir, "documents", columns=["doc_id"])
+
+        def to_wav(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy().astype(np.int64)
+            return pa.table(
+                {"doc_id": batch["doc_id"],
+                 "payload": mm_pipe.synth_wav_payloads(ids)}
+            )
+
+        wav = ds.map_batches(to_wav, batch_format="pyarrow")
+        return mm_pipe.audio_stats(wav, "doc_id", "payload")
+
+    q["audio_wav_stats"] = audio_wav_stats
+
     # --- multimodal (stubbed decode, real plumbing) ---
     def multimodal(sf_dir):
         ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1514,7 +1533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_cap", "embedding_dedup_keep",
         "similarity_join", "inverted_index", "length_bins",
         "pagerank_events", "top_tokens_per_source",
-        "roundtrip_jsonl", "roundtrip_csv",
+        "roundtrip_jsonl", "roundtrip_csv", "audio_wav_stats",
         # green only in round 2's window — re-land a driver row
         "knn_polygons", "simhash_pairs", "tree_join_parts",
         "spatial_partition", "partition_boxes", "knn_pruned",
@@ -1523,9 +1542,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r3-green queries whose code changed in round 4 (re-verify)
         "dedup_exact", "simhash", "cell_stats", "value_median",
         "value_percentiles",
-        # heaviest / most central r3-green pipelines (the rest of the
-        # r3-green surface is unchanged code with r3 driver rows on record)
-        "box_join", "minhash_pairs",
+        # most central r3-green pipeline (the rest of the r3-green
+        # surface is unchanged code with r3 driver rows on record)
+        "minhash_pairs",
     ]
     assert len(first_50) == 50, len(first_50)
     missing = [k for k in first_50 if k not in q]
@@ -2099,6 +2118,10 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         WHERE regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) <> ''""",
         iters=3,
+    )
+
+    sql["audio_wav_stats"] = mm_pipe.sql_wav_stats(
+        "SELECT doc_id FROM documents", "doc_id"
     )
 
     sql["top_tokens_per_source"] = """

@@ -486,3 +486,197 @@ def sample_frames(ds, id_col: str, payload_col: str, every_n: int = 30,
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# audio: canonical WAV — a container numpy can decode COMPLETELY (header
+# AND samples), no audio library required
+# ---------------------------------------------------------------------------
+
+_WAV_RATE = 8000
+_WAV_MOD = 20011
+_WAV_SUB = 10005  # waveform values in [-10005, 10005] — inside int16
+
+
+def _wav_samples(ids: np.ndarray, n_samples: np.ndarray) -> np.ndarray:
+    """The deterministic integer waveform: sample_t(id) =
+    ((id*31 + t*t*7) mod 20011) - 10005.  Pure integer arithmetic so an
+    independent engine (the SQL oracle) reproduces every sample exactly —
+    no transcendentals, no float rounding."""
+    total = int(n_samples.sum())
+    row = np.repeat(np.arange(len(ids)), n_samples)
+    starts = np.concatenate([[0], np.cumsum(n_samples)])[:-1]
+    t = np.arange(total, dtype=np.int64) - starts[row]
+    x = (ids[row] * np.int64(31) + t * t * np.int64(7)) % np.int64(_WAV_MOD)
+    return (x - np.int64(_WAV_SUB)).astype(np.int16)
+
+
+def synth_wav_payloads(ids: np.ndarray) -> pa.Array:
+    """Deterministic per-id canonical 44-byte-header WAV payloads (PCM16
+    mono @ 8 kHz) with ``n_samples = 160 + id % 161`` (20-40 ms).
+    Vectorized: one flat value buffer, headers scattered via fancy
+    indexing, samples from :func:`_wav_samples`."""
+    ids = np.asarray(ids, dtype=np.int64)
+    n = len(ids)
+    ns = (160 + ids % 161).astype(np.int64)
+    dsz = ns * 2
+    sizes = 44 + dsz
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(sizes, out=offs[1:])
+    vals = np.zeros(int(offs[-1]), dtype=np.uint8)
+
+    hdr = np.zeros((n, 44), dtype=np.uint8)
+    hdr[:, 0:4] = np.frombuffer(b"RIFF", np.uint8)
+    riff_sz = 36 + dsz
+    for j in range(4):
+        hdr[:, 4 + j] = (riff_sz >> (8 * j)) & 0xFF
+    hdr[:, 8:16] = np.frombuffer(b"WAVEfmt ", np.uint8)
+    hdr[:, 16] = 16  # fmt chunk size
+    hdr[:, 20] = 1   # PCM
+    hdr[:, 22] = 1   # mono
+    for j in range(4):
+        hdr[:, 24 + j] = (_WAV_RATE >> (8 * j)) & 0xFF
+        hdr[:, 28 + j] = ((_WAV_RATE * 2) >> (8 * j)) & 0xFF  # byte rate
+    hdr[:, 32] = 2   # block align
+    hdr[:, 34] = 16  # bits per sample
+    hdr[:, 36:40] = np.frombuffer(b"data", np.uint8)
+    for j in range(4):
+        hdr[:, 40 + j] = (dsz >> (8 * j)) & 0xFF
+    idx = offs[:-1][:, None] + np.arange(44)[None, :]
+    vals[idx.ravel()] = hdr.ravel()
+
+    pcm = _wav_samples(ids, ns).view(np.uint8)
+    data_pos = np.repeat(offs[:-1] + 44, dsz) + (
+        np.arange(int(dsz.sum())) - np.repeat(np.cumsum(dsz) - dsz, dsz)
+    )
+    vals[data_pos] = pcm
+
+    return pa.BinaryArray.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(offs.astype(np.int32).tobytes()),
+         pa.py_buffer(vals.tobytes())],
+    )
+
+
+def parse_wav(lens, starts, values):
+    """Vectorized canonical-WAV parse: validate RIFF/WAVE/fmt/data magics
+    and PCM16 mono, read sample_rate + data size from the 44-byte header,
+    then aggregate the PCM samples per row (exact int64 sum of squares,
+    peak) with two ``reduceat`` calls — no Python per payload.
+
+    Returns dict of numpy arrays: ok, sample_rate, n_samples,
+    duration_us (= n·10⁶ // rate, exact), peak, sum_sq.
+    """
+    n = len(lens)
+    head = _head_bytes(lens, starts, values, 44)
+    ok = lens >= 44
+    for off, magic in ((0, b"RIFF"), (8, b"WAVEfmt "), (36, b"data")):
+        m = np.frombuffer(magic, np.uint8)
+        ok &= (head[:, off:off + len(m)] == m[None, :]).all(axis=1)
+    ok &= (head[:, 20] == 1) & (head[:, 22] == 1) & (head[:, 34] == 16)
+    rate = (
+        head[:, 24].astype(np.int64)
+        | (head[:, 25].astype(np.int64) << 8)
+        | (head[:, 26].astype(np.int64) << 16)
+        | (head[:, 27].astype(np.int64) << 24)
+    )
+    dsz = (
+        head[:, 40].astype(np.int64)
+        | (head[:, 41].astype(np.int64) << 8)
+        | (head[:, 42].astype(np.int64) << 16)
+        | (head[:, 43].astype(np.int64) << 24)
+    )
+    ok &= lens >= 44 + dsz
+    dsz = np.where(ok, dsz, 0)
+    ns = dsz // 2
+    total = int(dsz.sum())
+    if total:
+        pos = np.repeat(starts + 44, dsz) + (
+            np.arange(total) - np.repeat(np.cumsum(dsz) - dsz, dsz)
+        )
+        raw = values[pos]
+        x = raw.view(np.int16).astype(np.int64) if raw.flags["C_CONTIGUOUS"] \
+            else np.ascontiguousarray(raw).view(np.int16).astype(np.int64)
+        soff = np.concatenate([[0], np.cumsum(ns)])[:-1]
+        nonempty = ns > 0
+        sum_sq = np.zeros(n, dtype=np.int64)
+        peak = np.zeros(n, dtype=np.int64)
+        if nonempty.any():
+            red = np.add.reduceat(x * x, soff[nonempty])
+            sum_sq[nonempty] = red
+            peak[nonempty] = np.maximum.reduceat(np.abs(x), soff[nonempty])
+    else:
+        sum_sq = np.zeros(n, dtype=np.int64)
+        peak = np.zeros(n, dtype=np.int64)
+    rate_safe = np.maximum(rate, 1)
+    return {
+        "ok": ok,
+        "sample_rate": np.where(ok, rate, 0),
+        "n_samples": np.where(ok, ns, 0),
+        "duration_us": np.where(ok, ns * 1_000_000 // rate_safe, 0),
+        "peak": np.where(ok, peak, 0),
+        "sum_sq": np.where(ok, sum_sq, 0),
+    }
+
+
+class AudioDecodeStage:
+    """Actor-pool stage: WAV payload → exact integer audio features.
+
+    Unlike the image path (pixel codecs need Pillow), canonical WAV is a
+    format numpy decodes COMPLETELY — this stage is real end-to-end:
+    container validation, header fields, and per-sample PCM aggregation.
+    Small default batches (audio payloads dominate row size; rule:
+    batch × concurrency must fit the worker heap).
+    """
+
+    def __init__(self, id_col: str, payload_col: str):
+        self.id_col = id_col
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lens, starts, values = _binary_views(batch[self.payload_col])
+        f = parse_wav(lens, starts, values)
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "ok": pa.array(f["ok"]),
+                "sample_rate": pa.array(f["sample_rate"]),
+                "n_samples": pa.array(f["n_samples"]),
+                "duration_us": pa.array(f["duration_us"]),
+                "peak": pa.array(f["peak"]),
+                "sum_sq": pa.array(f["sum_sq"]),
+            }
+        )
+
+
+def audio_stats(ds, id_col: str, payload_col: str, concurrency: int = 2,
+                batch_size: int = 1024):
+    """Decode a WAV binary column to exact integer features (actor pool)."""
+    return ds.map_batches(
+        AudioDecodeStage(id_col, payload_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def sql_wav_stats(ids_sql: str, id_col: str = "id") -> str:
+    """DuckDB twin of synth→decode: recompute every PCM sample of the
+    deterministic waveform with generate_series and aggregate the same
+    exact integers (``ids_sql`` yields an ``{id_col}`` column)."""
+    return f"""
+WITH ids AS ({ids_sql}),
+par AS (SELECT {id_col}, CAST(160 + {id_col} % 161 AS BIGINT) AS n FROM ids),
+s AS (
+  SELECT {id_col}, n,
+         (({id_col} * 31 + t.t * t.t * 7) % {_WAV_MOD}) - {_WAV_SUB} AS x
+  FROM par, UNNEST(generate_series(0, CAST(n - 1 AS BIGINT))) AS t(t)
+)
+SELECT {id_col}, CAST(1 AS BOOLEAN) AS ok,
+       CAST({_WAV_RATE} AS BIGINT) AS sample_rate,
+       n AS n_samples,
+       CAST(n * 1000000 // {_WAV_RATE} AS BIGINT) AS duration_us,
+       CAST(MAX(ABS(x)) AS BIGINT) AS peak,
+       CAST(SUM(x * x) AS BIGINT) AS sum_sq
+FROM s GROUP BY {id_col}, n
+"""

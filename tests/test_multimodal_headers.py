@@ -113,3 +113,55 @@ class TestSynthPayloads:
                                      "height"]
         assert np.array_equal(out["width"].to_numpy(), ids % 509 + 1)
         assert np.array_equal(out["height"].to_numpy(), ids % 251 + 1)
+
+
+class TestWavDecode:
+    def test_synth_roundtrip_exact(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from geo_index_ray.pipelines.multimodal import (
+            _WAV_MOD,
+            _WAV_RATE,
+            _WAV_SUB,
+            _binary_views,
+            parse_wav,
+            synth_wav_payloads,
+        )
+
+        ids = np.arange(0, 400, 7, dtype=np.int64)
+        col = pa.chunked_array([synth_wav_payloads(ids)])
+        f = parse_wav(*_binary_views(col))
+        assert f["ok"].all()
+        ns = 160 + ids % 161
+        assert (f["n_samples"] == ns).all()
+        assert (f["sample_rate"] == _WAV_RATE).all()
+        assert (f["duration_us"] == ns * 1_000_000 // _WAV_RATE).all()
+        # brute-force per-id waveform aggregation
+        for i, d in enumerate(ids):
+            t = np.arange(ns[i], dtype=np.int64)
+            x = (d * 31 + t * t * 7) % _WAV_MOD - _WAV_SUB
+            assert f["sum_sq"][i] == int((x * x).sum())
+            assert f["peak"][i] == int(np.abs(x).max())
+
+    def test_corrupt_payloads_flagged_not_crashed(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from geo_index_ray.pipelines.multimodal import (
+            _binary_views,
+            parse_wav,
+            synth_wav_payloads,
+        )
+
+        good = synth_wav_payloads(np.array([5], dtype=np.int64))[0].as_py()
+        bad = [
+            b"",                       # empty
+            good[:30],                 # truncated header
+            b"RIFX" + good[4:],        # wrong magic
+            good[:40] + b"\xff\xff\xff\x7f",  # data size > payload
+        ]
+        col = pa.chunked_array([pa.array([good, *bad], pa.binary())])
+        f = parse_wav(*_binary_views(col))
+        assert f["ok"].tolist() == [True, False, False, False, False]
+        assert (f["sum_sq"][1:] == 0).all()
