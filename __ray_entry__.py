@@ -1002,6 +1002,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["audio_wav_stats"] = audio_wav_stats
 
+    # approximate sketches — deliberately NO oracle_sql() entries (the
+    # driver records rows-only checks; exactness is pinned by the
+    # error-bound + partition-invariance tests instead)
+    def distinct_users_sketch(sf_dir):
+        """HyperLogLog per-event-type distinct users — the O(2^p)-state
+        scale path beside the exact `distinct_users` row."""
+        ds = tables.read_table(sf_dir, "events", columns=["event_type", "user_id"])
+        return events_pipe.grouped_distinct_sketch(ds, "event_type", "user_id")
+
+    q["distinct_users_sketch"] = distinct_users_sketch
+
+    def value_quantiles_sketch(sf_dir):
+        """Mergeable equi-weight quantile sketch per event type — the
+        O(delta)-state escape hatch for continuous hot keys."""
+        ds = tables.read_table(sf_dir, "events", columns=["event_type", "value"])
+        return events_pipe.grouped_quantiles_sketch(
+            ds, "event_type", "value", qs=(0.5, 0.9), delta=256
+        )
+
+    q["value_quantiles_sketch"] = value_quantiles_sketch
+
     # --- multimodal (stubbed decode, real plumbing) ---
     def multimodal(sf_dir):
         ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])

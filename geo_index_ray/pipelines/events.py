@@ -723,3 +723,138 @@ def grouped_quantiles_sketch(ds, key_col: str, value_col: str,
         return pa.table(out)
 
     return partials.groupby("rkey").map_groups(final_many, batch_format="pyarrow")
+
+
+def grouped_distinct_sketch(ds, key_col: str, distinct_col: str, p: int = 12):
+    """Approximate per-key distinct count via HyperLogLog (Flajolet et
+    al. 2007, with the small-range linear-counting correction) — the
+    mergeable O(2^p)-state scale path beside exact
+    :func:`distinct_count`, for keys whose distinct sets are too large to
+    shuffle even deduped (exact ships one row per distinct (key, value)
+    per block; the sketch ships 2^p bytes per (key, block) REGARDLESS of
+    cardinality).
+
+    Per-batch combiner: one register vector (max leading-zero rank per
+    register, packed as a ``2^p``-byte binary cell) per key; reducers
+    max-merge ALL of their keys' vectors in one sorted ``reduceat`` pass
+    (no per-key Python) and read the estimate off the merged registers.
+    Deterministic under any partitioning (max is commutative); NOT
+    oracle-gated (approximate by design) — tests pin the ±1.04/√2^p
+    error bound against exact numpy.  Returns (key, approx_distinct).
+    """
+    from ..stages.util import coalesce_for_shuffle, reducer_count
+
+    R = reducer_count()
+    m = 1 << p
+    _GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def _hash_vals(col) -> np.ndarray:
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            from ..sources.pages import url_hash64
+
+            return url_hash64(col)
+        v = col.to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(over="ignore"):
+            h = v.view(np.uint64) * _GOLD
+            return h ^ (h >> np.uint64(29))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        vals = batch[distinct_col]
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        dic = pc.dictionary_encode(keys)
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _hash_vals(vals)
+        reg = (h & np.uint64(m - 1)).astype(np.int64)
+        rest = h >> np.uint64(p)
+        # rank = leading-zero count of the remaining 64-p bits + 1,
+        # computed as (64 - p) - bit_length(rest) + 1; bit_length via the
+        # float64 exponent would be inexact above 2^53 — use a vectorized
+        # de Bruijn-free loop over the 6 shift levels instead
+        bl = np.zeros(len(rest), dtype=np.int64)
+        r = rest.copy()
+        for s in (32, 16, 8, 4, 2, 1):
+            big = r >= (np.uint64(1) << np.uint64(s))
+            bl[big] += s
+            r[big] >>= np.uint64(s)
+        bl[rest > 0] += 1
+        rank = (64 - p) - bl + 1
+        nk = len(dic.dictionary)
+        regs = np.zeros((nk, m), dtype=np.uint8)
+        np.maximum.at(regs, (codes, reg), rank.astype(np.uint8))
+        off = (np.arange(nk + 1, dtype=np.int64) * m).astype(np.int32)
+        cells = pa.BinaryArray.from_buffers(
+            pa.binary(), nk,
+            [None, pa.py_buffer(off.tobytes()), pa.py_buffer(regs.tobytes())],
+        )
+        rk = _rkey_generic(dic.dictionary, R)
+        return pa.table(
+            {"rkey": pa.array(rk), key_col: dic.dictionary, "regs": cells}
+        )
+
+    partials = coalesce_for_shuffle(
+        ds.map_batches(partial, batch_format="pyarrow"), 0.25
+    )
+
+    _empty = None
+
+    def merge_many(g: pa.Table) -> pa.Table:
+        keys = g[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        cells = g["regs"]
+        if isinstance(cells, pa.ChunkedArray):
+            cells = cells.combine_chunks()
+        nrows = len(keys)
+        if nrows == 0:
+            return pa.table(
+                {key_col: keys, "approx_distinct": pa.array([], pa.int64())}
+            )
+        flat = np.frombuffer(cells.buffers()[2], dtype=np.uint8)
+        offs = np.frombuffer(cells.buffers()[1], dtype=np.int32)[
+            cells.offset : cells.offset + nrows + 1
+        ]
+        mat = np.empty((nrows, m), dtype=np.uint8)
+        for i in range(nrows):  # bounded by keys × blocks per reducer
+            mat[i] = flat[offs[i]:offs[i + 1]]
+        dic = pc.dictionary_encode(keys)
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(codes, kind="stable")
+        sorted_mat = mat[order]
+        starts = np.r_[0, np.flatnonzero(np.diff(codes[order])) + 1]
+        merged = np.maximum.reduceat(sorted_mat, starts, axis=0)
+        # HLL estimate per key, vectorized across keys
+        regs_f = merged.astype(np.float64)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        est = alpha * m * m / np.sum(np.exp2(-regs_f), axis=1)
+        zeros = (merged == 0).sum(axis=1)
+        small = (est <= 2.5 * m) & (zeros > 0)
+        with np.errstate(divide="ignore"):
+            lin = m * np.log(m / np.maximum(zeros, 1))
+        est = np.where(small, lin, est)
+        return pa.table(
+            {
+                key_col: dic.dictionary,
+                "approx_distinct": pa.array(np.round(est).astype(np.int64)),
+            }
+        )
+
+    return partials.groupby("rkey").map_groups(merge_many, batch_format="pyarrow")
+
+
+def _rkey_generic(keys: pa.Array, R: int) -> np.ndarray:
+    """hash(key) % R for string or int64 key dictionaries."""
+    if pa.types.is_string(keys.type) or pa.types.is_large_string(keys.type):
+        from ..sources.pages import url_hash64
+
+        h = url_hash64(keys)
+    else:
+        with np.errstate(over="ignore"):
+            h = (
+                keys.to_numpy(zero_copy_only=False).astype(np.int64)
+                .view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            ) >> np.uint64(33)
+    return (h % np.uint64(R)).astype(np.int64)

@@ -822,3 +822,39 @@ class TestGroupedQuantilesManyKeys:
         pd.testing.assert_frame_equal(
             got[want.columns.tolist()], want, check_dtype=False
         )
+
+
+class TestDistinctSketch:
+    def test_error_bound_and_merge_invariance(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from geo_index_ray.pipelines.events import grouped_distinct_sketch
+
+        rng = np.random.default_rng(41)
+        rows = []
+        truth = {}
+        for key, card in [("a", 50), ("b", 1000), ("c", 20000)]:
+            vals = rng.choice(np.arange(card * 3, dtype=np.int64), card,
+                              replace=False)
+            truth[key] = len(np.unique(vals))
+            draws = rng.choice(vals, card * 3)  # duplicates galore
+            rows.append(pd.DataFrame({"k": key, "v": draws}))
+        df = pd.concat(rows, ignore_index=True)
+
+        outs = []
+        for parts in (3, 11):  # estimate must not depend on partitioning
+            ds = ray.data.from_pandas(df).repartition(parts)
+            out = (
+                grouped_distinct_sketch(ds, "k", "v", p=12)
+                .to_pandas()
+                .sort_values("k")
+                .reset_index(drop=True)
+            )
+            outs.append(out)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        got = dict(zip(outs[0]["k"], outs[0]["approx_distinct"]))
+        for key, exact in truth.items():
+            rel = abs(got[key] - exact) / exact
+            assert rel < 0.05, (key, exact, got[key], rel)
