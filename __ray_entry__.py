@@ -1002,6 +1002,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["audio_wav_stats"] = audio_wav_stats
 
+    def bpe_merges(sf_dir):
+        ds = tables.read_table(sf_dir, "documents", columns=["text"])
+        return text_pipe.bpe_top_merges(ds, "text", k=20)
+
+    q["bpe_merges"] = bpe_merges
+
     # approximate sketches — deliberately NO oracle_sql() entries (the
     # driver records rows-only checks; exactness is pinned by the
     # error-bound + partition-invariance tests instead)
@@ -1554,7 +1560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_cap", "embedding_dedup_keep",
         "similarity_join", "inverted_index", "length_bins",
         "pagerank_events", "top_tokens_per_source",
-        "roundtrip_jsonl", "roundtrip_csv", "audio_wav_stats",
+        "roundtrip_jsonl", "roundtrip_csv", "audio_wav_stats", "bpe_merges",
         # green only in round 2's window — re-land a driver row
         "knn_polygons", "simhash_pairs", "tree_join_parts",
         "spatial_partition", "partition_boxes", "knn_pruned",
@@ -1563,9 +1569,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r3-green queries whose code changed in round 4 (re-verify)
         "dedup_exact", "simhash", "cell_stats", "value_median",
         "value_percentiles",
-        # most central r3-green pipeline (the rest of the r3-green
-        # surface is unchanged code with r3 driver rows on record)
-        "minhash_pairs",
     ]
     assert len(first_50) == 50, len(first_50)
     missing = [k for k in first_50 if k not in q]
@@ -2144,6 +2147,8 @@ def oracle_sql() -> dict[str, str]:
     sql["audio_wav_stats"] = mm_pipe.sql_wav_stats(
         "SELECT doc_id FROM documents", "doc_id"
     )
+
+    sql["bpe_merges"] = text_pipe.sql_bpe_top_merges("documents", "text", k=20)
 
     sql["top_tokens_per_source"] = """
         WITH w AS (

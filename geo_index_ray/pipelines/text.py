@@ -842,3 +842,104 @@ def sql_inverted_index(table: str, id_col: str, text_col: str = "text",
                  AS postings
         FROM toks GROUP BY term HAVING COUNT(*) >= {min_df}
     """
+
+
+def bpe_top_merges(ds, text_col: str = "text", k: int = 20):
+    """The first decision of BPE tokenizer training: the corpus's top-k
+    most frequent ADJACENT BYTE PAIRS inside whitespace tokens
+    (lowercased, ASCII-printable tokens — real BPE trainers operate on
+    bytes, and the ASCII gate keeps the byte/character duality exact for
+    the SQL twin).  Returns (pair, cnt, rnk), ROW_NUMBER semantics
+    (cnt DESC, pair ASC).
+
+    Per-batch combiner: pair codes are ``b1*256+b2`` uint16s read
+    straight off the Arrow value buffer (one fancy-index per side, one
+    np.unique per block — no per-word Python), so the exchange carries
+    ≤ 65 536 rows per block regardless of corpus size; the final top-k
+    is a tie-safe block top-k + sort over pair-vocabulary-sized rows.
+    """
+    _ASCII = r"^[ -~]+$"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(pc.utf8_lower(batch[text_col]), r"\s+")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        keep = pc.match_substring_regex(flat, _ASCII)
+        flat = flat.filter(keep)
+        lens, starts, values = _string_views(flat)
+        npair = np.maximum(lens - 1, 0)
+        total = int(npair.sum())
+        if total == 0:
+            return pa.table(
+                {"code": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+            )
+        rep = np.repeat(np.arange(len(lens)), npair)
+        pos = np.arange(total) - np.repeat(np.cumsum(npair) - npair, npair)
+        base = starts[rep] + pos
+        code = values[base].astype(np.int64) * 256 + values[base + 1]
+        uniq, cnt = np.unique(code, return_counts=True)
+        return pa.table(
+            {"code": pa.array(uniq), "cnt": pa.array(cnt.astype(np.int64))}
+        )
+
+    totals = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("code")
+        .sum("cnt")
+        .rename_columns({"sum(cnt)": "cnt"})
+    )
+
+    def to_pair(batch: pa.Table) -> pa.Table:
+        code = batch["code"].to_numpy()
+        raw = np.empty((len(code), 2), dtype=np.uint8)
+        raw[:, 0] = code // 256
+        raw[:, 1] = code % 256
+        offs = (np.arange(len(code) + 1, dtype=np.int64) * 2).astype(np.int32)
+        pair = pa.StringArray.from_buffers(
+            len(code), pa.py_buffer(offs.tobytes()), pa.py_buffer(raw.tobytes())
+        )
+        return pa.table({"pair": pair, "cnt": batch["cnt"]})
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        cnt = batch["cnt"].to_numpy()
+        if len(cnt) <= k:
+            return batch
+        kth = -np.partition(-cnt, k - 1)[k - 1]
+        return batch.filter(pa.array(cnt >= kth))  # ties survive to the sort
+
+    top = (
+        totals.map_batches(to_pair, batch_format="pyarrow")
+        .map_batches(block_topk, batch_format="pyarrow")
+        .sort(["cnt", "pair"], descending=[True, False])
+        .limit(k)
+    )
+
+    def add_rank(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "rnk", pa.array(np.arange(1, batch.num_rows + 1, dtype=np.int64))
+        )
+
+    # limit(k) yields a single ordered block, so ranks are positional
+    return top.repartition(1).map_batches(add_rank, batch_format="pyarrow")
+
+
+def sql_bpe_top_merges(table: str, text_col: str = "text", k: int = 20) -> str:
+    """DuckDB twin of :func:`bpe_top_merges`."""
+    return f"""
+        WITH w AS (
+          SELECT unnest(list_filter(string_split_regex(lower({text_col}), '\\s+'),
+                 x -> x <> '' AND regexp_matches(x, '^[ -~]+$'))) AS w
+          FROM {table}),
+        p AS (
+          SELECT substr(w, CAST(t.i AS INT), 2) AS pair
+          FROM w, UNNEST(generate_series(1, CAST(length(w) - 1 AS BIGINT))) AS t(i)
+          WHERE length(w) >= 2),
+        c AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt FROM p GROUP BY 1)
+        SELECT pair, cnt, rnk FROM (
+          SELECT pair, cnt,
+                 CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS BIGINT)
+                   AS rnk
+          FROM c
+        ) WHERE rnk <= {k}
+    """

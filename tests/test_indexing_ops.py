@@ -131,3 +131,32 @@ class TestSimilarityJoin:
         assert len(got) == len(out), "pairs must be unique"
         # orientation: a is always the side-True id
         assert all(side(np.array([a]))[0] for a, _ in got)
+
+
+class TestBpeTopMerges:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+        import numpy as np
+        import ray.data
+
+        from geo_index_ray.pipelines.text import (
+            bpe_top_merges,
+            sql_bpe_top_merges,
+        )
+
+        rng = np.random.default_rng(7)
+        vocab = ["banana", "bandana", "cabana", "Ana", "naan", "x", "日本語up"]
+        texts = [
+            " ".join(rng.choice(vocab, size=rng.integers(1, 10)))
+            for _ in range(150)
+        ]
+        df = pd.DataFrame({"text": texts})
+        ds = ray.data.from_pandas(df).repartition(5)
+        out = bpe_top_merges(ds, "text", k=8).to_pandas()
+        ora = duckdb.sql(sql_bpe_top_merges("df", "text", k=8)).df()
+        got = out.sort_values("rnk").reset_index(drop=True)
+        exp = ora.sort_values("rnk").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got.astype({"cnt": np.int64, "rnk": np.int64}),
+            exp.astype({"cnt": np.int64, "rnk": np.int64}),
+        )
