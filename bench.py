@@ -318,6 +318,37 @@ def run_llm_extras(sf_dir: str) -> dict:
     out["curation"] = {
         "sec": round(time.perf_counter() - t0, 3), "docs_kept": int(n_docs),
     }
+
+    t0 = time.perf_counter()
+    docs = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n = text_pipe.inverted_index(docs, "doc_id", min_df=2).count()
+    out["inverted_index"] = {
+        "sec": round(time.perf_counter() - t0, 3), "terms": int(n),
+    }
+
+    t0 = time.perf_counter()
+    import numpy as np
+    import pyarrow as pa
+
+    ev = tables.read_table(sf_dir, "events", columns=["user_id", "props"])
+
+    def _edges(batch):
+        import pyarrow.compute as pc
+
+        ex = pc.extract_regex(batch["props"], r'"k"\s*:\s*(?P<v>-?\d+)')
+        if isinstance(ex, pa.ChunkedArray):
+            ex = ex.combine_chunks()
+        k = pc.cast(pc.struct_field(ex, "v"), pa.int64())
+        ok = pc.is_valid(k).to_numpy(zero_copy_only=False)
+        kv = pc.fill_null(k, 0).to_numpy(zero_copy_only=False)
+        u = batch["user_id"].to_numpy().astype(np.int64)
+        return pa.table({"src": pa.array(u[ok] * 2),
+                         "dst": pa.array(kv[ok] * 2 + 1)})
+
+    n = comp_pipe.pagerank_int(
+        ev.map_batches(_edges, batch_format="pyarrow"), "src", "dst", iters=3
+    ).count()
+    out["pagerank"] = {"sec": round(time.perf_counter() - t0, 3), "nodes": int(n)}
     return out
 
 
