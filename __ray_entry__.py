@@ -954,25 +954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         graph (nodes disjoint by parity) — components.pagerank_int,
         composed from the repo's own hash_join + groupby stages."""
         ds = tables.read_table(sf_dir, "events", columns=["user_id", "props"])
-
-        def edges(batch):
-            import pyarrow.compute as pc
-
-            ex = pc.extract_regex(batch["props"], r'"k"\s*:\s*(?P<v>-?\d+)')
-            if isinstance(ex, pa.ChunkedArray):
-                ex = ex.combine_chunks()
-            k = pc.cast(pc.struct_field(ex, "v"), pa.int64())
-            ok = pc.is_valid(k).to_numpy(zero_copy_only=False)
-            kv = pc.fill_null(k, 0).to_numpy(zero_copy_only=False)
-            u = batch["user_id"].to_numpy().astype(np.int64)
-            return pa.table(
-                {
-                    "src": pa.array(u[ok] * 2),
-                    "dst": pa.array(kv[ok] * 2 + 1),
-                }
-            )
-
-        e = ds.map_batches(edges, batch_format="pyarrow")
+        e = comp_pipe.events_bipartite_edges(ds)
         return comp_pipe.pagerank_int(e, "src", "dst", iters=3)
 
     q["pagerank_events"] = pagerank_events
@@ -1503,6 +1485,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 ),
                 "host",
             )
+            # non-matching URLs group under '' (SQL regexp_extract
+            # semantics) instead of nulling the dictionary codes
+            host = pc.fill_null(host, "")
             return pa.table(
                 {
                     "doc_id": batch["doc_id"],

@@ -327,26 +327,9 @@ def run_llm_extras(sf_dir: str) -> dict:
     }
 
     t0 = time.perf_counter()
-    import numpy as np
-    import pyarrow as pa
-
     ev = tables.read_table(sf_dir, "events", columns=["user_id", "props"])
-
-    def _edges(batch):
-        import pyarrow.compute as pc
-
-        ex = pc.extract_regex(batch["props"], r'"k"\s*:\s*(?P<v>-?\d+)')
-        if isinstance(ex, pa.ChunkedArray):
-            ex = ex.combine_chunks()
-        k = pc.cast(pc.struct_field(ex, "v"), pa.int64())
-        ok = pc.is_valid(k).to_numpy(zero_copy_only=False)
-        kv = pc.fill_null(k, 0).to_numpy(zero_copy_only=False)
-        u = batch["user_id"].to_numpy().astype(np.int64)
-        return pa.table({"src": pa.array(u[ok] * 2),
-                         "dst": pa.array(kv[ok] * 2 + 1)})
-
     n = comp_pipe.pagerank_int(
-        ev.map_batches(_edges, batch_format="pyarrow"), "src", "dst", iters=3
+        comp_pipe.events_bipartite_edges(ev), "src", "dst", iters=3
     ).count()
     out["pagerank"] = {"sec": round(time.perf_counter() - t0, 3), "nodes": int(n)}
     return out
@@ -730,7 +713,11 @@ def scaling_main():
     # reported in BASELINE.md alongside the ceiling measurement.
     levels = [
         int(v) for v in os.environ.get("GRAFT_SCALE_LEVELS", "2,8").split(",")
-    ][:2]
+    ]
+    if len(levels) != 2 or levels[0] >= levels[1] or levels[0] < 1:
+        raise SystemExit(
+            f"GRAFT_SCALE_LEVELS must be 'lo,hi' with lo < hi, got {levels!r}"
+        )
     results = {n: [] for n in levels}
     calm_budget = 600.0  # total seconds we may spend waiting out drift
     for _rep in range(3):

@@ -539,7 +539,17 @@ def neighbors(
             return float(haversine_env_lower(x, y, mnx, mny, mxx, mxy))
 
         def leaf_dist(mnx, mny, mxx, mxy):
-            return float(haversine(x, y, mnx, mny))
+            # point leaves (the usual geo case) get their exact
+            # great-circle distance; BOX leaves get the reference's
+            # clamped-closest-point distance (src/rtree/distance.rs:91-115
+            # semantics — exact for the small leaf boxes an R-tree holds,
+            # NOT the lower-left corner, which is arbitrarily wrong for
+            # wide boxes)
+            if mnx == mxx and mny == mxy:
+                return float(haversine(x, y, mnx, mny))
+            cx = min(max(x, mnx), mxx)
+            cy = min(max(y, mny), mxy)
+            return float(haversine(x, y, cx, cy))
 
     else:
         raise ValueError(f"unknown metric {metric!r}")

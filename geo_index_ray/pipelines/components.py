@@ -410,3 +410,28 @@ def sql_pagerank_int(edges_sql: str, iters: int = 3, scale: int = 10**12,
     return (
         "WITH " + ",\n".join(ctes) + f"\nSELECT node, pr FROM pr{iters}"
     )
+
+
+def events_bipartite_edges(ds, user_col: str = "user_id",
+                           props_col: str = "props"):
+    """The user → props-"k" bipartite edge list used by the PageRank
+    query and bench: src = user·2, dst = k·2+1 (disjoint parities).
+    One RE2 extract per batch; rows without a "k" field drop out.
+    Shared by ``__ray_entry__.pagerank_events`` and ``bench.py`` so the
+    edge-derivation contract lives in exactly one place.
+    """
+    import pyarrow.compute as pc
+
+    def edges(batch: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(batch[props_col], r'"k"\s*:\s*(?P<v>-?\d+)')
+        if isinstance(ex, pa.ChunkedArray):
+            ex = ex.combine_chunks()
+        k = pc.cast(pc.struct_field(ex, "v"), pa.int64())
+        ok = pc.is_valid(k).to_numpy(zero_copy_only=False)
+        kv = pc.fill_null(k, 0).to_numpy(zero_copy_only=False)
+        u = batch[user_col].to_numpy().astype(np.int64)
+        return pa.table(
+            {"src": pa.array(u[ok] * 2), "dst": pa.array(kv[ok] * 2 + 1)}
+        )
+
+    return ds.map_batches(edges, batch_format="pyarrow")

@@ -83,10 +83,13 @@ def parse_image_headers(lens, starts, values):
     - GIF (87a/89a): logical-screen width/height are little-endian u16 at
       offsets 6 and 8.
     - JPEG: dimensions live in the first SOFn segment at a variable
-      offset.  One vectorized scan marks every ``FF Cx`` (SOF set) in the
-      whole batch's value buffer; each payload takes its first in-span
-      hit (entropy-coded data cannot contain FF C0..CF — FF is escaped as
-      FF 00 / RSTn — so the first SOF in the stream is the frame header).
+      offset, found by WALKING the segment chain from offset 2 (marker,
+      big-endian length, hop) — a raw byte scan for ``FF Cx`` is wrong
+      because those bytes are legal inside APPn/COM payloads (an EXIF
+      thumbnail embeds a whole JPEG with its own SOF).  The walk is a
+      lock-step vectorized loop across every JPEG in the batch (bounded
+      hops; headers are dozens of segments at most), handling fill
+      bytes, standalone markers (TEM/RSTn), and malformed lengths.
       Height/width are big-endian u16 at marker offsets +5 / +7.
 
     Unrecognized payloads get format "unknown" and 0×0.  Everything is a
@@ -126,23 +129,51 @@ def parse_image_headers(lens, starts, values):
 
     jpeg = (lens >= 2) & ~png & ~gif & (head[:, 0] == 0xFF) & (head[:, 1] == 0xD8)
     fmt[jpeg] = 3  # dimensions stay 0×0 unless an SOF segment is found
-    if jpeg.any() and len(values) >= 2:
-        sof_pos = np.nonzero(
-            (values[:-1] == 0xFF) & np.isin(values[1:], _JPEG_SOF)
-        )[0]
-        if len(sof_pos) == 0:
-            names = np.array(["unknown", "png", "gif", "jpeg"])
-            return names[fmt], w, h
-        # first in-span SOF per payload: the span must leave 9 bytes for
-        # the marker + length + precision + height + width fields
-        first = np.searchsorted(sof_pos, starts, side="left")
-        have = jpeg & (first < len(sof_pos))
-        first_c = np.minimum(first, max(len(sof_pos) - 1, 0))
-        p = sof_pos[first_c]
-        have &= p + 9 <= starts + lens
-        pj = p[have]
-        h[have] = values[pj + 5].astype(np.int64) << 8 | values[pj + 6]
-        w[have] = values[pj + 7].astype(np.int64) << 8 | values[pj + 8]
+    jidx = np.nonzero(jpeg)[0]
+    if len(jidx) and len(values) >= 4:
+        p = starts[jidx] + 2          # first marker after SOI
+        end = starts[jidx] + lens[jidx]
+        alive = np.ones(len(jidx), dtype=bool)
+        # lock-step segment walk: every hop advances each live payload by
+        # one marker/segment; 256 hops covers any sane header (each hop
+        # is O(live payloads), not O(bytes))
+        for _ in range(256):
+            act = alive & (p + 1 < end)
+            if not act.any():
+                break
+            alive = act.copy()  # out-of-span payloads stop walking
+            pc_ = np.clip(p, 0, max(len(values) - 2, 0))
+            b0 = values[pc_]
+            b1 = values[pc_ + 1]
+            # a marker must start with FF; anything else is malformed
+            alive &= ~act | (b0 == 0xFF)
+            act = alive & act
+            pad = act & (b1 == 0xFF)          # fill byte: slide one
+            p[pad] += 1
+            sof = act & ~pad & np.isin(b1, _JPEG_SOF)
+            got = sof & (p + 9 <= end)
+            if got.any():
+                pj = p[got]
+                rows = jidx[got]
+                h[rows] = values[pj + 5].astype(np.int64) << 8 | values[pj + 6]
+                w[rows] = values[pj + 7].astype(np.int64) << 8 | values[pj + 8]
+            alive &= ~sof                      # found (or truncated): stop
+            standalone = act & ~pad & ~sof & (
+                (b1 == 0x01) | ((b1 >= 0xD0) & (b1 <= 0xD9))
+            )
+            p[standalone] += 2
+            seg = act & ~pad & ~sof & ~standalone
+            if seg.any():
+                okl = seg & (p + 3 < end)
+                alive &= ~seg | okl            # no room for a length: stop
+                sl = np.clip(p, 0, max(len(values) - 4, 0))
+                ln = values[sl + 2].astype(np.int64) << 8 | values[sl + 3]
+                good = okl & (ln >= 2)
+                alive &= ~okl | good           # malformed length: stop
+                p[good] += 2 + ln[good]
+                # entropy-coded data follows SOS — dimensions must come
+                # from a SOF BEFORE it, so stop at SOS too
+                alive &= ~(good & (b1 == 0xDA))
     names = np.array(["unknown", "png", "gif", "jpeg"])
     return names[fmt], w, h
 

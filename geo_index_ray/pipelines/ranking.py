@@ -28,9 +28,17 @@ def _topk_table(batch: pa.Table, key_col: str, order_col: str, id_col: str,
     codes = pc.dictionary_encode(keys).indices.to_numpy(zero_copy_only=False)
     order = batch[order_col].to_numpy(zero_copy_only=False)
     ids = batch[id_col].to_numpy(zero_copy_only=False)
-    # sort by (key, order DESC, id ASC); negating the order column is safe
-    # for signed ints/floats from the table schema
-    perm = np.lexsort((ids, -order.astype(np.float64), codes))
+    # sort by (key, order DESC, id ASC).  Descending integers negate IN
+    # int64 (~a is order-reversing and exact at any magnitude) — a
+    # float64 cast would collapse distinct values above 2^53 (ns-epoch
+    # timestamps, hash ids) and mis-rank; floats negate in their dtype
+    if order.dtype.kind == "i":
+        neg = np.bitwise_not(order.astype(np.int64))
+    elif order.dtype.kind == "u":
+        neg = np.iinfo(order.dtype).max - order
+    else:
+        neg = -order.astype(np.float64)
+    perm = np.lexsort((ids, neg, codes))
     ck = codes[perm]
     first = np.searchsorted(ck, ck, side="left")
     rank = np.arange(len(ck)) - first

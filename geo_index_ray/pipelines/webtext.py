@@ -528,7 +528,11 @@ def json_field_stats(ds, key_col: str, json_col: str, field: str):
         codes = dic.indices.to_numpy(zero_copy_only=False)
         nk = len(dic.dictionary)
         cnt = np.bincount(codes, weights=ok, minlength=nk).astype(np.int64)
-        s = np.bincount(codes, weights=v * ok, minlength=nk).astype(np.int64)
+        # sums accumulate in int64 via add.at — a float64 bincount
+        # weights pass would lose low bits above 2^53 before the exact
+        # merge ever sees them (the merge already does this correctly)
+        s = np.zeros(nk, dtype=np.int64)
+        np.add.at(s, codes, v.astype(np.int64) * ok)
         mn = np.full(nk, np.iinfo(np.int64).max, dtype=np.int64)
         mx = np.full(nk, np.iinfo(np.int64).min, dtype=np.int64)
         okc = codes[ok]
@@ -670,6 +674,11 @@ def domain_stats(ds, url_col: str, ts_col: str):
             pc.extract_regex(pc.utf8_lower(batch[url_col]), _host_re),
             "host",
         )
+        # URLs that don't match (relative, ftp://, garbage) extract a
+        # null host — group them under '' like the SQL twin's
+        # regexp_extract; a null here would float-widen the dictionary
+        # codes and crash bincount/minimum.at
+        host = pc.fill_null(host, "")
         dic = pc.dictionary_encode(host)
         if isinstance(dic, pa.ChunkedArray):
             dic = dic.combine_chunks()

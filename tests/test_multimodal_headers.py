@@ -165,3 +165,40 @@ class TestWavDecode:
         f = parse_wav(*_binary_views(col))
         assert f["ok"].tolist() == [True, False, False, False, False]
         assert (f["sum_sq"][1:] == 0).all()
+
+
+class TestJpegSegmentWalk:
+    """A raw FF Cx byte scan is wrong: APPn/COM payloads legally contain
+    those bytes (EXIF thumbnails embed a whole JPEG).  The parser must
+    walk segments by their length fields."""
+
+    @staticmethod
+    def _be16(v):
+        return bytes([(v >> 8) & 0xFF, v & 0xFF])
+
+    def test_exif_decoy_and_fill_bytes(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from geo_index_ray.pipelines.multimodal import (
+            _binary_views,
+            parse_image_headers,
+        )
+
+        be16 = self._be16
+        app1_data = b"Exif\x00\x00\xff\xc0" + be16(9999) + be16(8888) + b"pad" * 5
+        app1 = b"\xff\xe1" + be16(2 + len(app1_data)) + app1_data
+        sof = b"\xff\xc0" + be16(11) + b"\x08" + be16(480) + be16(640) + b"\x01"
+        jpg = b"\xff\xd8" + app1 + sof + b"\xff\xda" + be16(4) + b"xx\xff\xd9"
+        # fill-byte padding + a standalone TEM marker before the SOF
+        jpg2 = b"\xff\xd8\xff" + app1[1:] + b"\xff\x01" + sof + b"\xff\xd9"
+        # SOS before any SOF: dimensions must stay 0 (not scanned from
+        # entropy-coded data)
+        jpg3 = (b"\xff\xd8\xff\xda" + be16(4) + b"xx"
+                + b"\xff\xc0" + be16(11) + b"\x08" + be16(1) + be16(1) + b"\x01")
+        col = pa.chunked_array([pa.array([jpg, jpg2, jpg3], pa.binary())])
+        fmt, w, h = parse_image_headers(*_binary_views(col))
+        assert fmt.tolist() == ["jpeg"] * 3
+        assert (w[0], h[0]) == (640, 480)
+        assert (w[1], h[1]) == (640, 480)
+        assert (w[2], h[2]) == (0, 0)

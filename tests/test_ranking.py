@@ -348,3 +348,29 @@ class TestPackSequences:
             }
         )
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_grouped_topk_int64_order_above_2_53(ray_session):
+    """Descending int64 order keys above 2^53 must not collapse through
+    float64 (ns-epoch timestamps, hash ids)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from geo_index_ray.pipelines.ranking import grouped_topk
+
+    base = (1 << 61) + 1
+    df = pd.DataFrame(
+        {
+            "host": ["a"] * 3,
+            "ts": np.array([base, base + 2, base + 1], dtype=np.int64),
+            "id": np.array([1, 2, 3], dtype=np.int64),
+        }
+    )
+    out = (
+        grouped_topk(ray.data.from_pandas(df), "host", "ts", "id", k=2)
+        .to_pandas()
+        .sort_values("rnk")
+    )
+    assert out["ts"].tolist() == [base + 2, base + 1]
+    assert out["id"].tolist() == [2, 3]

@@ -531,3 +531,26 @@ class TestDomainStats:
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_domain_stats_malformed_urls_grouped_as_empty(ray_session):
+    """Non-http(s) / relative URLs must group under '' (SQL
+    regexp_extract semantics), not crash the dictionary codes."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from geo_index_ray.pipelines.webtext import domain_stats
+
+    df = pd.DataFrame(
+        {
+            "url": ["https://a.example/x", "ftp://weird/y", "not a url",
+                    "https://a.example/z"],
+            "ts": np.array([10, 20, 30, 40], dtype=np.int64),
+        }
+    )
+    out = domain_stats(ray.data.from_pandas(df), "url", "ts").to_pandas()
+    got = out.set_index("host")
+    assert got.loc["a.example", "n_pages"] == 2
+    assert got.loc["", "n_pages"] == 2
+    assert got.loc["", "first_ts"] == 20 and got.loc["", "last_ts"] == 30
