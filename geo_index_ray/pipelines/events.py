@@ -417,30 +417,12 @@ def _rkeyed(partials, key_col: str):
     """Append a coarse reducer key (hash(key) % reducer_count) so the
     final merge handles MANY keys per Python call — never one call per
     key (rule 3).  String keys hash off the Arrow UTF-8 buffer."""
-    from ..sources.pages import url_hash64
-    from ..stages.util import reducer_count
+    from ..stages.util import reducer_count, rkey_of
 
     R = reducer_count()
-    _GOLD = np.uint64(0x9E3779B97F4A7C15)
 
     def add_rkey(batch: pa.Table) -> pa.Table:
-        keys = batch[key_col]
-        if isinstance(keys, pa.ChunkedArray):
-            keys = keys.combine_chunks()
-        if pa.types.is_string(keys.type) or pa.types.is_large_string(keys.type):
-            h = url_hash64(keys)
-        else:
-            with np.errstate(over="ignore"):
-                h = (
-                    keys.to_numpy(zero_copy_only=False)
-                    .astype(np.int64)
-                    .view(np.uint64)
-                    * _GOLD
-                )
-        return batch.append_column(
-            "rkey",
-            pa.array(((h >> np.uint64(3)) % np.uint64(R)).astype(np.int64)),
-        )
+        return batch.append_column("rkey", pa.array(rkey_of(batch[key_col], R)))
 
     return partials.map_batches(add_rkey, batch_format="pyarrow")
 
@@ -641,19 +623,12 @@ def grouped_quantiles_sketch(ds, key_col: str, value_col: str,
 
     from ..stages.util import coalesce_for_shuffle, reducer_count
 
+    from ..stages.util import rkey_of
+
     R = reducer_count()
-    _GOLD = np.uint64(0x9E3779B97F4A7C15)
 
     def _rkey_of(karr: pa.Array) -> np.ndarray:
-        if pa.types.is_string(karr.type) or pa.types.is_large_string(karr.type):
-            from ..sources.pages import url_hash64
-
-            h = url_hash64(karr)
-        else:
-            with np.errstate(over="ignore"):
-                h = (karr.to_numpy(zero_copy_only=False).astype(np.int64)
-                     .view(np.uint64) * _GOLD) >> np.uint64(33)
-        return ((h % np.uint64(R)).astype(np.int64))
+        return rkey_of(karr, R)
 
     def partial(batch: pa.Table) -> pa.Table:
         keys = batch[key_col]
@@ -846,15 +821,8 @@ def grouped_distinct_sketch(ds, key_col: str, distinct_col: str, p: int = 12):
 
 
 def _rkey_generic(keys: pa.Array, R: int) -> np.ndarray:
-    """hash(key) % R for string or int64 key dictionaries."""
-    if pa.types.is_string(keys.type) or pa.types.is_large_string(keys.type):
-        from ..sources.pages import url_hash64
+    """hash(key) % R for string or int64 key dictionaries — delegates to
+    the shared ``stages.util.rkey_of`` recipe."""
+    from ..stages.util import rkey_of
 
-        h = url_hash64(keys)
-    else:
-        with np.errstate(over="ignore"):
-            h = (
-                keys.to_numpy(zero_copy_only=False).astype(np.int64)
-                .view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-            ) >> np.uint64(33)
-    return (h % np.uint64(R)).astype(np.int64)
+    return rkey_of(keys, R)

@@ -63,30 +63,13 @@ def grouped_topk(ds, key_col: str, order_col: str, id_col: str, k: int):
     codes inside ``_topk_table`` group keys exactly; the hash only
     routes, so collisions are harmless).
     """
-    from ..sources.pages import url_hash64
-    from ..stages.util import coalesce_for_shuffle, reducer_count
+    from ..stages.util import coalesce_for_shuffle, reducer_count, rkey_of
 
     R = reducer_count()
 
     def partial(batch: pa.Table) -> pa.Table:
         out = _topk_table(batch, key_col, order_col, id_col, k, False)
-        keys = out[key_col]
-        if isinstance(keys, pa.ChunkedArray):
-            keys = keys.combine_chunks()
-        if pa.types.is_string(keys.type) or pa.types.is_large_string(keys.type):
-            h = url_hash64(keys)
-        else:
-            with np.errstate(over="ignore"):
-                h = (
-                    keys.to_numpy(zero_copy_only=False)
-                    .astype(np.int64)
-                    .view(np.uint64)
-                    * _GOLDEN
-                )
-        return out.append_column(
-            "rkey",
-            pa.array(((h >> np.uint64(3)) % np.uint64(R)).astype(np.int64)),
-        )
+        return out.append_column("rkey", pa.array(rkey_of(out[key_col], R)))
 
     survivors = coalesce_for_shuffle(
         ds.map_batches(partial, batch_format="pyarrow"), 0.5
@@ -195,12 +178,12 @@ def ntile_bins(ds, value_col: str, id_col: str, k: int):
     boundary = rem * (q + 1)
 
     def lean(batch: pa.Table) -> pa.Table:
+        from ..stages.util import rkey_of
+
         v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        with np.errstate(over="ignore"):
-            rkey = (v.view(np.uint64) * _GOLDEN) % np.uint64(R)
         return pa.table(
             {
-                "rkey": pa.array(rkey.astype(np.int64)),
+                "rkey": pa.array(rkey_of(v, R)),
                 "v": pa.array(v),
                 id_col: batch[id_col],
             }

@@ -778,14 +778,14 @@ def inverted_index(ds, id_col: str, text_col: str = "text", min_df: int = 1):
     _GOLD = np.uint64(0x9E3779B97F4A7C15)
 
     def term_id_pairs(batch: pa.Table) -> pa.Table:
+        from ..stages.util import rkey_of
+
         rows, codes, _, dictionary = _doc_term_tf(batch, id_col, text_col)
         ids = batch[id_col].to_numpy().astype(np.int64)
         terms = dictionary.take(pa.array(codes))
-        from ..sources.pages import url_hash64
-
-        rkey = (url_hash64(terms) % np.uint64(R)).astype(np.int64)
         return pa.table(
-            {"rkey": pa.array(rkey), "term": terms, id_col: pa.array(ids[rows])}
+            {"rkey": pa.array(rkey_of(terms, R)), "term": terms,
+             id_col: pa.array(ids[rows])}
         )
 
     pairs = coalesce_for_shuffle(

@@ -739,8 +739,7 @@ def heavy_hitters_per_group(ds, group_col: str, text_col: str, k: int):
     its groups in one ``pc.sort_indices`` (native string collation for
     the token tie-break) + first-occurrence rank — no per-group Python.
     """
-    from ..sources.pages import url_hash64
-    from ..stages.util import coalesce_for_shuffle, reducer_count
+    from ..stages.util import coalesce_for_shuffle, reducer_count, rkey_of
 
     R = reducer_count()
 
@@ -765,10 +764,9 @@ def heavy_hitters_per_group(ds, group_col: str, text_col: str, k: int):
         n_tok = max(len(tok_dic.dictionary), 1)
         comp, cnt = np.unique(g_codes * n_tok + t_codes, return_counts=True)
         g_out = g_dic.dictionary.take(pa.array(comp // n_tok))
-        rkey = (url_hash64(g_out) % np.uint64(R)).astype(np.int64)
         return pa.table(
             {
-                "rkey": pa.array(rkey),
+                "rkey": pa.array(rkey_of(g_out, R)),
                 group_col: g_out,
                 "token": tok_dic.dictionary.take(pa.array(comp % n_tok)),
                 "cnt": pa.array(cnt.astype(np.int64)),

@@ -140,3 +140,39 @@ def reducer_count(frac: float = 1.0) -> int:
     cluster: ~2 reducers per CPU keeps every core busy without tiny tasks.
     """
     return max(4, int(cluster_cpus() * 2 * frac))
+
+
+def rkey_of(keys, R: int):
+    """Coarse reducer routing key ``hash(key) % R`` — THE shared recipe
+    for rule-3 shuffles (string keys hash off the Arrow UTF-8 buffer via
+    ``pages.url_hash64``; integer keys golden-ratio mix).  Accepts a
+    ``pa.Array``/``pa.ChunkedArray`` or an int64 numpy array; returns
+    int64 numpy.  Routing only — reducers never depend on the recipe, so
+    every call site can share it and improvements land everywhere at
+    once.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    _GOLD = np.uint64(0x9E3779B97F4A7C15)
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    if isinstance(keys, pa.Array):
+        if pa.types.is_string(keys.type) or pa.types.is_large_string(keys.type):
+            from ..sources.pages import url_hash64
+
+            h = url_hash64(keys)
+        else:
+            with np.errstate(over="ignore"):
+                h = (
+                    keys.to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                    .view(np.uint64)
+                    * _GOLD
+                ) >> np.uint64(33)
+    else:
+        with np.errstate(over="ignore"):
+            h = (
+                np.asarray(keys).astype(np.int64).view(np.uint64) * _GOLD
+            ) >> np.uint64(33)
+    return (h % np.uint64(R)).astype(np.int64)
