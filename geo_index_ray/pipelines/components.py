@@ -321,7 +321,23 @@ def pagerank_int(edges, src_col: str, dst_col: str, iters: int = 3,
             "pr", pa.array(np.full(batch.num_rows, scale, dtype=np.int64))
         )
 
-    pr = node_deg.map_batches(init_pr, batch_format="pyarrow")
+    # a typed empty seed block unioned in front keeps pr's schema
+    # statically known (the joins read Dataset.schema(); behind a groupby
+    # over a possibly-empty graph that inference would execute the
+    # aggregation — or return None and break slot typing).  One empty
+    # block, zero cost at scale.
+    import ray.data
+
+    _state_schema = pa.table(
+        {
+            "node": pa.array([], pa.int64()),
+            "d": pa.array([], pa.int64()),
+            "pr": pa.array([], pa.int64()),
+        }
+    )
+    pr = ray.data.from_arrow(_state_schema).union(
+        node_deg.map_batches(init_pr, batch_format="pyarrow")
+    )
 
     def zero_inc(batch: pa.Table) -> pa.Table:
         # the refresh union leg that re-seeds every node (and carries the
@@ -376,7 +392,12 @@ def pagerank_int(edges, src_col: str, dst_col: str, iters: int = 3,
                 }
             )
 
-        pr = merged.map_batches(refresh, batch_format="pyarrow")
+        # re-seed the static schema each round (refresh sits behind a
+        # groupby, so inference would otherwise execute it — or yield
+        # None on an empty graph)
+        pr = ray.data.from_arrow(_state_schema).union(
+            merged.map_batches(refresh, batch_format="pyarrow")
+        )
 
     return pr.select_columns(["node", "pr"])
 

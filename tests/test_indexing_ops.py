@@ -160,3 +160,75 @@ class TestBpeTopMerges:
             got.astype({"cnt": np.int64, "rnk": np.int64}),
             exp.astype({"cnt": np.int64, "rnk": np.int64}),
         )
+
+
+class TestNewOpEdgeCases:
+    def test_ntile_bins_negative_values(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from geo_index_ray.pipelines.ranking import ntile_bins
+
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(40, dtype=np.int64),
+                "n_chars": np.concatenate(
+                    [np.arange(-20, 0), np.arange(0, 20)]
+                ).astype(np.int64),
+            }
+        )
+        out = (
+            ntile_bins(ray.data.from_pandas(df).repartition(4),
+                       "n_chars", "doc_id", 7)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        ora = duckdb.sql(
+            "SELECT doc_id, n_chars, CAST(NTILE(7) OVER (ORDER BY n_chars,"
+            " doc_id) AS BIGINT) AS bin FROM df ORDER BY doc_id"
+        ).df()
+        pd.testing.assert_frame_equal(out.astype({"bin": np.int64}),
+                                      ora.astype({"bin": np.int64}))
+
+    def test_inverted_index_unicode_terms(self, ray_session):
+        import ray.data
+
+        from geo_index_ray.pipelines.text import inverted_index
+
+        df = pd.DataFrame(
+            {
+                "doc_id": np.array([1, 2, 3], dtype=np.int64),
+                "text": ["日本語 hello", "日本語 мир", "hello мир"],
+            }
+        )
+        out = inverted_index(ray.data.from_pandas(df).repartition(3),
+                             "doc_id").to_pandas().set_index("term")
+        assert out.loc["日本語", "postings"] == "1,2"
+        assert out.loc["мир", "postings"] == "2,3"
+        assert out.loc["hello", "postings"] == "1,3"
+
+    def test_pagerank_empty_edges(self, ray_session):
+        import ray.data
+
+        from geo_index_ray.pipelines.components import pagerank_int
+
+        df = pd.DataFrame({"src": np.array([], dtype=np.int64),
+                           "dst": np.array([], dtype=np.int64)})
+        out = pagerank_int(ray.data.from_pandas(df), "src", "dst",
+                           iters=2).to_pandas()
+        assert len(out) == 0
+
+    def test_similarity_join_one_empty_side(self, ray_session):
+        import ray.data
+
+        from geo_index_ray.pipelines.dedup import ngram_jaccard_dedup
+
+        df = pd.DataFrame(
+            {"doc_id": np.arange(1, 11, dtype=np.int64),
+             "text": ["same text here always"] * 10}
+        )
+        # side_of never True → no cross pairs
+        out = ngram_jaccard_dedup(
+            ray.data.from_pandas(df), "doc_id", threshold=0.3,
+            side_of=lambda ids: np.zeros(len(np.asarray(ids)), dtype=bool),
+        ).to_pandas()
+        assert len(out) == 0
