@@ -1021,7 +1021,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 {"doc_id": batch["doc_id"], "payload": pa.array(payloads, pa.binary())}
             )
 
-        binary_ds = ds.map_batches(to_payload, batch_format="pyarrow")
+        # split the single parquet block so the actor pool gets one task
+        # per actor instead of starving on one input block
+        binary_ds = ds.repartition(4).map_batches(
+            to_payload, batch_format="pyarrow"
+        )
         return mm_pipe.decode_metadata(binary_ds, "doc_id", "payload")
 
     q["multimodal_decode"] = multimodal
@@ -1035,7 +1039,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 {"doc_id": batch["doc_id"], "payload": pa.array(payloads, pa.binary())}
             )
 
-        binary_ds = ds.map_batches(to_payload, batch_format="pyarrow")
+        # split the single parquet block so the actor pool gets one task
+        # per actor instead of starving on one input block
+        binary_ds = ds.repartition(4).map_batches(
+            to_payload, batch_format="pyarrow"
+        )
         out = mm_pipe.resize_images(binary_ds, "doc_id", "payload")
 
         # the pipeline's payload column is binary; the oracle gate compares
@@ -1061,7 +1069,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 {"doc_id": batch["doc_id"], "payload": pa.array(payloads, pa.binary())}
             )
 
-        binary_ds = ds.map_batches(to_payload, batch_format="pyarrow")
+        # split the single parquet block so the actor pool gets one task
+        # per actor instead of starving on one input block
+        binary_ds = ds.repartition(4).map_batches(
+            to_payload, batch_format="pyarrow"
+        )
         out = mm_pipe.sample_frames(binary_ds, "doc_id", "payload", every_n=2)
 
         def as_utf8(batch: pa.Table) -> pa.Table:
@@ -1339,7 +1351,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 }
             )
 
-        binary_ds = ds.map_batches(to_payload, batch_format="pyarrow")
+        # split the single parquet block so the actor pool gets one task
+        # per actor instead of starving on one input block
+        binary_ds = ds.repartition(4).map_batches(
+            to_payload, batch_format="pyarrow"
+        )
         return mm_pipe.decode_metadata(
             binary_ds, "doc_id", "payload", decode="header"
         )
