@@ -326,17 +326,9 @@ def pagerank_int(edges, src_col: str, dst_col: str, iters: int = 3,
     # over a possibly-empty graph that inference would execute the
     # aggregation — or return None and break slot typing).  One empty
     # block, zero cost at scale.
-    import ray.data
-
-    _state_schema = pa.table(
-        {
-            "node": pa.array([], pa.int64()),
-            "d": pa.array([], pa.int64()),
-            "pr": pa.array([], pa.int64()),
-        }
-    )
-    pr = ray.data.from_arrow(_state_schema).union(
-        node_deg.map_batches(init_pr, batch_format="pyarrow")
+    _state_fields = {"node": pa.int64(), "d": pa.int64(), "pr": pa.int64()}
+    pr = _with_schema(
+        node_deg.map_batches(init_pr, batch_format="pyarrow"), _state_fields
     )
 
     def zero_inc(batch: pa.Table) -> pa.Table:
@@ -395,8 +387,8 @@ def pagerank_int(edges, src_col: str, dst_col: str, iters: int = 3,
         # re-seed the static schema each round (refresh sits behind a
         # groupby, so inference would otherwise execute it — or yield
         # None on an empty graph)
-        pr = ray.data.from_arrow(_state_schema).union(
-            merged.map_batches(refresh, batch_format="pyarrow")
+        pr = _with_schema(
+            merged.map_batches(refresh, batch_format="pyarrow"), _state_fields
         )
 
     return pr.select_columns(["node", "pr"])

@@ -621,14 +621,9 @@ def grouped_quantiles_sketch(ds, key_col: str, value_col: str,
     """
     names = [f"q_{str(q).replace('0.', '')}" for q in qs]
 
-    from ..stages.util import coalesce_for_shuffle, reducer_count
-
-    from ..stages.util import rkey_of
+    from ..stages.util import coalesce_for_shuffle, reducer_count, rkey_of
 
     R = reducer_count()
-
-    def _rkey_of(karr: pa.Array) -> np.ndarray:
-        return rkey_of(karr, R)
 
     def partial(batch: pa.Table) -> pa.Table:
         keys = batch[key_col]
@@ -642,7 +637,7 @@ def grouped_quantiles_sketch(ds, key_col: str, value_col: str,
         karr = dic.dictionary.take(pa.array(cc))
         return pa.table(
             {
-                "rkey": pa.array(_rkey_of(karr)),
+                "rkey": pa.array(rkey_of(karr, R)),
                 key_col: karr,
                 "c_mean": pa.array(mm),
                 "c_w": pa.array(ww),

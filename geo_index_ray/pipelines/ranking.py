@@ -32,8 +32,10 @@ def _topk_table(batch: pa.Table, key_col: str, order_col: str, id_col: str,
     # int64 (~a is order-reversing and exact at any magnitude) — a
     # float64 cast would collapse distinct values above 2^53 (ns-epoch
     # timestamps, hash ids) and mis-rank; floats negate in their dtype
-    if order.dtype.kind == "i":
-        neg = np.bitwise_not(order.astype(np.int64))
+    if order.dtype.kind in "iMm":
+        # datetime64/timedelta64 are int64 under the hood — same exact path
+        neg = np.bitwise_not(order.view(np.int64) if order.dtype.kind in "Mm"
+                             else order.astype(np.int64))
     elif order.dtype.kind == "u":
         neg = np.iinfo(order.dtype).max - order
     else:

@@ -775,7 +775,6 @@ def inverted_index(ds, id_col: str, text_col: str = "text", min_df: int = 1):
     from ..stages.util import coalesce_for_shuffle, reducer_count
 
     R = reducer_count()
-    _GOLD = np.uint64(0x9E3779B97F4A7C15)
 
     def term_id_pairs(batch: pa.Table) -> pa.Table:
         from ..stages.util import rkey_of

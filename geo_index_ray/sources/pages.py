@@ -69,7 +69,13 @@ def url_hash64(urls) -> np.ndarray:
         if len(urls) == 0:
             return np.empty(0, dtype=np.uint64)
         arr = urls
-        off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        # large_string carries int64 offsets; plain string int32.
+        off_dtype = (
+            np.int64
+            if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type)
+            else np.int32
+        )
+        off = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
             arr.offset : arr.offset + len(arr) + 1
         ].astype(np.int64)
         data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)

@@ -109,10 +109,13 @@ def topk_per_group(cands, group_col: str, k: int, sort_cols, sort_desc,
             a = g[c].to_numpy()
             if not d:
                 keys.append(a)
-            elif a.dtype.kind == "i":
+            elif a.dtype.kind in "iMm":
                 # ~a = -a-1: order-reversing, exact at any magnitude,
-                # no overflow anywhere in the int64 range
-                keys.append(np.bitwise_not(a.astype(np.int64)))
+                # no overflow anywhere in the int64 range (datetime64 /
+                # timedelta64 are int64 under the hood — view, not cast)
+                keys.append(np.bitwise_not(
+                    a.view(np.int64) if a.dtype.kind in "Mm"
+                    else a.astype(np.int64)))
             elif a.dtype.kind == "u":
                 keys.append(np.iinfo(a.dtype).max - a)  # exact, in-dtype
             else:

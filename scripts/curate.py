@@ -97,11 +97,17 @@ def main():
         kept_docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
     )
 
-    # 6. resumable partitioned write, one stage per split
+    # 6. resumable partitioned write, one stage per split.  Materialize
+    # once: each write_partitioned consumes its own copy of the lazy
+    # graph, so without this the gate→minhash→components→join chain
+    # would re-execute per split (3×).
+    split = split.materialize()
+
     n_total = 0
     for name in ("train", "val", "test"):
-        part = split.filter(
-            lambda row, _n=name: row["split"] == _n
+        part = split.map_batches(
+            lambda b, _n=name: b.filter(pc.equal(b["split"], _n)),
+            batch_format="pyarrow",
         )
         # one directory per split: write_partitioned names partitions
         # part-NNNNN.parquet within its out_dir, so stages sharing a
@@ -109,7 +115,7 @@ def main():
         rep = checkpoint.write_partitioned(
             part, os.path.join(args.out, name), f"curated_{name}", "doc_id"
         )
-        rows = int(rep["rows"].sum())
+        rows = int(rep["rows"].sum()) if "rows" in rep.columns else 0
         skipped = int(rep["skipped"].sum()) if "skipped" in rep.columns else 0
         report[name] = {"rows": rows, "skipped_partitions": skipped}
         n_total += rows

@@ -374,3 +374,29 @@ def test_grouped_topk_int64_order_above_2_53(ray_session):
     )
     assert out["ts"].tolist() == [base + 2, base + 1]
     assert out["id"].tolist() == [2, 3]
+
+
+def test_grouped_topk_datetime64_order_above_2_53(ray_session):
+    """Arrow timestamp order columns arrive as numpy datetime64 (kind
+    'M') — they must take the exact int64 negation path, not float64."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from geo_index_ray.pipelines.ranking import grouped_topk
+
+    base = (1 << 61) + 1
+    df = pd.DataFrame(
+        {
+            "host": ["a"] * 3,
+            "ts": np.array([base, base + 2, base + 1],
+                           dtype="datetime64[ns]"),
+            "id": np.array([1, 2, 3], dtype=np.int64),
+        }
+    )
+    out = (
+        grouped_topk(ray.data.from_pandas(df), "host", "ts", "id", k=2)
+        .to_pandas()
+        .sort_values("rnk")
+    )
+    assert out["id"].tolist() == [2, 3]

@@ -554,3 +554,24 @@ def test_domain_stats_malformed_urls_grouped_as_empty(ray_session):
     assert got.loc["a.example", "n_pages"] == 2
     assert got.loc["", "n_pages"] == 2
     assert got.loc["", "first_ts"] == 20 and got.loc["", "last_ts"] == 30
+
+
+def test_url_hash64_large_string_offsets_match_string():
+    """large_string offsets are int64 — hashing must agree with the
+    plain-string path byte for byte (rkey_of routes every string shuffle
+    through this)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from geo_index_ray.sources.pages import url_hash64
+    from geo_index_ray.stages.util import rkey_of
+
+    vals = ["http://a.example/x", "", "zz", "http://b.example/yyyy"] * 7
+    small = pa.array(vals, pa.string())
+    big = pa.array(vals, pa.large_string())
+    np.testing.assert_array_equal(url_hash64(small), url_hash64(big))
+    np.testing.assert_array_equal(rkey_of(small, 64), rkey_of(big, 64))
+    # sliced large arrays too (nonzero arr.offset)
+    np.testing.assert_array_equal(
+        url_hash64(small.slice(3, 20)), url_hash64(big.slice(3, 20))
+    )
