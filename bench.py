@@ -395,8 +395,11 @@ def main():
     # rep whose STARTING probe was stormy triggers an extra rep (bounded
     # by max_reps and the shared wait budget), so a storm phase cannot
     # own the median.  The headline `value` is the median over
-    # calm-starting reps when at least 3 exist (`value_basis` says
-    # which); every rep's total and probe is published either way.
+    # calm-starting reps when at least 2 exist (`value_basis` says
+    # which — a pipeline measurement needs calm memory bandwidth, and two
+    # independent calm observations agree within ~10% on this host while
+    # storm reps scatter 2-4×); every rep's total and probe is published
+    # either way.
     reps = max(1, int(os.environ.get("GRAFT_BENCH_REPS", "7")))
     max_reps = max(reps, int(os.environ.get("GRAFT_BENCH_MAX_REPS", "12")))
     all_timings: list[dict] = []
@@ -426,7 +429,7 @@ def main():
     med = {n: round(_median(t[n] for t in all_timings), 3) for n in names}
     totals = sorted(round(sum(t.values()), 3) for t in all_timings)
     calm_idx = [i for i, p in enumerate(rep_probes) if p <= calm_thr]
-    if len(calm_idx) >= 3:
+    if len(calm_idx) >= 2:
         calm_t = [all_timings[i] for i in calm_idx]
         med = {n: round(_median(t[n] for t in calm_t), 3) for n in names}
         total = round(_median(sum(t.values()) for t in calm_t), 3)
