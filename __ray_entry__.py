@@ -56,6 +56,9 @@ KNN_K = 5
 WITHIN_R = 25.0
 ANN_K = 5
 WITHIN_M = 1_500_000.0  # 1500 km haversine radius
+ROLLUP_RES = 3          # cell_rollup: fine RES_ASSIGN -> coarse ROLLUP_RES
+CLUSTER_RES = 6         # grid_cluster cell resolution
+CLUSTER_MIN_PTS = 6     # grid_cluster core-cell density threshold
 WINDOW_US = 3_600_000_000  # 1 h tumbling windows
 GAP_US = 1_800_000_000  # 30 min session gap
 COS_THRESHOLD = 0.3
@@ -241,6 +244,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return tiling.rasterize_boxes(ds, RES_RASTER, "p_partkey")
 
     q["rasterize_parts"] = rasterize
+
+    # --- cell-grid analytics (pipelines/geoanalytics.py) ---
+    def rollup(sf_dir):
+        from geo_index_ray.pipelines import geoanalytics as ga
+
+        ds = tables.points_ds(sf_dir, "orders", "o_orderkey")
+        return ga.cell_rollup(ds, RES_ASSIGN, ROLLUP_RES)
+
+    q["cell_rollup_counts"] = rollup
+
+    def hotspots(sf_dir):
+        from geo_index_ray.pipelines import geoanalytics as ga
+
+        ds = tables.points_ds(sf_dir, "orders", "o_orderkey")
+        return ga.cell_hotspots(ds, RES_STATS)
+
+    q["cell_hotspots"] = hotspots
+
+    def grid_clusters(sf_dir):
+        from geo_index_ray.pipelines import geoanalytics as ga
+
+        ds = tables.points_ds(sf_dir, "orders", "o_orderkey")
+        return ga.grid_cluster(ds, CLUSTER_RES, CLUSTER_MIN_PTS)
+
+    q["grid_clusters"] = grid_clusters
+
+    def spatial_lag_suppliers(sf_dir):
+        from geo_index_ray.pipelines import geoanalytics as ga
+
+        cust = tables.point_boxes_ds(sf_dir, "customer", "c_custkey")
+        supp = tables.point_boxes_ds(sf_dir, "supplier", "s_suppkey")
+        pairs = sj.shuffle_spatial_join(
+            cust, supp, res=RES_STATS, how="dwithin", radius=WITHIN_R,
+            left_id="c_custkey", right_id="s_suppkey",
+        )
+        sup = tables.read_table(sf_dir, "supplier", columns=["s_suppkey", "s_acctbal"])
+
+        def cents(b: pa.Table) -> pa.Table:
+            # s_acctbal is 2-decimal; ROUND lands the same integer on both
+            # sides (values sit ~1e-10 from integral, never at a .5 tie)
+            return pa.table(
+                {
+                    "s_suppkey": b["s_suppkey"],
+                    "cents": pa.array(
+                        np.round(b["s_acctbal"].to_numpy() * 100).astype(np.int64)
+                    ),
+                }
+            )
+
+        vals = sup.map_batches(cents, batch_format="pyarrow")
+        return ga.spatial_lag(pairs, vals, "c_custkey", "s_suppkey")
+
+    q["spatial_lag_suppliers"] = spatial_lag_suppliers
 
     # --- index probes ---
     def box_search(sf_dir):
@@ -1656,6 +1712,78 @@ def oracle_sql() -> dict[str, str]:
         SELECT p_partkey, gx * {n5} + gy AS cell
         FROM g, UNNEST(generate_series(x0, x1)) AS tx(gx),
              UNNEST(generate_series(y0, y1)) AS ty(gy)
+    """
+
+    # rollup twin tiles DIRECTLY at the parent resolution: the
+    # equirectangular floor grids nest exactly, so the engine's
+    # child-histogram rollup must reproduce this byte for byte
+    sql["cell_rollup_counts"] = f"""
+        SELECT {geocode.sql_flat_cell('x', 'y', ROLLUP_RES)} AS cell,
+               COUNT(*) AS n_rows
+        FROM (SELECT {pt('o_orderkey')} FROM orders)
+        GROUP BY 1
+    """
+
+    sql["cell_hotspots"] = f"""
+        WITH h AS (
+          SELECT {cell4} AS cell, COUNT(*) AS n
+          FROM (SELECT {pt('o_orderkey')} FROM orders)
+          GROUP BY 1
+        ), g AS (SELECT COUNT(*) AS nn, SUM(n) AS s, SUM(n*n) AS q FROM h)
+        SELECT cell, n AS n_rows,
+               CASE WHEN nn * q = s * s THEN NULL
+                    ELSE CAST(n * nn - s AS DOUBLE)
+                         / SQRT(CAST(nn * q - s * s AS DOUBLE)) END AS z
+        FROM h, g
+    """
+
+    ncl = 1 << CLUSTER_RES
+    sql["grid_clusters"] = f"""
+        WITH h AS (
+          SELECT {geocode.sql_flat_cell('x', 'y', CLUSTER_RES)} AS cell,
+                 COUNT(*) AS n
+          FROM (SELECT {pt('o_orderkey')} FROM orders)
+          GROUP BY 1
+        ),
+        core AS (SELECT cell, n FROM h WHERE n >= {CLUSTER_MIN_PTS}),
+        e0 AS (
+          SELECT a.cell AS u, b.cell AS v FROM core a JOIN core b
+          ON b.cell > a.cell
+             AND abs(a.cell // {ncl} - b.cell // {ncl}) <= 1
+             AND abs(a.cell % {ncl} - b.cell % {ncl}) <= 1
+        ),
+        edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+        comp AS (
+          SELECT node, component FROM (
+            WITH RECURSIVE reach(node, label) AS (
+                SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+                UNION
+                SELECT e.v, r.label
+                FROM reach r JOIN edges e ON e.u = r.node
+                WHERE r.label < e.v
+            )
+            SELECT node, MIN(label) AS component FROM reach GROUP BY node
+          )
+        )
+        SELECT COALESCE(c.component, core.cell) AS cluster,
+               COUNT(*) AS n_cells, SUM(core.n) AS n_points
+        FROM core LEFT JOIN comp c ON c.node = core.cell
+        GROUP BY 1
+    """
+
+    sql["spatial_lag_suppliers"] = f"""
+        WITH cust AS (SELECT c_custkey, {pt('c_custkey')} FROM customer),
+             supp AS (
+               SELECT s_suppkey,
+                      CAST(ROUND(s_acctbal * 100) AS BIGINT) AS cents, x, y
+               FROM (SELECT s_suppkey, s_acctbal, {pt('s_suppkey')} FROM supplier)
+             )
+        SELECT c.c_custkey, COUNT(*) AS n_close,
+               CAST(SUM(s.cents) AS DOUBLE) / (100.0 * COUNT(*)) AS avg_bal
+        FROM cust c JOIN supp s
+          ON (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)
+             <= {WITHIN_R} * {WITHIN_R}
+        GROUP BY 1
     """
 
     mnx, mny, mxx, mxy = BOX_SEARCH

@@ -1,0 +1,107 @@
+"""Cell-grid analytics: rollup nesting, hotspot exactness, density
+clustering (adjacency, singletons), and spatial-lag aggregation."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from geo_index_ray.pipelines import geoanalytics as ga
+from geo_index_ray.pipelines import tiling
+
+
+def _points(lon, lat, n_blocks=3):
+    df = pd.DataFrame({"x": np.asarray(lon, float), "y": np.asarray(lat, float)})
+    return ray.data.from_pandas(df).repartition(n_blocks)
+
+
+def test_cell_rollup_matches_direct_parent_tiling(ray_session):
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-180, 179.99, 400)
+    lat = rng.uniform(-90, 89.99, 400)
+    rolled = (
+        ga.cell_rollup(_points(lon, lat), 7, 3)
+        .to_pandas().sort_values("cell").reset_index(drop=True)
+    )
+    direct = (
+        tiling.cell_histogram(_points(lon, lat), 3)
+        .to_pandas().sort_values("cell").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(rolled, direct)
+
+
+def test_cell_rollup_rejects_inverted_resolutions(ray_session):
+    with pytest.raises(ValueError):
+        ga.cell_rollup(_points([0.0], [0.0]), 3, 7)
+
+
+def test_cell_hotspots_zscore_exact(ray_session):
+    # 3 occupied cells with counts 1, 2, 3 at res 1 (cells are quadrants)
+    lon = [-170.0, 10.0, 10.0, 100.0, 100.0, 100.0]
+    lat = [-80.0, -80.0, -80.5, 80.0, 80.0, 80.5]
+    out = (
+        ga.cell_hotspots(_points(lon, lat), 1)
+        .to_pandas().sort_values("n_rows").reset_index(drop=True)
+    )
+    n = out["n_rows"].to_numpy()
+    assert n.tolist() == [1, 2, 3]
+    N, S, Q = 3, 6, 14
+    den = float(N * Q - S * S) ** 0.5
+    expect = (n * N - S).astype(float) / den
+    np.testing.assert_array_equal(out["z"].to_numpy(), expect)
+
+
+def test_cell_hotspots_zero_variance_emits_null(ray_session):
+    lon = [-170.0, 100.0]
+    lat = [-80.0, 80.0]
+    out = ga.cell_hotspots(_points(lon, lat, 2), 1).to_pandas()
+    assert out["z"].isna().all()
+
+
+def test_grid_cluster_merges_diagonal_and_keeps_singletons(ray_session):
+    # res 4 grid (22.5 x 11.25 deg cells).  Three core cells: two touch
+    # diagonally (one component), one isolated far away.  A sub-threshold
+    # cell must not appear at all.
+    def cell_center(ix, iy, res=4):
+        n = 1 << res
+        return (-180 + (ix + 0.5) * 360 / n, -90 + (iy + 0.5) * 180 / n)
+
+    pts = []
+    for ix, iy, cnt in [(3, 3, 2), (4, 4, 3), (12, 10, 2), (8, 8, 1)]:
+        x, y = cell_center(ix, iy)
+        pts += [(x, y)] * cnt
+    lon, lat = zip(*pts)
+    out = (
+        ga.grid_cluster(_points(lon, lat), 4, 2)
+        .to_pandas().sort_values("cluster").reset_index(drop=True)
+    )
+    n = 1 << 4
+    flat = lambda ix, iy: ix * n + iy
+    # diagonal pair clusters under its min id; isolated core is a singleton
+    assert out["cluster"].tolist() == [flat(3, 3), flat(12, 10)]
+    assert out["n_cells"].tolist() == [2, 1]
+    assert out["n_points"].tolist() == [5, 2]
+
+
+def test_grid_cluster_no_cores_is_empty(ray_session):
+    out = ga.grid_cluster(_points([0.0, 50.0], [0.0, 20.0]), 4, 5).to_pandas()
+    assert len(out) == 0
+
+
+def test_spatial_lag_exact_integer_mean(ray_session):
+    pairs = ray.data.from_pandas(
+        pd.DataFrame({"lid": [1, 1, 2], "rid": [10, 11, 10]})
+    ).repartition(2)
+    vals = ray.data.from_pandas(
+        pd.DataFrame({"rid": [10, 11], "cents": [12345, 100]})
+    )
+    out = (
+        ga.spatial_lag(pairs, vals, "lid", "rid")
+        .to_pandas().sort_values("lid").reset_index(drop=True)
+    )
+    assert out["n_close"].tolist() == [2, 1]
+    assert out["avg_bal"].to_numpy().tolist() == [
+        float(12445) / 200.0,
+        float(12345) / 100.0,
+    ]
