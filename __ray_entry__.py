@@ -1599,8 +1599,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # packing, decontamination, host quota, per-host stats, the
     # embedding-dedup chain), the 10 that were green only in round 2,
     # then re-verification rows for r3-green queries whose code changed
-    # this round — cumulative driver coverage reaches 86/86 across
-    # rounds.  Relative order of the rest is unchanged.
+    # this round (value_median/value_percentiles yielded their slots to
+    # the late grid-analytics queries; their changed code is local-oracle
+    # green and they hold r3 driver rows).  Relative order of the rest is
+    # unchanged.
     # ------------------------------------------------------------------
     first_50 = [
         # never driver-verified (r2/r3 windows both missed them)
@@ -1623,9 +1625,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_partition", "partition_boxes", "knn_pruned",
         "pruned_box_search", "cosine_pairs_exact", "ngram_jaccard_pairs",
         "multimodal_decode",
+        # new cell-grid analytics (late round-4)
+        "grid_clusters", "spatial_lag_suppliers",
         # r3-green queries whose code changed in round 4 (re-verify)
-        "dedup_exact", "simhash", "cell_stats", "value_median",
-        "value_percentiles",
+        "dedup_exact", "simhash", "cell_stats",
     ]
     assert len(first_50) == 50, len(first_50)
     missing = [k for k in first_50 if k not in q]
