@@ -371,7 +371,13 @@ def main():
     # the weather, so wait (bounded) for the phase to pass; the JSON
     # records how long we waited and the probe value the run started at.
     total_wait = 0.0
-    WAIT_CAP = 900.0  # shared across all reps
+    # shared across all reps.  Sized against the measured storm shape
+    # (probe_watch logs): storms OSCILLATE on a minutes scale — calm
+    # 0.1-0.3 s probes appear every 5-20 min even on all-day storm days —
+    # so a larger budget converts directly into calm-starting reps.  The
+    # wait loop early-exits the moment a probe reads calm; a genuinely
+    # calm host spends ~0 s here.
+    WAIT_CAP = 1500.0
     calm_thr = float(os.environ.get("GRAFT_BW_CALM_S", "0.8"))
 
     def wait_calm(per_rep_cap: float) -> float:
@@ -417,7 +423,10 @@ def main():
         gc.collect()  # drop dataset refs so plasma frees between reps
         if len(all_timings) >= reps:
             n_calm = sum(1 for p in rep_probes if p <= calm_thr)
-            if n_calm >= reps // 2 + 1 or len(all_timings) >= max_reps:
+            # 3 calm-starting reps give a stable median (calm reps agree
+            # within ~10% on this host); more buys nothing and each extra
+            # storm-day rep costs a 180 s calm-wait, so stop there
+            if n_calm >= 3 or len(all_timings) >= max_reps:
                 break
     names = list(all_timings[0])
     n_reps = len(all_timings)
@@ -452,13 +461,15 @@ def main():
     # throughputs, min for latencies); both attempts' probes are published.
     micro = run_micros()
     micro_probes = [round(host_probe()["bw_copy_s"], 3)]
-    if micro_probes[0] > calm_thr and total_wait < WAIT_CAP:
+    # up to two calm-gated retries: the single-core micros are the most
+    # storm-sensitive numbers in the suite and a retry is cheap (~2 s)
+    while micro_probes[-1] > calm_thr and total_wait < WAIT_CAP and len(micro_probes) < 3:
         wait_calm(240.0)
         micro_probes.append(round(host_probe()["bw_copy_s"], 3))
-        second = run_micros()
+        retry = run_micros()
         micro = {
-            k: (max(micro[k], second[k]) if "per_sec" in k
-                else min(micro[k], second[k]))
+            k: (max(micro[k], retry[k]) if "per_sec" in k
+                else min(micro[k], retry[k]))
             for k in micro
         }
     micro["bw_probes"] = micro_probes
