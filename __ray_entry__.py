@@ -1117,29 +1117,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["multimodal_resize"] = mm_resize
 
     def mm_frames(sf_dir):
-        ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        """REAL end-to-end video decode, no library: deterministic
+        YUV4MPEG2 streams (real ASCII stream header + FRAME\\n-delimited
+        raw 4:2:0 frames) → pure-numpy container parse (magic, W/H field
+        parse, chroma check, per-frame marker validation) + exact integer
+        pixel aggregation of every 2nd frame (multimodal.parse_y4m); the
+        oracle recomputes every sampled pixel with generate_series."""
+        ds = tables.read_table(sf_dir, "documents", columns=["doc_id"])
 
-        def to_payload(batch: pa.Table) -> pa.Table:
-            payloads = [t.encode() for t in batch["text"].to_pylist()]
+        def to_y4m(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy().astype(np.int64)
             return pa.table(
-                {"doc_id": batch["doc_id"], "payload": pa.array(payloads, pa.binary())}
+                {"doc_id": batch["doc_id"],
+                 "payload": mm_pipe.synth_y4m_payloads(ids)}
             )
 
         # split the single parquet block so the actor pool gets one task
         # per actor instead of starving on one input block
-        binary_ds = ds.repartition(4).map_batches(
-            to_payload, batch_format="pyarrow"
-        )
-        out = mm_pipe.sample_frames(binary_ds, "doc_id", "payload", every_n=2)
-
-        def as_utf8(batch: pa.Table) -> pa.Table:
-            return batch.set_column(
-                batch.schema.get_field_index("frame"),
-                "frame",
-                batch["frame"].cast(pa.string()),
-            )
-
-        return out.map_batches(as_utf8, batch_format="pyarrow")
+        vid = ds.repartition(4).map_batches(to_y4m, batch_format="pyarrow")
+        return mm_pipe.video_frame_stats(vid, "doc_id", "payload", every_n=2)
 
     q["multimodal_frames"] = mm_frames
 
@@ -2349,13 +2345,9 @@ def oracle_sql() -> dict[str, str]:
                CAST(224 AS BIGINT) AS width, CAST(224 AS BIGINT) AS height
         FROM documents
     """
-    sql["multimodal_frames"] = """
-        SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
-               substr(text, CAST(fi * 64 + 1 AS INT), 64) AS frame
-        FROM documents,
-             UNNEST(generate_series(0,
-                    CAST(GREATEST(length(text) // 64, 1) - 1 AS BIGINT), 2)) AS t(fi)
-    """
+    sql["multimodal_frames"] = mm_pipe.sql_y4m_frame_stats(
+        "SELECT doc_id FROM documents", id_col="doc_id", every_n=2
+    )
 
     # --- embedding twins --------------------------------------------------
     sql["embed_neardup"] = f"""

@@ -711,3 +711,300 @@ SELECT {id_col}, CAST(1 AS BOOLEAN) AS ok,
        CAST(SUM(x * x) AS BIGINT) AS sum_sq
 FROM s GROUP BY {id_col}, n
 """
+
+
+# ---------------------------------------------------------------------------
+# REAL video decode: YUV4MPEG2 (Y4M), zero libraries
+#
+# Y4M is the one video container numpy can decode COMPLETELY: an ASCII
+# stream header (`YUV4MPEG2 W<w> H<h> F<n>:<d> ... C420\n`) followed by
+# uncompressed frames, each a 6-byte `FRAME\n` marker plus w*h*3/2 raw
+# 4:2:0 bytes.  Like the WAV path above this makes the video stage real
+# end-to-end — container validation, ASCII header-field parsing, frame
+# walking, per-pixel aggregation — while the ffmpeg-style compressed
+# codecs stay behind the declared NotImplementedError.
+# ---------------------------------------------------------------------------
+
+_Y4M_PIX_MOD = 251  # pixel byte value = (id*37 + frame*13 + k*11) % 251
+
+
+def _y4m_params(ids: np.ndarray):
+    """Deterministic per-id stream parameters (shared by synth + SQL twin):
+    width 8/12/16/20, height 8/12/16 (both multiples of 4 — valid 4:2:0),
+    4-16 frames."""
+    ids = np.asarray(ids, dtype=np.int64)
+    w = 8 + 4 * (ids % 4)
+    h = 8 + 4 * (ids % 3)
+    nf = 4 + ids % 13
+    return w, h, nf
+
+
+def synth_y4m_payloads(ids: np.ndarray) -> pa.Array:
+    """Deterministic per-id REAL YUV4MPEG2 streams.  Headers are the
+    spec's ASCII parameter line (built once per distinct (w, h) pair —
+    12 combinations — then scattered); frame pixels come from the pure
+    integer recurrence so the SQL oracle reproduces every byte."""
+    ids = np.asarray(ids, dtype=np.int64)
+    n = len(ids)
+    w, h, nf = _y4m_params(ids)
+    fsize = w * h * 3 // 2
+
+    hdr_list = [
+        np.frombuffer(
+            f"YUV4MPEG2 W{int(wi)} H{int(hi)} F25:1 Ip A1:1 C420\n".encode(),
+            np.uint8,
+        )
+        for wi, hi in zip(w, h)
+    ]
+    hlen = np.array([len(x) for x in hdr_list], dtype=np.int64)
+    sizes = hlen + nf * (6 + fsize)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(sizes, out=offs[1:])
+    vals = np.zeros(int(offs[-1]), dtype=np.uint8)
+
+    # headers (ragged, tiny): scatter row by row — n × ~40 bytes
+    for i, hb in enumerate(hdr_list):
+        vals[offs[i] : offs[i] + hlen[i]] = hb
+
+    # frame markers + pixels: fully vectorized over all (row, frame) pairs
+    total_frames = int(nf.sum())
+    if total_frames:
+        frow = np.repeat(np.arange(n), nf)
+        fends = np.cumsum(nf)
+        flocal = np.arange(total_frames, dtype=np.int64) - np.repeat(
+            fends - nf, nf
+        )
+        fstart = offs[:-1][frow] + hlen[frow] + flocal * (6 + fsize[frow])
+        magic = np.frombuffer(b"FRAME\n", np.uint8)
+        for j in range(6):
+            vals[fstart + j] = magic[j]
+        fbytes = fsize[frow]
+        total_px = int(fbytes.sum())
+        prow = np.repeat(np.arange(total_frames), fbytes)
+        k = np.arange(total_px, dtype=np.int64) - np.repeat(
+            np.cumsum(fbytes) - fbytes, fbytes
+        )
+        px = (
+            ids[frow[prow]] * np.int64(37)
+            + flocal[prow] * np.int64(13)
+            + k * np.int64(11)
+        ) % np.int64(_Y4M_PIX_MOD)
+        vals[fstart[prow] + 6 + k] = px.astype(np.uint8)
+
+    return pa.BinaryArray.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(offs.astype(np.int32).tobytes()),
+         pa.py_buffer(vals.tobytes())],
+    )
+
+
+def _parse_ascii_int(head: np.ndarray, pos: np.ndarray, ok: np.ndarray,
+                     max_digits: int = 5):
+    """Vectorized ASCII-integer parse starting at per-row ``pos`` —
+    the loop is over DIGIT POSITIONS (≤5), not rows."""
+    n, k = head.shape
+    rows = np.arange(n)
+    val = np.zeros(n, dtype=np.int64)
+    p = np.clip(pos, 0, k - 1)
+    alive = ok & (pos >= 0) & (pos < k)
+    any_digit = np.zeros(n, dtype=bool)
+    for _ in range(max_digits):
+        b = head[rows, p]
+        isd = alive & (b >= 48) & (b <= 57)
+        val = np.where(isd, val * 10 + (b - 48), val)
+        any_digit |= isd
+        p = np.where(isd & (p < k - 1), p + 1, p)
+        alive = isd
+    return val, any_digit, p
+
+
+def _find_token(head: np.ndarray, token: bytes):
+    """Per-row first index AFTER a ``token`` match (e.g. b" W") inside the
+    header matrix; -1 where absent."""
+    t = np.frombuffer(token, np.uint8)
+    n, k = head.shape
+    m = np.ones((n, k - len(t) + 1), dtype=bool)
+    for j, bj in enumerate(t):
+        m &= head[:, j : k - len(t) + 1 + j] == bj
+    found = m.any(axis=1)
+    return np.where(found, m.argmax(axis=1) + len(t), -1), found
+
+
+_Y4M_HEAD = 64  # a spec-minimal parameter line fits well inside 64 bytes
+
+
+def parse_y4m(lens, starts, values, every_n: int = 2):
+    """REAL vectorized Y4M parse + every-Nth-frame pixel aggregation.
+
+    Validates the `YUV4MPEG2 ` magic, parses the ASCII W/H fields from
+    the actual header bytes, requires C420 chroma (anything else →
+    ok=False: honesty over guessing), derives the frame size from the
+    parsed geometry, validates that the payload is an exact whole number
+    of `FRAME\\n`-delimited frames AND every frame marker byte, then
+    aggregates each sampled frame's raw pixel bytes (exact int64 sum +
+    peak via ``reduceat``).  Returns per-SAMPLED-FRAME arrays
+    (row, frame_idx, width, height, frame_sum, frame_peak) plus the
+    per-row ``ok`` mask.
+    """
+    n = len(lens)
+    head = _head_bytes(lens, starts, values, _Y4M_HEAD)
+    magic = np.frombuffer(b"YUV4MPEG2 ", np.uint8)
+    ok = lens >= len(magic)
+    ok &= (head[:, : len(magic)] == magic[None, :]).all(axis=1)
+
+    nl_hit = head == 10
+    has_nl = nl_hit.any(axis=1)
+    ok &= has_nl
+    hdr_len = np.where(has_nl, nl_hit.argmax(axis=1) + 1, 0).astype(np.int64)
+
+    wpos, wfound = _find_token(head, b" W")
+    hpos, hfound = _find_token(head, b" H")
+    cpos, cfound = _find_token(head, b" C")
+    ok &= wfound & hfound & (wpos < hdr_len) & (hpos < hdr_len)
+    w, wdig, _ = _parse_ascii_int(head, wpos, ok)
+    h, hdig, _ = _parse_ascii_int(head, hpos, ok)
+    ok &= wdig & hdig & (w > 0) & (h > 0) & (w % 4 == 0) & (h % 2 == 0)
+    # chroma: C420 (the default when the C tag is absent); C420mpeg2 /
+    # C420jpeg share the same frame size and parse identically
+    c420 = np.frombuffer(b"420", np.uint8)
+    if head.shape[1] >= 3:
+        rows = np.arange(n)
+        cp = np.clip(cpos, 0, _Y4M_HEAD - 3)
+        is420 = (
+            (head[rows, cp] == c420[0])
+            & (head[rows, np.minimum(cp + 1, _Y4M_HEAD - 1)] == c420[1])
+            & (head[rows, np.minimum(cp + 2, _Y4M_HEAD - 1)] == c420[2])
+        )
+        ok &= np.where(cfound & (cpos < hdr_len), is420, True)
+
+    fsize = np.where(ok, w * h * 3 // 2, 1)
+    stride = 6 + fsize
+    body = np.maximum(lens - hdr_len, 0)
+    nf = np.where(ok, body // stride, 0)
+    ok &= body % stride == 0
+    nf = np.where(ok, nf, 0)
+
+    # validate EVERY frame marker (all frames, not just sampled ones)
+    total_frames = int(nf.sum())
+    if total_frames:
+        frow = np.repeat(np.arange(n), nf)
+        fends = np.cumsum(nf)
+        flocal = np.arange(total_frames, dtype=np.int64) - np.repeat(
+            fends - nf, nf
+        )
+        fstart = starts[frow] + hdr_len[frow] + flocal * stride[frow]
+        fmagic = np.frombuffer(b"FRAME\n", np.uint8)
+        good = np.ones(total_frames, dtype=bool)
+        for j in range(6):
+            good &= values[fstart + j] == fmagic[j]
+        bad_rows = np.unique(frow[~good])
+        if len(bad_rows):
+            ok[bad_rows] = False
+            nf = np.where(ok, nf, 0)
+
+    # sampled-frame aggregation
+    ns = np.where(nf > 0, (nf + every_n - 1) // every_n, 0)
+    total_s = int(ns.sum())
+    if total_s == 0:
+        e = np.empty(0, np.int64)
+        return {"ok": ok, "row": e, "frame_idx": e, "width": e,
+                "height": e, "frame_sum": e, "frame_peak": e}
+    srow = np.repeat(np.arange(n), ns)
+    sends = np.cumsum(ns)
+    slocal = np.arange(total_s, dtype=np.int64) - np.repeat(sends - ns, ns)
+    fi = slocal * every_n
+    pstart = starts[srow] + hdr_len[srow] + fi * stride[srow] + 6
+    fb = fsize[srow]
+    total_px = int(fb.sum())
+    prow = np.repeat(np.arange(total_s), fb)
+    k = np.arange(total_px, dtype=np.int64) - np.repeat(
+        np.cumsum(fb) - fb, fb
+    )
+    px = values[pstart[prow] + k].astype(np.int64)
+    soff = np.concatenate([[0], np.cumsum(fb)])[:-1]
+    frame_sum = np.add.reduceat(px, soff)
+    frame_peak = np.maximum.reduceat(px, soff)
+    return {
+        "ok": ok,
+        "row": srow,
+        "frame_idx": fi,
+        "width": w[srow],
+        "height": h[srow],
+        "frame_sum": frame_sum,
+        "frame_peak": frame_peak,
+    }
+
+
+class Y4MFrameSampleStage:
+    """Actor-pool stage: REAL Y4M video payload → one row per sampled
+    frame with exact integer pixel aggregates.  Small batches: video
+    payloads are the widest rows in any table and the output fans out
+    per frame (same sizing rule as the fake-path FrameSampleStage)."""
+
+    def __init__(self, id_col: str, payload_col: str, every_n: int = 2):
+        self.id_col = id_col
+        self.payload_col = payload_col
+        self.every_n = every_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy().astype(np.int64)
+        lens, starts, values = _binary_views(batch[self.payload_col])
+        f = parse_y4m(lens, starts, values, every_n=self.every_n)
+        r = f["row"]
+        return pa.table(
+            {
+                self.id_col: pa.array(ids[r]),
+                "frame_idx": pa.array(f["frame_idx"]),
+                "width": pa.array(f["width"]),
+                "height": pa.array(f["height"]),
+                "frame_sum": pa.array(f["frame_sum"]),
+                "frame_peak": pa.array(f["frame_peak"]),
+            }
+        )
+
+
+def video_frame_stats(ds, id_col: str, payload_col: str, every_n: int = 2,
+                      concurrency: int = 2, batch_size: int = 64):
+    """Sample every Nth frame of a Y4M binary column and aggregate real
+    pixel bytes (actor pool; zero-library decode)."""
+    return ds.map_batches(
+        Y4MFrameSampleStage,
+        fn_constructor_kwargs={
+            "id_col": id_col, "payload_col": payload_col, "every_n": every_n,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def sql_y4m_frame_stats(ids_sql: str, id_col: str = "id",
+                        every_n: int = 2) -> str:
+    """DuckDB twin of synth→decode: recompute every sampled frame's pixel
+    bytes from the deterministic recurrence and aggregate the same exact
+    integers."""
+    return f"""
+WITH ids AS ({ids_sql}),
+par AS (
+  SELECT {id_col},
+         CAST(8 + 4 * ({id_col} % 4) AS BIGINT) AS width,
+         CAST(8 + 4 * ({id_col} % 3) AS BIGINT) AS height,
+         CAST(4 + {id_col} % 13 AS BIGINT) AS nf
+  FROM ids
+),
+fr AS (
+  SELECT {id_col}, width, height, f.f AS frame_idx,
+         width * height * 3 // 2 AS fsize
+  FROM par, UNNEST(generate_series(0, CAST(nf - 1 AS BIGINT))) AS f(f)
+  WHERE f.f % {every_n} = 0
+),
+px AS (
+  SELECT {id_col}, frame_idx, width, height,
+         ({id_col} * 37 + frame_idx * 13 + k.k * 11) % {_Y4M_PIX_MOD} AS v
+  FROM fr, UNNEST(generate_series(0, CAST(fsize - 1 AS BIGINT))) AS k(k)
+)
+SELECT {id_col}, frame_idx, width, height,
+       CAST(SUM(v) AS BIGINT) AS frame_sum,
+       CAST(MAX(v) AS BIGINT) AS frame_peak
+FROM px GROUP BY {id_col}, frame_idx, width, height
+"""

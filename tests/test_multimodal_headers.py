@@ -202,3 +202,84 @@ class TestJpegSegmentWalk:
         assert (w[0], h[0]) == (640, 480)
         assert (w[1], h[1]) == (640, 480)
         assert (w[2], h[2]) == (0, 0)
+
+
+class TestY4MDecode:
+    """REAL YUV4MPEG2 parse: synth → parse_y4m roundtrip plus hostile
+    container inputs (the video analog of TestWavDecode)."""
+
+    def test_synth_roundtrip_exact(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from geo_index_ray.pipelines.multimodal import (
+            _binary_views,
+            _y4m_params,
+            parse_y4m,
+            synth_y4m_payloads,
+        )
+
+        ids = np.arange(1, 60, dtype=np.int64)
+        col = pa.chunked_array([synth_y4m_payloads(ids)])
+        f = parse_y4m(*_binary_views(col), every_n=2)
+        assert f["ok"].all()
+        w, h, nf = _y4m_params(ids)
+        ns = (nf + 1) // 2
+        assert len(f["row"]) == int(ns.sum())
+        # exact pixel recompute for a sample of frames
+        for t in range(0, len(f["row"]), 11):
+            r = int(f["row"][t])
+            fi = int(f["frame_idx"][t])
+            k = np.arange(int(w[r] * h[r] * 3 // 2), dtype=np.int64)
+            px = (ids[r] * 37 + fi * 13 + k * 11) % 251
+            assert f["frame_sum"][t] == px.sum()
+            assert f["frame_peak"][t] == px.max()
+            assert (f["width"][t], f["height"][t]) == (w[r], h[r])
+
+    def test_corrupt_payloads_flagged_not_crashed(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from geo_index_ray.pipelines.multimodal import (
+            _binary_views,
+            parse_y4m,
+            synth_y4m_payloads,
+        )
+
+        good = synth_y4m_payloads(np.array([7], dtype=np.int64))[0].as_py()
+        bad = pa.array(
+            [
+                b"",
+                b"YUV4MPEG",                                  # short magic
+                b"YUV4MPEG2 W8 H8 F25:1 Ip A1:1 C444\n",      # non-420 chroma
+                good[:-3],                                    # truncated frame
+                good.replace(b"FRAME", b"FRAMX", 1),          # corrupt marker
+                b"YUV4MPEG2 W9 H8 C420\n",                    # invalid 4:2:0 W
+                b"YUV4MPEG2 WA H8 C420\n",                    # non-digit W
+                good,                                         # control row
+            ],
+            pa.binary(),
+        )
+        f = parse_y4m(*_binary_views(pa.chunked_array([bad])))
+        assert f["ok"].tolist() == [False] * 7 + [True]
+        # no cross-payload bleed: every sampled frame belongs to row 7
+        assert (f["row"] == 7).all()
+
+    def test_header_variants_parse(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from geo_index_ray.pipelines.multimodal import _binary_views, parse_y4m
+
+        fsize = 12 * 8 * 3 // 2
+        frame = b"FRAME\n" + bytes(range(fsize))[:fsize]
+        # parameter order per spec is free after the magic; C tag absent
+        # defaults to 4:2:0
+        v1 = b"YUV4MPEG2 H8 W12 F30000:1001 A1:1\n" + frame * 3
+        v2 = b"YUV4MPEG2 W12 H8 C420mpeg2 Ip\n" + frame
+        col = pa.chunked_array([pa.array([v1, v2], pa.binary())])
+        f = parse_y4m(*_binary_views(col), every_n=2)
+        assert f["ok"].tolist() == [True, True]
+        assert f["width"].tolist()[:1] == [12]
+        assert sorted(f["frame_idx"][f["row"] == 0].tolist()) == [0, 2]
+        assert f["frame_idx"][f["row"] == 1].tolist() == [0]
