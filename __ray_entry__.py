@@ -1616,13 +1616,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_join", "inverted_index", "length_bins",
         "pagerank_events", "top_tokens_per_source",
         "roundtrip_jsonl", "roundtrip_csv", "audio_wav_stats", "bpe_merges",
-        # green only in round 2's window — re-land a driver row
-        "knn_polygons", "simhash_pairs", "tree_join_parts",
+        # green only in round 2's window — re-land a driver row.  The
+        # index/partition entries stay because kernels/rtree.py's search
+        # path changed this round; four entries whose code is unchanged
+        # since their r2-green run (and which the local full-surface gate
+        # re-verifies every round) yielded their slots so that EVERY
+        # query has a driver row somewhere in rounds 2-4: simhash_pairs,
+        # cosine_pairs_exact, ngram_jaccard_pairs, multimodal_decode
+        # (whose real-header variant multimodal_decode_real IS sampled).
+        "knn_polygons", "tree_join_parts",
         "spatial_partition", "partition_boxes", "knn_pruned",
-        "pruned_box_search", "cosine_pairs_exact", "ngram_jaccard_pairs",
-        "multimodal_decode",
+        "pruned_box_search",
         # new cell-grid analytics (late round-4)
+        "cell_rollup_counts", "cell_hotspots",
         "grid_clusters", "spatial_lag_suppliers",
+        # declared-approximate sketches: the driver records rows-only
+        # rows for these (no oracle by design) — land those records
+        "distinct_users_sketch", "value_quantiles_sketch",
         # r3-green queries whose code changed in round 4 (re-verify)
         "dedup_exact", "simhash", "cell_stats",
     ]
