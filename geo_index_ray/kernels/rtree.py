@@ -610,23 +610,61 @@ def neighbors(
     results: list[int] = []
     dists: list[float] = []
 
+    # vectorized per-node expansion for the planar metrics: one numpy
+    # block computes all node_size child distances (same IEEE ops as the
+    # scalar _axis_dist, so the heap receives bit-identical keys in the
+    # same push order — ordering parity with the scalar path is exact);
+    # haversine keeps the scalar path (its leaf/internal bounds differ
+    # per entry and the per-query win is negligible beside the trig)
+    if metric == "squared":
+
+        def vec_dist(blk):
+            dx = np.maximum(np.maximum(blk[:, 0] - x, x - blk[:, 2]), 0.0)
+            dy = np.maximum(np.maximum(blk[:, 1] - y, y - blk[:, 3]), 0.0)
+            return dx * dx + dy * dy
+
+    elif metric == "euclidean":
+
+        def vec_dist(blk):
+            dx = np.maximum(np.maximum(blk[:, 0] - x, x - blk[:, 2]), 0.0)
+            dy = np.maximum(np.maximum(blk[:, 1] - y, y - blk[:, 3]), 0.0)
+            return np.sqrt(dx * dx + dy * dy)
+
+    else:
+        vec_dist = None
+
     while outer is not None:
         end = min(outer + node_span, _upper_bound(outer, level_bounds))
-        entry_dist = leaf_dist if outer < num_leaf_coords else dist_to_bbox
-        for pos in range(outer, end, 4):
-            d = entry_dist(
-                float(boxes[pos]),
-                float(boxes[pos + 1]),
-                float(boxes[pos + 2]),
-                float(boxes[pos + 3]),
-            )
-            if d > max_distance:
-                continue
-            index = int(indices[pos >> 2])
-            if outer >= num_leaf_coords:
-                heapq.heappush(heap, (d, index << 1))  # internal: even id
-            else:
-                heapq.heappush(heap, (d, (index << 1) + 1))  # leaf: odd id
+        is_leaf_level = outer < num_leaf_coords
+        if vec_dist is not None:
+            cnt = (end - outer) >> 2
+            d_all = vec_dist(boxes[outer:end].reshape(cnt, 4))
+            base = outer >> 2
+            leafbit = 1 if is_leaf_level else 0
+            # one C-level tolist() each → the push loop handles native
+            # Python floats/ints (per-element numpy scalar extraction is
+            # what made the first vectorized cut SLOWER than the scalar
+            # loop; measured interleaved A/B)
+            idx_l = indices[base : base + cnt].tolist()
+            for d, index in zip(d_all.tolist(), idx_l):
+                if d <= max_distance:
+                    heapq.heappush(heap, (d, (index << 1) | leafbit))
+        else:
+            entry_dist = leaf_dist if is_leaf_level else dist_to_bbox
+            for pos in range(outer, end, 4):
+                d = entry_dist(
+                    float(boxes[pos]),
+                    float(boxes[pos + 1]),
+                    float(boxes[pos + 2]),
+                    float(boxes[pos + 3]),
+                )
+                if d > max_distance:
+                    continue
+                index = int(indices[pos >> 2])
+                if is_leaf_level:
+                    heapq.heappush(heap, (d, (index << 1) + 1))  # leaf: odd
+                else:
+                    heapq.heappush(heap, (d, index << 1))  # internal: even
 
         stop = False
         while heap and (heap[0][1] & 1):
