@@ -1585,6 +1585,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["embedding_dedup_keep"] = embedding_dedup_keep
 
+    def quality_model_score(sf_dir):
+        """Batched model inference: hashed-unigram linear quality scorer.
+        Weights are ray.put once and resolved once per actor (__init__);
+        scoring is vectorized Arrow tokenize → ragged FNV-1a → bucket
+        gather → exact int64 segment sums.  The oracle recomputes the
+        whole model (hash, bucket, weight) in integer SQL."""
+        ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        return text_pipe.model_score(ds, "doc_id", "text")
+
+    q["quality_model_score"] = quality_model_score
+
     # ------------------------------------------------------------------
     # registration order = driver sampling order.  The driver's
     # correctness harness checks the FIRST 50 registrations; rounds 2/3
@@ -2695,6 +2706,10 @@ def oracle_sql() -> dict[str, str]:
           ) WHERE node <> component
         )
     """
+
+    sql["quality_model_score"] = text_pipe.sql_model_score(
+        "documents", "doc_id"
+    )
 
     sql["domain_cap"] = f"""
         WITH pages AS ({webtext_pipe.sql_derive_pages("documents", "doc_id", "source")}),

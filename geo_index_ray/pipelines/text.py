@@ -942,3 +942,124 @@ def sql_bpe_top_merges(table: str, text_col: str = "text", k: int = 20) -> str:
           FROM c
         ) WHERE rnk <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# batched model inference: hashed-feature linear scorer
+# ---------------------------------------------------------------------------
+
+_SCORER_GOLD = 2654435761
+_SCORER_MOD = 1000003
+_SCORER_HALF = 500001
+
+
+def scorer_weights(num_buckets: int) -> np.ndarray:
+    """The deterministic weight table w[b] = ((b+1)·2654435761) mod
+    1000003 − 500001 — integer-exact, so the SQL oracle recomputes the
+    model instead of trusting a serialized artifact.  Stands in for a
+    trained fasttext-style quality classifier; swapping in real weights
+    changes nothing about the serving path."""
+    b = np.arange(num_buckets, dtype=np.int64)
+    return (b + 1) * _SCORER_GOLD % _SCORER_MOD - _SCORER_HALF
+
+
+class HashedLinearScorer:
+    """Actor-pool inference stage: hashed-unigram linear model.
+
+    The canonical batched-model-inference shape on Ray Data: the weight
+    table is ``ray.put`` into the object store ONCE by the pipeline
+    builder; each actor resolves it ONCE in ``__init__`` (plasma-local,
+    zero-copy) and every ``__call__`` is pure vectorized numpy — Arrow
+    tokenize, ragged FNV-1a per token, bucket gather, exact int64
+    segment sums.  10^12-doc shape: weights move node-count times, not
+    task-count times; nothing per-batch touches the driver.
+    """
+
+    def __init__(self, id_col: str, text_col: str, weights_ref,
+                 num_buckets: int):
+        import ray
+
+        self.id_col = id_col
+        self.text_col = text_col
+        self.w = ray.get(weights_ref) if not isinstance(
+            weights_ref, np.ndarray
+        ) else weights_ref
+        self.num_buckets = np.uint64(num_buckets)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        words = pc.split_pattern_regex(
+            pc.utf8_lower(batch[self.text_col]), r"\s+"
+        )
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        parents = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        wlens, wstarts, wvals = _string_views(flat)
+        nonempty = wlens > 0
+        h = _fnv1a_ragged(wlens[nonempty], wstarts[nonempty], wvals)
+        rows = parents[nonempty]
+        wt = self.w[(h % self.num_buckets).astype(np.int64)]
+        score = np.zeros(n, dtype=np.int64)
+        np.add.at(score, rows, wt)
+        n_tok = np.bincount(rows, minlength=n).astype(np.int64)
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "n_tok": pa.array(n_tok),
+                "score": pa.array(score),
+                "label": pa.array(score > 0),
+            }
+        )
+
+
+def model_score(ds, id_col: str, text_col: str = "text",
+                num_buckets: int = 1024, concurrency: int = 2,
+                batch_size: int = 4096):
+    """Score every document with the hashed-feature linear model
+    (broadcast weights + actor pool)."""
+    import ray
+
+    weights_ref = ray.put(scorer_weights(num_buckets))
+    return ds.map_batches(
+        HashedLinearScorer,
+        fn_constructor_kwargs={
+            "id_col": id_col, "text_col": text_col,
+            "weights_ref": weights_ref, "num_buckets": num_buckets,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def sql_model_score(table: str, id_col: str, num_buckets: int = 1024) -> str:
+    """DuckDB twin: recompute every token's hash, bucket, and weight with
+    the same integer arithmetic (empty-token filter and zero-token docs
+    filled exactly like the stage)."""
+    from ..functions.sqltext import sql_fnv1a_of
+
+    return f"""
+WITH tok AS (
+  SELECT {id_col}, t.t AS tok
+  FROM {table},
+       UNNEST(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                          x -> x <> '')) AS t(t)
+),
+wt AS (
+  SELECT {id_col},
+         CAST((({sql_fnv1a_of('tok')} % {num_buckets}) + 1)
+              * {_SCORER_GOLD} % {_SCORER_MOD} - {_SCORER_HALF} AS BIGINT)
+           AS w
+  FROM tok
+),
+agg AS (
+  SELECT {id_col}, COUNT(*) AS n_tok, SUM(w) AS score
+  FROM wt GROUP BY {id_col}
+)
+SELECT d.{id_col},
+       CAST(COALESCE(agg.n_tok, 0) AS BIGINT) AS n_tok,
+       CAST(COALESCE(agg.score, 0) AS BIGINT) AS score,
+       COALESCE(agg.score, 0) > 0 AS label
+FROM {table} d LEFT JOIN agg USING ({id_col})
+"""

@@ -400,3 +400,50 @@ def test_grouped_topk_datetime64_order_above_2_53(ray_session):
         .sort_values("rnk")
     )
     assert out["id"].tolist() == [2, 3]
+
+
+class TestModelScore:
+    """Hashed-feature linear scorer: broadcast weights + actor pool."""
+
+    def test_scores_match_local_recompute(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray
+
+        from geo_index_ray.pipelines import text as text_pipe
+        from geo_index_ray.pipelines.text import (
+            _fnv1a_ragged,
+            _string_views,
+            scorer_weights,
+        )
+
+        docs = ["the cat sat", "", "   ", "one TWO two", "solo"]
+        ids = list(range(len(docs)))
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": pa.array(docs)})
+        )
+        out = text_pipe.model_score(ds, "doc_id", "text").to_pandas()
+        out = out.sort_values("doc_id").reset_index(drop=True)
+
+        w = scorer_weights(1024)
+        for i, d in enumerate(docs):
+            toks = [t for t in d.lower().split() if t]
+            arr = pa.array(toks if toks else [], pa.string())
+            if len(arr):
+                lens, starts, vals = _string_views(pa.chunked_array([arr]))
+                h = _fnv1a_ragged(lens, starts, vals)
+                exp = int(w[(h % np.uint64(1024)).astype(np.int64)].sum())
+            else:
+                exp = 0
+            assert out.loc[i, "n_tok"] == len(toks)
+            assert out.loc[i, "score"] == exp
+            assert bool(out.loc[i, "label"]) == (exp > 0)
+
+    def test_weights_deterministic_int64(self):
+        from geo_index_ray.pipelines.text import scorer_weights
+
+        w = scorer_weights(1024)
+        assert w.dtype.name == "int64"
+        assert (w == scorer_weights(1024)).all()
+        assert abs(w).max() <= 500001
