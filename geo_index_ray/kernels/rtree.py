@@ -553,51 +553,6 @@ def neighbors(
             return np.empty(0, dtype=np.uint32), np.empty(0, dtype=np.float64)
         return np.empty(0, dtype=np.uint32)
 
-    if metric == "squared":
-
-        def dist_to_bbox(mnx, mny, mxx, mxy):
-            dx = _axis_dist(x, mnx, mxx)
-            dy = _axis_dist(y, mny, mxy)
-            return dx * dx + dy * dy
-
-    elif metric == "euclidean":
-
-        def dist_to_bbox(mnx, mny, mxx, mxy):
-            dx = _axis_dist(x, mnx, mxx)
-            dy = _axis_dist(y, mny, mxy)
-            return float(np.sqrt(dx * dx + dy * dy))
-
-    elif metric == "haversine":
-        from .geom import haversine, haversine_env_lower
-
-        # internal nodes need a true LOWER bound of any descendant's
-        # great-circle distance or best-first order (and max_distance
-        # pruning) breaks: the reference's clamped-closest-point bound
-        # (src/rtree/distance.rs:91-115) overestimates across large or
-        # antimeridian-spanning node boxes — measured pruning a whole
-        # partition tree whose nearest leaf was 23 km away.  Leaves are
-        # point boxes, so their exact haversine is used directly.
-        def dist_to_bbox(mnx, mny, mxx, mxy):
-            return float(haversine_env_lower(x, y, mnx, mny, mxx, mxy))
-
-        def leaf_dist(mnx, mny, mxx, mxy):
-            # point leaves (the usual geo case) get their exact
-            # great-circle distance; BOX leaves get the reference's
-            # clamped-closest-point distance (src/rtree/distance.rs:91-115
-            # semantics — exact for the small leaf boxes an R-tree holds,
-            # NOT the lower-left corner, which is arbitrarily wrong for
-            # wide boxes)
-            if mnx == mxx and mny == mxy:
-                return float(haversine(x, y, mnx, mny))
-            cx = min(max(x, mnx), mxx)
-            cy = min(max(y, mny), mxy)
-            return float(haversine(x, y, cx, cy))
-
-    else:
-        raise ValueError(f"unknown metric {metric!r}")
-    if metric != "haversine":
-        leaf_dist = dist_to_bbox
-
     if max_distance is None:
         max_distance = np.inf
 
@@ -610,61 +565,73 @@ def neighbors(
     results: list[int] = []
     dists: list[float] = []
 
-    # vectorized per-node expansion for the planar metrics: one numpy
-    # block computes all node_size child distances (same IEEE ops as the
-    # scalar _axis_dist, so the heap receives bit-identical keys in the
-    # same push order — ordering parity with the scalar path is exact);
-    # haversine keeps the scalar path (its leaf/internal bounds differ
-    # per entry and the per-query win is negligible beside the trig)
+    # per-node expansion is vectorized: one numpy block computes all
+    # node_size child distances (the per-child arithmetic matches the
+    # reference's scalar definitions op for op, so the heap receives
+    # bit-identical keys in the same push order as a scalar traversal)
     if metric == "squared":
-
-        def vec_dist(blk):
+        # reference default metric, src/rtree/trait.rs:198-302 + the
+        # axis-distance helper src/rtree/trait.rs:571-579
+        def vec_internal(blk):
             dx = np.maximum(np.maximum(blk[:, 0] - x, x - blk[:, 2]), 0.0)
             dy = np.maximum(np.maximum(blk[:, 1] - y, y - blk[:, 3]), 0.0)
             return dx * dx + dy * dy
 
-    elif metric == "euclidean":
+        vec_leaf = vec_internal
 
-        def vec_dist(blk):
+    elif metric == "euclidean":
+        # reference EuclideanDistance, src/rtree/distance.rs:33-49
+        def vec_internal(blk):
             dx = np.maximum(np.maximum(blk[:, 0] - x, x - blk[:, 2]), 0.0)
             dy = np.maximum(np.maximum(blk[:, 1] - y, y - blk[:, 3]), 0.0)
             return np.sqrt(dx * dx + dy * dy)
 
+        vec_leaf = vec_internal
+
+    elif metric == "haversine":
+        from .geom import haversine, haversine_env_lower
+
+        # internal nodes need a true LOWER bound of any descendant's
+        # great-circle distance or best-first order (and max_distance
+        # pruning) breaks: the reference's clamped-closest-point bound
+        # (src/rtree/distance.rs:91-115) overestimates across large or
+        # antimeridian-spanning node boxes — measured pruning a whole
+        # partition tree whose nearest leaf was 23 km away.
+        def vec_internal(blk):
+            return haversine_env_lower(
+                x, y, blk[:, 0], blk[:, 1], blk[:, 2], blk[:, 3]
+            )
+
+        # leaves get the reference's clamped-closest-point distance
+        # (src/rtree/distance.rs:91-115): for the point leaves of the
+        # usual geo case the clamped point IS the point, so this is
+        # their exact great-circle distance; exact too for the small
+        # boxes an R-tree leaf holds (NOT the lower-left corner, which
+        # is arbitrarily wrong for wide boxes)
+        def vec_leaf(blk):
+            cx = np.clip(x, blk[:, 0], blk[:, 2])
+            cy = np.clip(y, blk[:, 1], blk[:, 3])
+            return haversine(x, y, cx, cy)
+
     else:
-        vec_dist = None
+        raise ValueError(f"unknown metric {metric!r}")
 
     while outer is not None:
         end = min(outer + node_span, _upper_bound(outer, level_bounds))
         is_leaf_level = outer < num_leaf_coords
-        if vec_dist is not None:
-            cnt = (end - outer) >> 2
-            d_all = vec_dist(boxes[outer:end].reshape(cnt, 4))
-            base = outer >> 2
-            leafbit = 1 if is_leaf_level else 0
-            # one C-level tolist() each → the push loop handles native
-            # Python floats/ints (per-element numpy scalar extraction is
-            # what made the first vectorized cut SLOWER than the scalar
-            # loop; measured interleaved A/B)
-            idx_l = indices[base : base + cnt].tolist()
-            for d, index in zip(d_all.tolist(), idx_l):
-                if d <= max_distance:
-                    heapq.heappush(heap, (d, (index << 1) | leafbit))
-        else:
-            entry_dist = leaf_dist if is_leaf_level else dist_to_bbox
-            for pos in range(outer, end, 4):
-                d = entry_dist(
-                    float(boxes[pos]),
-                    float(boxes[pos + 1]),
-                    float(boxes[pos + 2]),
-                    float(boxes[pos + 3]),
-                )
-                if d > max_distance:
-                    continue
-                index = int(indices[pos >> 2])
-                if is_leaf_level:
-                    heapq.heappush(heap, (d, (index << 1) + 1))  # leaf: odd
-                else:
-                    heapq.heappush(heap, (d, index << 1))  # internal: even
+        cnt = (end - outer) >> 2
+        blk = boxes[outer:end].reshape(cnt, 4)
+        d_all = (vec_leaf if is_leaf_level else vec_internal)(blk)
+        base = outer >> 2
+        leafbit = 1 if is_leaf_level else 0
+        # one C-level tolist() each → the push loop handles native
+        # Python floats/ints (per-element numpy scalar extraction is
+        # what made the first vectorized cut SLOWER than the scalar
+        # loop; measured interleaved A/B)
+        idx_l = indices[base : base + cnt].tolist()
+        for d, index in zip(d_all.tolist(), idx_l):
+            if d <= max_distance:
+                heapq.heappush(heap, (d, (index << 1) | leafbit))
 
         stop = False
         while heap and (heap[0][1] & 1):
@@ -693,15 +660,6 @@ def neighbors(
     if return_distances:
         return np.asarray(results, dtype=np.uint32), np.asarray(dists)
     return np.asarray(results, dtype=np.uint32)
-
-
-def _axis_dist(k, mn, mx):
-    """1D distance to a range (src/rtree/trait.rs:571-579)."""
-    if k < mn:
-        return mn - k
-    if k <= mx:
-        return 0.0
-    return k - mx
 
 
 def _upper_bound(value, arr):
