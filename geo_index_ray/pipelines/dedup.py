@@ -100,20 +100,14 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     return np.unique(h)
 
 
-def _batch_shingle_hashes(texts, k: int):
-    """All shingle hashes of every text in ONE vectorized pass.
-
-    Texts are concatenated (each padded to at least ``k`` bytes) and hashed
-    with a single k-column rolling FNV over the whole buffer; windows that
-    straddle a document boundary are masked out.  Returns
-    ``(hashes, doc_of_hash, doc_starts)`` with hashes grouped doc-major in
-    scan order — no per-row Python in the hot path.
+def _shingle_hashes_core(data: np.ndarray, starts: np.ndarray, k: int):
+    """All shingle hashes of every doc in ONE vectorized pass over a
+    concatenated byte buffer (``starts`` has n+1 offsets; every doc must
+    span ≥ ``k`` bytes — pad upstream).  A single k-column rolling FNV
+    hashes the whole buffer; windows that straddle a doc boundary are
+    masked out.  Returns ``(hashes, doc_of_hash, doc_starts)`` with
+    hashes grouped doc-major in scan order.
     """
-    enc = [t.encode() if t else b"" for t in texts]
-    padded = [t.ljust(k, b"\x00") for t in enc]
-    lens = np.array([len(t) for t in padded], dtype=np.int64)
-    starts = np.concatenate([[0], np.cumsum(lens)])
-    data = np.frombuffer(b"".join(padded), dtype=np.uint8)
     if len(data) < k:
         data = np.pad(data, (0, k - len(data)))
     # window column j is just the byte buffer shifted by j — hashing over
@@ -130,9 +124,33 @@ def _batch_shingle_hashes(texts, k: int):
     doc = np.searchsorted(starts, pos, side="right") - 1
     valid = pos + k <= starts[doc + 1]
     h, doc = h[valid], doc[valid]
-    n_docs = len(texts)
+    n_docs = len(starts) - 1
     doc_h_starts = np.searchsorted(doc, np.arange(n_docs))
     return h, doc, doc_h_starts
+
+
+def _batch_shingle_hashes(texts, k: int):
+    """Shingle hashes from a Python string list (candidate-verify paths,
+    which already hold decoded strings) — pads each doc to ≥ k bytes then
+    defers to the shared core."""
+    padded = [(t.encode() if t else b"").ljust(k, b"\x00") for t in texts]
+    lens = np.array([len(t) for t in padded], dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(lens)])
+    data = np.frombuffer(b"".join(padded), dtype=np.uint8)
+    return _shingle_hashes_core(data, starts, k)
+
+
+def _shingle_hashes_arrow(col, k: int):
+    """Shingle hashes straight off an Arrow utf8 column's buffers — the
+    corpus-wide path: zero Python strings when every doc spans ≥ k bytes
+    (the ``_arrow_bytes_starts`` fast path the minhash signature kernel
+    uses); short/null docs fall back to the padded list path (rare)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    got = _arrow_bytes_starts(arr, k)
+    if got is None:
+        return _batch_shingle_hashes(arr.to_pylist(), k)
+    data, starts = got
+    return _shingle_hashes_core(data, starts, k)
 
 
 def _arrow_bytes_starts(arr: pa.Array, k: int):
@@ -603,7 +621,7 @@ def shingle_sets_stage(id_col: str, text_col: str = "text", shingle_k: int = 5):
                     "n": pa.array([], pa.int64()),
                 }
             )
-        h, doc, _ = _batch_shingle_hashes(batch[text_col].to_pylist(), shingle_k)
+        h, doc, _ = _shingle_hashes_arrow(batch[text_col], shingle_k)
         order = np.lexsort((h, doc))
         hd, dd = h[order], doc[order]
         keep = np.r_[True, (dd[1:] != dd[:-1]) | (hd[1:] != hd[:-1])]
@@ -648,8 +666,8 @@ def _heavy_shingle_table(ds, id_col: str, text_col: str, shingle_k: int,
         keep = hv <= thresh
         if not keep.any():
             return empty
-        texts = [t for t, k in zip(batch[text_col].to_pylist(), keep) if k]
-        h, doc, _ = _batch_shingle_hashes(texts, shingle_k)
+        col = batch[text_col].combine_chunks().filter(pa.array(keep))
+        h, doc, _ = _shingle_hashes_arrow(col, shingle_k)
         if len(h) == 0:
             return empty
         order = np.lexsort((h, doc))
