@@ -1641,9 +1641,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new cell-grid analytics (late round-4)
         "cell_rollup_counts", "cell_hotspots",
         "grid_clusters", "spatial_lag_suppliers",
-        # declared-approximate sketches: the driver records rows-only
-        # rows for these (no oracle by design) — land those records
-        "distinct_users_sketch", "value_quantiles_sketch",
+        # declared-approximate sketch: the driver records a rows-only row
+        # (no oracle by design) — land that record.  value_quantiles_sketch
+        # (same rows-only ceiling) yielded its slot to quality_model_score,
+        # which is oracle-gated and was registered after this window was
+        # first drawn up; the sketch stays pinned by error-bound +
+        # partition-invariance tests.
+        "distinct_users_sketch", "quality_model_score",
         # r3-green queries whose code changed in round 4 (re-verify)
         "dedup_exact", "simhash", "cell_stats",
     ]
