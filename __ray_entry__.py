@@ -1596,6 +1596,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["quality_model_score"] = quality_model_score
 
+    def funnel(sf_dir):
+        """Ordered funnel (view → click → purchase, first-touch anchors):
+        one 17 B/row exchange of in-funnel events, per-reducer vectorized
+        stage-anchor chain over dense user codes, O(R × stages) final
+        merge (pipelines/events.funnel_conversion)."""
+        ds = tables.read_table(
+            sf_dir, "events", columns=["user_id", "ts", "event_type"]
+        )
+        return events_pipe.funnel_conversion(ds, ["view", "click", "purchase"])
+
+    q["funnel"] = funnel
+
+    def cohort_retention(sf_dir):
+        """Daily-cohort retention matrix: per-batch distinct (user, day)
+        combiner, one hash(user) shuffle, vectorized cohort assignment +
+        offset expansion per reducer, coarse-key partial-count merge
+        (pipelines/events.cohort_retention)."""
+        ds = tables.read_table(sf_dir, "events", columns=["user_id", "ts"])
+        return events_pipe.cohort_retention(ds, 86_400_000_000)
+
+    q["cohort_retention"] = cohort_retention
+
+    def fuzzy_pairs(sf_dir):
+        """Edit-distance ≤ 1 fuzzy-dup pairs over 16-char prefix keys —
+        FastSS deletion-neighborhood bucketing (exact recall), hash-only
+        bucket shuffle, pairjoin verification with a vectorized exact
+        Levenshtein (pipelines/dedup.fuzzy_ed1_pairs)."""
+        ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        return dedup_pipe.fuzzy_ed1_pairs(ds, "doc_id", prefix=16)
+
+    q["fuzzy_pairs"] = fuzzy_pairs
+
+    def rag_chunks(sf_dir):
+        """RAG word-window chunking (size 32, overlap 8): shuffle-free
+        map_batches, token boundaries from one numpy scan of the Arrow
+        value buffer, chunk text as a single ragged byte gather
+        (pipelines/text.chunk_words)."""
+        ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        return text_pipe.chunk_words(ds, 32, 8)
+
+    q["rag_chunks"] = rag_chunks
+
     # ------------------------------------------------------------------
     # registration order = driver sampling order.  The driver's
     # correctness harness checks the FIRST 50 registrations; rounds 2/3
@@ -2728,5 +2770,37 @@ def oracle_sql() -> dict[str, str]:
           FROM h)
         WHERE rnk <= 5
     """
+
+    sql["funnel"] = """
+        WITH s0 AS (SELECT user_id, min(ts) a FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+        s1 AS (SELECT e.user_id, min(e.ts) a FROM events e JOIN s0 USING (user_id)
+               WHERE e.event_type = 'click' AND e.ts > s0.a GROUP BY e.user_id),
+        s2 AS (SELECT e.user_id, min(e.ts) a FROM events e JOIN s1 USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts > s1.a GROUP BY e.user_id)
+        SELECT stage, users FROM (VALUES
+            ('view', (SELECT count(*) FROM s0)),
+            ('click', (SELECT count(*) FROM s1)),
+            ('purchase', (SELECT count(*) FROM s2))) t(stage, users)
+    """
+
+    sql["cohort_retention"] = """
+        WITH pairs AS (SELECT DISTINCT user_id,
+                              epoch_us(ts) // 86400000000 AS b FROM events),
+        coh AS (SELECT user_id, min(b) AS cohort FROM pairs GROUP BY user_id)
+        SELECT coh.cohort AS cohort_bucket, p.b - coh.cohort AS bucket_offset,
+               count(*)::BIGINT AS users
+        FROM pairs p JOIN coh USING (user_id) GROUP BY 1, 2
+    """
+
+    sql["fuzzy_pairs"] = """
+        WITH k AS (SELECT doc_id, substr(text, 1, 16) AS key FROM documents)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
+        FROM k a JOIN k b ON a.doc_id < b.doc_id
+        WHERE levenshtein(a.key, b.key) <= 1
+    """
+
+    sql["rag_chunks"] = text_pipe.sql_chunk_words("documents", "doc_id", 32, 8)
 
     return sql

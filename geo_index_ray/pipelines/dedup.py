@@ -1161,3 +1161,231 @@ def contamination_stats(ds, id_col: str, text_col: str = "text",
     ev_ref = ray.put(ev)
     stage = _ContaminationStage(ev_ref, id_col, text_col, eval_mod, shingle_k)
     return ds.map_batches(stage, batch_format="pyarrow")
+
+
+# --- Edit-distance-1 fuzzy dedup (FastSS deletion neighborhoods) -------------
+
+
+_ED1_B = np.uint64(0x100000001B3)  # FNV-64 prime: odd, good avalanche with mix
+_ED1_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _ed1_matrix(col):
+    """(ids-aligned) padded byte matrix of a short-string key column:
+    (chars uint64 (n × P), lens int64).  P is the batch's longest key —
+    callers bound it via the ``prefix`` parameter, so unlike the old
+    full-document padded-matrix antipattern the width is a capped
+    constant, not data-dependent."""
+    from .text import _string_views
+
+    lens, starts, values = _string_views(col)
+    n = len(lens)
+    P = int(lens.max(initial=0))
+    c = np.zeros((n, max(P, 1)), dtype=np.uint64)
+    j = np.arange(max(P, 1), dtype=np.int64)
+    mask = j[None, :] < lens[:, None]
+    if P:
+        idx = starts[:, None] + j[None, :]
+        c[mask] = values[idx[mask]]
+    return c, lens, mask
+
+
+def _ed1_variant_hashes(col):
+    """All deletion-neighborhood hashes of each key: the key's own
+    polynomial hash plus the hash of the key with char i removed, for
+    every i.  One hash space — ``hash(delete(s, i))`` equals the full
+    hash of the deleted STRING, so equal strings / deletion / insertion /
+    substitution neighbors always collide (exact ed≤1 recall; false
+    bucket-mates are killed by the exact verifier).
+
+    Returns (row_idx int64, vhash uint64) with ``sum(len+1)`` rows.
+    Everything is vectorized over the batch: Horner prefix hashes loop
+    over ≤P columns (P = key width cap), never over rows.
+    """
+    c, lens, mask = _ed1_matrix(col)
+    n, P = c.shape
+    B = _ED1_B
+    pow_ = np.empty(P + 1, dtype=np.uint64)
+    pow_[0] = 1
+    with np.errstate(over="ignore"):
+        for k in range(P):
+            pow_[k + 1] = pow_[k] * B
+        # W[r, j] = B^(L_r - 1 - j) for j < L_r (weight of char j in the
+        # full-string polynomial), else 0
+        e = lens[:, None] - 1 - np.arange(P, dtype=np.int64)[None, :]
+        W = np.where(mask, pow_[np.clip(e, 0, P)], np.uint64(0))
+        term = c * W
+        full = term.sum(axis=1, dtype=np.uint64)
+        # S[r, i] = sum_{j >= i} term[r, j]  (suffix sums, shifted below)
+        S = np.zeros((n, P + 1), dtype=np.uint64)
+        if P:
+            S[:, :P] = term[:, ::-1].cumsum(axis=1, dtype=np.uint64)[:, ::-1]
+        # A[r, i] = Horner hash of the first i chars
+        A = np.zeros((n, P), dtype=np.uint64)
+        acc = np.zeros(n, dtype=np.uint64)
+        for i in range(P):
+            A[:, i] = acc
+            acc = acc * B + c[:, i]
+        # delete char i: prefix(i) shifted over the remaining suffix
+        D = A * W + S[:, 1:]
+    row = np.concatenate([np.arange(n, dtype=np.int64), np.repeat(np.arange(n, dtype=np.int64), lens)])
+    vh = np.concatenate([full, D[mask]])
+    return row, vh
+
+
+def _ed1_leq1(apay: pa.Array, bpay: pa.Array) -> np.ndarray:
+    """Vectorized exact Levenshtein ≤ 1 over short-string pairs.
+    Returns dist int64 per pair (0, 1, or 2 meaning '> 1').
+
+    Equal length: ed ≤ 1 ⟺ Hamming ≤ 1 (a single length-preserving edit
+    is a substitution).  Length diff 1: delete the longer string's char
+    at the first mismatch position and require byte equality.  Both are
+    padded-matrix compares whose width is the key cap, not doc length.
+    """
+    ca, la, _ = _ed1_matrix(apay)
+    cb, lb, _ = _ed1_matrix(bpay)
+    P = max(ca.shape[1], cb.shape[1])
+    n = len(la)
+    if ca.shape[1] < P:
+        ca = np.pad(ca, ((0, 0), (0, P - ca.shape[1])))
+    if cb.shape[1] < P:
+        cb = np.pad(cb, ((0, 0), (0, P - cb.shape[1])))
+    dist = np.full(n, 2, dtype=np.int64)
+    neq = ca != cb
+    same = la == lb
+    ham = neq.sum(axis=1)
+    dist[same] = np.minimum(ham[same], 2)
+    d1 = np.abs(la - lb) == 1
+    if d1.any():
+        a_long = (la >= lb)[:, None]
+        longer = np.where(a_long, ca, cb)[d1]
+        shorter = np.where(a_long, cb, ca)[d1]
+        # first mismatch (rows differ somewhere: the longer's extra char
+        # vs the 0 pad at worst, and 0x00 never occurs in utf8 text)
+        k = np.argmax(longer != shorter, axis=1)
+        j = np.arange(P - 1, dtype=np.int64)[None, :]
+        del_idx = j + (j >= k[:, None])
+        dele = np.take_along_axis(longer, del_idx, axis=1)
+        okrow = (dele == shorter[:, : P - 1]).all(axis=1)
+        sub = dist[d1]
+        sub[okrow] = 1
+        dist[d1] = sub
+    return dist
+
+
+def fuzzy_ed1_pairs(ds, id_col: str, text_col: str = "text",
+                    prefix: int = 64):
+    """Fuzzy-duplicate pairs at edit distance ≤ 1 over a short key —
+    FastSS deletion-neighborhood bucketing (Bocek et al., "Fast Similarity
+    Search in Large Dictionaries", 2007): ed(s,t) ≤ 1 ⟺ the sets
+    {s} ∪ deletions(s) and {t} ∪ deletions(t) intersect, so bucketing on
+    every deletion-variant hash has EXACT recall; an exact vectorized
+    Levenshtein kills hash collisions.  Returns (a_id, b_id, dist), each
+    qualifying pair once.
+
+    The key is the first ``prefix`` characters of ``text_col`` (prefix
+    fingerprint dedup — the standard guard that also caps the padded-
+    matrix width and the variant fan-out).  Designed for SHORT keys
+    (titles, URLs, prefixes): the bucket shuffle carries len+1 rows of
+    16 B per key and the key strings themselves move only once, to the
+    pairs that need verification (``stages/pairjoin.verify_pairs``).
+    ``prefix`` ≤ 256 enforced — cost is O(len) variants per key, which is
+    the wrong tool for whole documents (use minhash/simhash for those).
+    """
+    assert 0 < prefix <= 256, "deletion neighborhoods are for short keys"
+    import pyarrow.compute as pc
+
+    from ..stages.pairjoin import verify_pairs
+    from ..stages.util import coalesce_for_shuffle, reducer_count
+
+    R = reducer_count()
+
+    def key_of(batch: pa.Table):
+        return pc.utf8_slice_codeunits(batch[text_col], 0, prefix)
+
+    def to_buckets(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        row, vh = _ed1_variant_hashes(key_of(batch))
+        with np.errstate(over="ignore"):
+            rk = ((vh * _ED1_GOLD) >> np.uint64(17)) % np.uint64(R)
+        return pa.table(
+            {
+                "rkey": pa.array(rk.astype(np.int64)),
+                "vhash": pa.array(vh.view(np.int64)),
+                "id": pa.array(ids[row]),
+            }
+        )
+
+    buckets = coalesce_for_shuffle(
+        ds.map_batches(to_buckets, batch_format="pyarrow"), 0.5
+    )
+
+    _empty = pa.table(
+        {"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64())}
+    )
+
+    def pairs_in_reducer(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return _empty
+        ids = g["id"].to_numpy().astype(np.int64)
+        vh = g["vhash"].to_numpy()
+        order = np.lexsort((ids, vh))
+        vs, is_ = vh[order], ids[order]
+        # drop same-id duplicates inside a bucket (a key with two equal
+        # adjacent chars yields the same deletion twice)
+        keep = np.r_[True, (vs[1:] != vs[:-1]) | (is_[1:] != is_[:-1])]
+        vs, is_ = vs[keep], is_[keep]
+        starts = np.nonzero(np.r_[True, vs[1:] != vs[:-1]])[0]
+        sizes = np.diff(np.r_[starts, len(vs)])
+        out_a, out_b = [], []
+        for k in range(1, int(sizes.max(initial=1))):
+            act = np.nonzero(sizes > k)[0]
+            if not len(act):
+                break
+            cnt = sizes[act] - k
+            t0 = np.repeat(starts[act], cnt) + (
+                np.arange(int(cnt.sum())) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            )
+            a, b = is_[t0], is_[t0 + k]
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+        if not out_a:
+            return _empty
+        return pa.table(
+            {
+                "a_id": pa.array(np.concatenate(out_a)),
+                "b_id": pa.array(np.concatenate(out_b)),
+            }
+        )
+
+    pairs = buckets.groupby("rkey").map_groups(
+        pairs_in_reducer, batch_format="pyarrow"
+    )
+
+    def key_table(batch: pa.Table) -> pa.Table:
+        return pa.table({id_col: batch[id_col], "key": key_of(batch)})
+
+    payload = ds.map_batches(key_table, batch_format="pyarrow")
+
+    _empty_v = pa.table(
+        {
+            "a_id": pa.array([], pa.int64()),
+            "b_id": pa.array([], pa.int64()),
+            "dist": pa.array([], pa.int64()),
+        }
+    )
+
+    def verify_red(a, b, apay, bpay) -> pa.Table:
+        if len(a) == 0:
+            return _empty_v
+        dist = _ed1_leq1(apay, bpay)
+        keep = dist <= 1
+        return pa.table(
+            {
+                "a_id": pa.array(a[keep]),
+                "b_id": pa.array(b[keep]),
+                "dist": pa.array(dist[keep]),
+            }
+        )
+
+    return verify_pairs(pairs, payload, id_col, "key", pa.string(), verify_red)

@@ -821,3 +821,179 @@ def _rkey_generic(keys: pa.Array, R: int) -> np.ndarray:
     from ..stages.util import rkey_of
 
     return rkey_of(keys, R)
+
+
+# -- funnel analysis ---------------------------------------------------------
+
+
+def funnel_conversion(ds, stages, user_col: str = "user_id",
+                      ts_col: str = "ts", type_col: str = "event_type"):
+    """Ordered funnel: how many users completed stage k strictly after
+    completing stage k-1 (first-touch semantics — each stage anchors at
+    its EARLIEST qualifying timestamp, the standard product-analytics
+    definition).
+
+    Returns one row per stage: (stage:string, users:int64).
+
+    Shape: events outside the funnel are dropped map-side; the single
+    all-to-all carries (user_id, ts_us, stage_idx) = 17 B/row.  Each
+    coarse reducer (hash(user) % R — rule 3) owns complete users, so the
+    per-stage anchor chain runs vectorized over ALL its users at once
+    (np.minimum.at per stage over dense user codes) and emits one
+    (stage, partial_count) row per stage; the final merge sums R×S tiny
+    partials.  No per-user Python, no corpus re-shuffle, and the final
+    exchange is O(R × n_stages) regardless of user count.
+    """
+
+    from ..stages.util import coalesce_for_shuffle, reducer_count, rkey_of
+
+    stages = list(stages)
+    n_stages = len(stages)
+    R = reducer_count()
+    stage_arr = pa.array(stages, pa.string())
+
+    def project(batch: pa.Table) -> pa.Table:
+        sidx = pc.index_in(batch[type_col], value_set=stage_arr)
+        keep = pc.is_valid(sidx)
+        uid = pc.cast(pc.filter(batch[user_col], keep), pa.int64())
+        return pa.table(
+            {
+                "rkey": pa.array(rkey_of(uid, R)),
+                "u": uid,
+                "t": pa.array(_ts_us(pc.filter(batch[ts_col], keep))),
+                "s": pc.cast(pc.filter(sidx, keep), pa.int8()),
+            }
+        )
+
+    lean = coalesce_for_shuffle(ds.map_batches(project, batch_format="pyarrow"), 0.5)
+
+    def funnel_reducer(g: pa.Table) -> pa.Table:
+        u = g["u"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        s = g["s"].to_numpy(zero_copy_only=False)
+        uniq, codes = np.unique(u, return_inverse=True)
+        nu = len(uniq)
+        counts = np.zeros(n_stages, dtype=np.int64)
+        # anchor[j] = first-touch ts of the previous stage for user j
+        anchor = np.full(nu, np.iinfo(np.int64).min, dtype=np.int64)
+        alive = np.ones(nu, dtype=bool)
+        for k in range(n_stages):
+            first = np.full(nu, np.iinfo(np.int64).max, dtype=np.int64)
+            m = (s == k) & (t > anchor[codes]) & alive[codes]
+            np.minimum.at(first, codes[m], t[m])
+            alive &= first != np.iinfo(np.int64).max
+            counts[k] = int(alive.sum())
+            anchor = first
+        return pa.table(
+            {
+                "stage": pa.array(stages, pa.string()),
+                "users": pa.array(counts),
+            }
+        )
+
+    partials = lean.groupby("rkey").map_groups(funnel_reducer, batch_format="pyarrow")
+
+    # final merge: R reducers × n_stages rows — a handful of partials whose
+    # key cardinality is the LITERAL stage list (bounded by the API call),
+    # not data-dependent, so a per-stage vectorized sum is rule-3 safe
+    def merge(batch: pa.Table) -> pa.Table:
+        sidx = pc.index_in(batch["stage"], value_set=stage_arr).to_numpy(
+            zero_copy_only=False
+        )
+        tot = np.zeros(n_stages, dtype=np.int64)
+        np.add.at(tot, sidx, batch["users"].to_numpy(zero_copy_only=False))
+        return pa.table({"stage": stage_arr, "users": pa.array(tot)})
+
+    return partials.repartition(1).map_batches(
+        merge, batch_format="pyarrow", batch_size=None
+    )
+
+
+# -- cohort retention --------------------------------------------------------
+
+
+def cohort_retention(ds, bucket_us: int, user_col: str = "user_id",
+                     ts_col: str = "ts"):
+    """Cohort retention matrix: users are cohorted by the time bucket of
+    their FIRST event; for every (cohort, offset) cell, count the
+    distinct users of that cohort active ``offset`` buckets later.
+
+    Returns (cohort_bucket:int64, bucket_offset:int64, users:int64).
+
+    Shape: per-batch distinct (user, bucket) pairs first (combiner — the
+    exchange carries at most one row per user-bucket, 16 B + rkey, never
+    the events); one coarse shuffle on hash(user) % R gives each reducer
+    complete users, so cohort assignment (per-user min bucket) and the
+    offset expansion are one vectorized pass; the second exchange moves
+    only per-reducer (cohort, offset, partial_count) rows — cardinality
+    is O(active_buckets²/2) per reducer, independent of user count — and
+    the final coarse merge sums them under hash(cohort·P+offset) % R.
+    """
+
+    from ..stages.util import coalesce_for_shuffle, reducer_count, rkey_of
+
+    R = reducer_count()
+
+    def project(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch[user_col], pa.int64()).to_numpy()
+        b = _ts_us(batch[ts_col]) // bucket_us
+        pairs = np.unique(np.stack([uid, b], axis=1), axis=0)
+        u = pairs[:, 0]
+        return pa.table(
+            {
+                "rkey": pa.array(rkey_of(u, R)),
+                "u": pa.array(u),
+                "b": pa.array(pairs[:, 1]),
+            }
+        )
+
+    lean = coalesce_for_shuffle(ds.map_batches(project, batch_format="pyarrow"), 0.5)
+
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def cohort_reducer(g: pa.Table) -> pa.Table:
+        u = g["u"].to_numpy(zero_copy_only=False)
+        b = g["b"].to_numpy(zero_copy_only=False)
+        # cross-batch re-distinct: the map-side combiner only dedups
+        # within its batch
+        pairs = np.unique(np.stack([u, b], axis=1), axis=0)
+        u, b = pairs[:, 0], pairs[:, 1]
+        uniq, codes = np.unique(u, return_inverse=True)
+        cohort_of = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(cohort_of, codes, b)
+        cohort = cohort_of[codes]
+        off = b - cohort
+        cells, cnt = np.unique(np.stack([cohort, off], axis=1), axis=0,
+                               return_counts=True)
+        code = cells[:, 0] * np.int64(1 << 20) + cells[:, 1]
+        with np.errstate(over="ignore"):
+            rk = ((code.view(np.uint64) * GOLD) >> np.uint64(40)) % np.uint64(R)
+        return pa.table(
+            {
+                "rkey2": pa.array(rk.astype(np.int64)),
+                "cohort_bucket": pa.array(cells[:, 0]),
+                "bucket_offset": pa.array(cells[:, 1]),
+                "users": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    partials = lean.groupby("rkey").map_groups(cohort_reducer, batch_format="pyarrow")
+
+    # coarse-key final merge (rule 3): all of a reducer's (cohort, offset)
+    # cells sum in one np.add.at pass
+    def merge_many(g: pa.Table) -> pa.Table:
+        c = g["cohort_bucket"].to_numpy(zero_copy_only=False)
+        o = g["bucket_offset"].to_numpy(zero_copy_only=False)
+        w = g["users"].to_numpy(zero_copy_only=False)
+        cells, inv = np.unique(np.stack([c, o], axis=1), axis=0, return_inverse=True)
+        tot = np.zeros(len(cells), dtype=np.int64)
+        np.add.at(tot, inv, w)
+        return pa.table(
+            {
+                "cohort_bucket": pa.array(cells[:, 0]),
+                "bucket_offset": pa.array(cells[:, 1]),
+                "users": pa.array(tot),
+            }
+        )
+
+    return partials.groupby("rkey2").map_groups(merge_many, batch_format="pyarrow")

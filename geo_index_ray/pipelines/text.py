@@ -1063,3 +1063,110 @@ SELECT d.{id_col},
        COALESCE(agg.score, 0) > 0 AS label
 FROM {table} d LEFT JOIN agg USING ({id_col})
 """
+
+
+# -- RAG chunking -------------------------------------------------------------
+
+
+def chunk_words(ds, size: int, overlap: int = 0, id_col: str = "doc_id",
+                text_col: str = "text"):
+    """Split each document into overlapping word-window chunks for RAG
+    indexing: chunk ``k`` covers words ``[k·stride, k·stride + size)``
+    with ``stride = size − overlap``; the last chunk may be shorter and
+    every word starts exactly one chunk's window, so coverage is total.
+
+    Returns (id_col, chunk_id:int64, chunk:string, n_tok:int64) — one row
+    per chunk, equivalent to SQL
+    ``array_to_string(string_split(text,' ')[k·stride+1 : k·stride+size], ' ')``.
+
+    Shape: a pure ``map_batches`` stage — no shuffle, embarrassingly
+    parallel, the natural pre-stage for an embedding actor pool.  Word
+    boundaries are found with one numpy scan over the batch's Arrow value
+    buffer (byte 0x20 — documents are single-space tokenized; multi-space
+    runs would yield empty words exactly as SQL ``string_split`` does) and
+    each chunk's text is ONE ragged byte-range gather from the original
+    buffer: tokens are never materialized as a list column and each output
+    byte is copied exactly once.  Overlapping windows duplicate only the
+    overlap bytes (size/stride amplification), the documented cost of
+    overlap.
+    """
+    stride = size - overlap
+    assert 0 < stride <= size, "need 0 <= overlap < size"
+
+    def stage(batch: pa.Table) -> pa.Table:
+        lens, starts, values = _string_views(batch[text_col])
+        n = len(lens)
+        ends = starts + lens
+        # spaces inside any document's byte range (the value buffer may
+        # carry slack outside the slice)
+        sp = np.nonzero(values == 0x20)[0]
+        di = np.searchsorted(starts, sp, side="right") - 1
+        ok = (di >= 0) & (sp >= starts[di]) & (sp < ends[di])
+        sp, di = sp[ok], di[ok]
+        # global token-start offsets, doc-major (doc starts and the byte
+        # after each space interleave in sorted order)
+        tstart = np.empty(n + len(sp), dtype=np.int64)
+        n_tok = np.bincount(di, minlength=n).astype(np.int64) + 1
+        tok_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(n_tok, out=tok_off[1:])
+        tstart[tok_off[:-1]] = starts
+        rest = np.arange(len(sp), dtype=np.int64) + 1 + di  # skip doc-start slots
+        tstart[rest] = sp + 1
+        T = tok_off[-1]
+        # exclusive token end = next token's start − 1 (the space); the
+        # last token of each doc ends at the doc end
+        tendx = np.empty(T, dtype=np.int64)
+        if T > 1:
+            tendx[: T - 1] = tstart[1:] - 1
+        tendx[tok_off[1:] - 1] = ends
+
+        n_chunks = (n_tok - 1) // stride + 1
+        total = int(n_chunks.sum())
+        reps = np.repeat(np.arange(n, dtype=np.int64), n_chunks)
+        cid = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(n_chunks) - n_chunks, n_chunks
+        )
+        first = tok_off[reps] + cid * stride
+        last = np.minimum(first + size, tok_off[reps] + n_tok[reps]) - 1
+        bs = tstart[first]
+        be = tendx[last]
+        out_len = be - bs
+        out_off = np.zeros(total + 1, dtype=np.int64)
+        np.cumsum(out_len, out=out_off[1:])
+        nbytes = int(out_off[-1])
+        if nbytes and len(values):
+            gather = np.repeat(bs - out_off[:-1], out_len) + np.arange(nbytes)
+            data = values[gather]
+        else:
+            data = np.empty(0, np.uint8)
+        chunk = pa.LargeStringArray.from_buffers(
+            total, pa.py_buffer(out_off.tobytes()), pa.py_buffer(data.tobytes())
+        )
+        return pa.table(
+            {
+                id_col: batch[id_col].take(pa.array(reps)),
+                "chunk_id": pa.array(cid),
+                "chunk": chunk,
+                "n_tok": pa.array(last - first + 1),
+            }
+        )
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def sql_chunk_words(table: str, id_col: str, size: int, overlap: int) -> str:
+    """DuckDB twin of :func:`chunk_words` (word windows over a
+    single-space split)."""
+    s = size - overlap
+    return f"""
+WITH w AS (SELECT {id_col}, string_split(text, ' ') AS toks FROM {table}),
+e AS (
+  SELECT {id_col}, toks,
+         unnest(generate_series(0, (len(toks) - 1) // {s})) AS k
+  FROM w
+)
+SELECT {id_col}, k AS chunk_id,
+       array_to_string(toks[k*{s}+1 : k*{s}+{size}], ' ') AS chunk,
+       CAST(len(toks[k*{s}+1 : k*{s}+{size}]) AS BIGINT) AS n_tok
+FROM e
+"""
