@@ -1638,6 +1638,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["rag_chunks"] = rag_chunks
 
+    def bigram_novelty(sf_dir):
+        """Per-doc novelty vs the corpus's common-bigram vocabulary
+        (boilerplate/template detector): per-batch DISTINCT (doc,bigram)
+        df combiners, ≥min_df slice broadcast once (bm25 df pattern),
+        exact-string membership per batch dictionary — one IEEE divide,
+        bit-identical to SQL (pipelines/webtext.bigram_novelty)."""
+        ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        return webtext_pipe.bigram_novelty(ds, "doc_id", min_df=25)
+
+    q["bigram_novelty"] = bigram_novelty
+
     # ------------------------------------------------------------------
     # registration order = driver sampling order.  The driver's
     # correctness harness checks the FIRST 50 registrations; rounds 2/3
@@ -2802,5 +2813,9 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["rag_chunks"] = text_pipe.sql_chunk_words("documents", "doc_id", 32, 8)
+
+    sql["bigram_novelty"] = webtext_pipe.sql_bigram_novelty(
+        "documents", "doc_id", 25
+    )
 
     return sql

@@ -217,37 +217,46 @@ def heavy_hitters(ds, text_col: str, k: int):
     return pruned.sort(["cnt", "token"], descending=[True, False]).limit(k)
 
 
+def _batch_bigrams(batch: pa.Table, text_col: str):
+    """(doc_row int64, bigram string array) for one batch — lowercased
+    whitespace tokens with empties removed, adjacent same-doc pairs
+    joined with a space.  Adjacency is computed on the flattened token
+    buffer (two zero-copy slices + one join kernel — no per-row
+    Python)."""
+    words = pc.split_pattern_regex(pc.utf8_lower(batch[text_col]), r"\s+")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    flat = words.flatten()
+    parents = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+    wlens, _, _ = _string_views(flat)
+    nonempty = wlens > 0
+    f = flat.filter(pa.array(nonempty))
+    p = parents[nonempty]
+    if len(f) < 2:
+        return np.empty(0, np.int64), pa.array([], pa.string())
+    adjacent = p[1:] == p[:-1]
+    bigrams = pc.binary_join_element_wise(
+        f.slice(0, len(f) - 1), f.slice(1), " "
+    ).filter(pa.array(adjacent))
+    return p[:-1][adjacent].astype(np.int64), bigrams
+
+
 def heavy_hitter_bigrams(ds, text_col: str, k: int):
     """Corpus-wide top-k word BIGRAMS ("tok1 tok2", lowercased; empty
     tokens removed before pairing) — the n-gram analog of
     ``heavy_hitters``, the shape contamination / boilerplate checks use.
 
-    Per-batch combiner: adjacency is computed on the flattened token
-    buffer (two zero-copy slices + one join kernel — no per-row
-    Python); only (bigram, partial count) rows shuffle.
+    Per-batch combiner (``_batch_bigrams``): only (bigram, partial count)
+    rows shuffle.
     """
 
     def partial(batch: pa.Table) -> pa.Table:
-        words = pc.split_pattern_regex(
-            pc.utf8_lower(batch[text_col]), r"\s+"
-        )
-        if isinstance(words, pa.ChunkedArray):
-            words = words.combine_chunks()
-        flat = words.flatten()
-        parents = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
-        wlens, _, _ = _string_views(flat)
-        nonempty = wlens > 0
-        f = flat.filter(pa.array(nonempty))
-        p = parents[nonempty]
-        if len(f) < 2:
+        _, bigrams = _batch_bigrams(batch, text_col)
+        if len(bigrams) == 0:
             return pa.table(
                 {"bigram": pa.array([], pa.string()),
                  "cnt": pa.array([], pa.int64())}
             )
-        adjacent = p[1:] == p[:-1]
-        bigrams = pc.binary_join_element_wise(
-            f.slice(0, len(f) - 1), f.slice(1), " "
-        ).filter(pa.array(adjacent))
         dic = pc.dictionary_encode(bigrams)
         codes = dic.indices.to_numpy(zero_copy_only=False)
         cnt = np.bincount(codes, minlength=len(dic.dictionary))
@@ -832,3 +841,123 @@ def heavy_hitters_per_group(ds, group_col: str, text_col: str, k: int):
         )
 
     return partials.groupby("rkey").map_groups(reduce_topk, batch_format="pyarrow")
+
+
+# -- bigram novelty scoring ---------------------------------------------------
+
+
+def bigram_novelty(ds, id_col: str, text_col: str = "text", min_df: int = 5):
+    """Per-document novelty score against the corpus's common-bigram
+    vocabulary — the boilerplate/template detector quality filters pair
+    with the repetition gates: a doc whose bigrams are mostly corpus-wide
+    commonplaces (novelty → 0) is template/spam-shaped; a doc of mostly
+    rare bigrams (novelty → 1) is original text.
+
+    df(bigram) = number of DISTINCT docs containing it (self-inclusive);
+    a bigram is "common" when df ≥ ``min_df``.  Returns one row per doc:
+    (id, n_bigrams:int64, n_common:int64, novelty:float64) with
+    novelty = 1 − n_common/n_bigrams (NULL when the doc has no bigrams),
+    computed as one IEEE divide so it hash-matches the SQL twin bit for
+    bit.
+
+    Shape: two streaming passes over the corpus (text is never cached or
+    shuffled).  Pass 1 builds the df table with per-batch DISTINCT
+    (doc, bigram) combiners — the exchange carries (bigram, partial_df)
+    rows bounded by each block's bigram vocabulary; the ≥min_df slice is
+    then broadcast ONCE via ``ray.put`` (the bm25 df pattern: right for a
+    vocab-bounded common set; at 10⁸+ distinct common bigrams swap the
+    membership test for a bigram-keyed shuffle join).  Pass 2 re-derives
+    each batch's bigrams and counts membership with one ``pc.index_in``
+    per batch DICTIONARY (exact string compares — never hash-trusted).
+    """
+    import ray
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        rows, bigrams = _batch_bigrams(batch, text_col)
+        if len(bigrams) == 0:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()),
+                 "pdf": pa.array([], pa.int64())}
+            )
+        dic = pc.dictionary_encode(bigrams)
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nv = len(dic.dictionary)
+        # distinct (doc, bigram) within the batch: docs never span
+        # batches, so per-batch distinct-doc counts sum to the global df
+        pair = np.unique(rows * np.int64(nv) + codes)
+        pdf = np.bincount((pair % nv).astype(np.int64), minlength=nv)
+        return pa.table(
+            {"bigram": dic.dictionary, "pdf": pa.array(pdf.astype(np.int64))}
+        )
+
+    df_tbl = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .sum("pdf")
+        .to_pandas()
+    )
+    common = df_tbl.loc[df_tbl["sum(pdf)"] >= min_df, "bigram"]
+    common_ref = ray.put(pa.array(common.tolist(), pa.string()))
+
+    def score(batch: pa.Table) -> pa.Table:
+        common_bc = ray.get(common_ref)
+        n = batch.num_rows
+        rows, bigrams = _batch_bigrams(batch, text_col)
+        n_bigrams = np.bincount(rows, minlength=n).astype(np.int64)
+        if len(bigrams):
+            dic = pc.dictionary_encode(bigrams)
+            codes = dic.indices.to_numpy(zero_copy_only=False)
+            hit = pc.is_valid(
+                pc.index_in(dic.dictionary, value_set=common_bc)
+            ).to_numpy(zero_copy_only=False)
+            n_common = np.bincount(
+                rows[hit[codes]], minlength=n
+            ).astype(np.int64)
+        else:
+            n_common = np.zeros(n, dtype=np.int64)
+        empty = n_bigrams == 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            novelty = 1.0 - n_common / n_bigrams.astype(np.float64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_bigrams": pa.array(n_bigrams),
+                "n_common": pa.array(n_common),
+                "novelty": pa.array(novelty, pa.float64(), mask=empty),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def sql_bigram_novelty(table: str, id_col: str, min_df: int) -> str:
+    """DuckDB twin of :func:`bigram_novelty`."""
+    return rf"""
+WITH toks AS (
+  SELECT {id_col}, tok, ord FROM (
+    SELECT {id_col},
+           unnest(string_split_regex(lower(text), '\s+')) AS tok,
+           generate_subscripts(string_split_regex(lower(text), '\s+'), 1) AS ord
+    FROM {table})
+  WHERE tok <> ''),
+seq AS (
+  SELECT {id_col}, tok,
+         ROW_NUMBER() OVER (PARTITION BY {id_col} ORDER BY ord) AS rn
+  FROM toks),
+bg AS (
+  SELECT a.{id_col}, a.tok || ' ' || b.tok AS bigram
+  FROM seq a JOIN seq b ON a.{id_col} = b.{id_col} AND b.rn = a.rn + 1),
+df AS (SELECT bigram, count(DISTINCT {id_col}) AS df FROM bg GROUP BY 1),
+sc AS (
+  SELECT bg.{id_col}, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(CASE WHEN df.df >= {min_df} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_common
+  FROM bg JOIN df USING (bigram) GROUP BY 1)
+SELECT d.{id_col},
+       COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+       COALESCE(sc.n_common, 0) AS n_common,
+       CASE WHEN sc.n_bigrams > 0
+            THEN 1.0 - sc.n_common / CAST(sc.n_bigrams AS DOUBLE)
+            ELSE NULL END AS novelty
+FROM {table} d LEFT JOIN sc USING ({id_col})
+"""

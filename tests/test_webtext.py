@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 
@@ -575,3 +576,60 @@ def test_url_hash64_large_string_offsets_match_string():
     np.testing.assert_array_equal(
         url_hash64(small.slice(3, 20)), url_hash64(big.slice(3, 20))
     )
+
+
+class TestBigramNovelty:
+    def test_matches_oracle(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from geo_index_ray.pipelines.webtext import (
+            bigram_novelty,
+            sql_bigram_novelty,
+        )
+
+        d = "/root/testdata/sf0.001/documents.parquet"
+        got = (
+            bigram_novelty(ray.data.read_parquet(d), "doc_id", min_df=25)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        want = duckdb.sql(
+            sql_bigram_novelty(f"'{d}'", "doc_id", 25) + " ORDER BY doc_id"
+        ).df()
+        assert got.equals(want.astype(got.dtypes.to_dict()))
+        # the score discriminates: not all docs identical
+        assert got["novelty"].nunique() > 10
+
+    def test_edge_no_bigrams(self, ray_session):
+        import ray.data
+
+        from geo_index_ray.pipelines.webtext import bigram_novelty
+
+        t = pa.table(
+            {"doc_id": pa.array([1, 2, 3], pa.int64()),
+             "text": pa.array(["solo", "", "two words two words"])}
+        )
+        got = (
+            bigram_novelty(ray.data.from_arrow(t), "doc_id", min_df=1)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert got["n_bigrams"].tolist() == [0, 0, 3]
+        assert got["novelty"].isna().tolist() == [True, True, False]
+        # min_df=1: every bigram is common -> novelty 0 for doc 3
+        assert got.loc[2, "novelty"] == 0.0
+
+    def test_partition_invariant(self, ray_session):
+        import ray.data
+
+        from geo_index_ray.pipelines.webtext import bigram_novelty
+
+        d = "/root/testdata/sf0.001/documents.parquet"
+        a = (
+            bigram_novelty(ray.data.read_parquet(d).repartition(1), "doc_id", min_df=25)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        b = (
+            bigram_novelty(ray.data.read_parquet(d).repartition(7), "doc_id", min_df=25)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert a.equals(b)
