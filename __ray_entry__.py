@@ -1649,6 +1649,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["bigram_novelty"] = bigram_novelty
 
+    def triangle_counts(sf_dir):
+        """Per-node triangle counts (clustering-coefficient numerator)
+        over the sparse user co-occurrence ring graph — rank-oriented
+        wedge closure ("compact-forward"): degree orientation bounds
+        out-degrees by O(√m), wedges close against directed edges under
+        coarse (v,w)-hash keys, exact structured-dtype membership
+        (pipelines/components.triangle_counts)."""
+        ds = tables.read_table(sf_dir, "events", columns=["user_id", "props"])
+        edges = comp_pipe.user_k_ring_edges(ds)
+        return comp_pipe.triangle_counts(edges, "src", "dst")
+
+    q["triangle_counts"] = triangle_counts
+
     # ------------------------------------------------------------------
     # registration order = driver sampling order.  The driver's
     # correctness harness checks the FIRST 50 registrations; rounds 2/3
@@ -2817,5 +2830,29 @@ def oracle_sql() -> dict[str, str]:
     sql["bigram_novelty"] = webtext_pipe.sql_bigram_novelty(
         "documents", "doc_id", 25
     )
+
+    sql["triangle_counts"] = r"""
+        WITH uk AS (SELECT DISTINCT user_id,
+                CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS BIGINT)
+                    AS k
+                FROM events
+                WHERE regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) <> ''),
+        rn AS (SELECT user_id, k,
+                      ROW_NUMBER() OVER (PARTITION BY k ORDER BY user_id)
+                          AS rn
+               FROM uk),
+        e0 AS (SELECT a.user_id u, b.user_id v FROM rn a JOIN rn b
+               ON a.k = b.k AND (b.rn - a.rn) IN (1, 2)),
+        e AS (SELECT DISTINCT least(u, v) x, greatest(u, v) y
+              FROM e0 WHERE u <> v),
+        t AS (SELECT e1.x a, e1.y b, e2.y c FROM e e1
+              JOIN e e2 ON e2.x = e1.x AND e2.y > e1.y
+              JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y)
+        SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+          SELECT a AS node FROM t
+          UNION ALL SELECT b FROM t
+          UNION ALL SELECT c FROM t)
+        GROUP BY 1
+    """
 
     return sql

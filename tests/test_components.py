@@ -1,6 +1,7 @@
 """Connected components (large-star/small-star) vs a union-find oracle."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -122,3 +123,103 @@ def test_kmeans_assign_matches_numpy():
         cidx = cidx[live]
     want = dict(zip(ids.tolist(), cidx[a].tolist()))
     assert got == want
+
+
+class TestTriangleCounts:
+    def _brute(self, a, b):
+        E = set()
+        for x, y in zip(a, b):
+            if x != y:
+                E.add((min(x, y), max(x, y)))
+        adj: dict = {}
+        for x, y in E:
+            adj.setdefault(x, set()).add(y)
+            adj.setdefault(y, set()).add(x)
+        cnt: dict = {}
+        for x, y in E:
+            for z in adj[x] & adj[y]:
+                cnt[z] = cnt.get(z, 0) + 1
+        return cnt
+
+    def test_random_graph_matches_bruteforce(self, ray_session):
+        import ray.data
+
+        from geo_index_ray.pipelines.components import triangle_counts
+
+        rng = np.random.default_rng(11)
+        a = rng.integers(0, 80, 500).astype(np.int64)
+        b = rng.integers(0, 80, 500).astype(np.int64)
+        t = pa.table({"src": pa.array(a), "dst": pa.array(b)})
+        got = (
+            triangle_counts(ray.data.from_arrow(t).repartition(7), "src", "dst")
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        cnt = self._brute(a.tolist(), b.tolist())
+        want = pd.DataFrame(
+            sorted((k, v) for k, v in cnt.items() if v > 0),
+            columns=["node", "n_tri"],
+        )
+        assert got.equals(want.astype(got.dtypes.to_dict()))
+
+    def test_dups_reversals_selfloops_ignored(self, ray_session):
+        import ray.data
+
+        from geo_index_ray.pipelines.components import triangle_counts
+
+        # one triangle, heavily duplicated / reversed, plus a self-loop
+        t = pa.table(
+            {"src": pa.array([1, 2, 3, 2, 3, 1, 7], pa.int64()),
+             "dst": pa.array([2, 3, 1, 1, 2, 1, 7], pa.int64())}
+        )
+        got = (
+            triangle_counts(ray.data.from_arrow(t), "src", "dst")
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        assert got["node"].tolist() == [1, 2, 3]
+        assert got["n_tri"].tolist() == [1, 1, 1]
+
+    def test_skewed_hub(self, ray_session):
+        """A hub joined to a path: rank orientation must not square the
+        hub's degree, and counts stay exact."""
+        import ray.data
+
+        from geo_index_ray.pipelines.components import triangle_counts
+
+        n = 60
+        hub_a = np.zeros(n, np.int64)
+        hub_b = np.arange(1, n + 1, dtype=np.int64)
+        path_a = np.arange(1, n, dtype=np.int64)
+        path_b = np.arange(2, n + 1, dtype=np.int64)
+        t = pa.table(
+            {"src": pa.array(np.r_[hub_a, path_a]),
+             "dst": pa.array(np.r_[hub_b, path_b])}
+        )
+        got = (
+            triangle_counts(ray.data.from_arrow(t).repartition(5), "src", "dst")
+            .to_pandas()
+        )
+        # triangles are (0, i, i+1) for i in 1..n-1
+        assert got.loc[got.node == 0, "n_tri"].item() == n - 1
+        assert got.loc[got.node == 1, "n_tri"].item() == 1
+        assert got.loc[got.node == 30, "n_tri"].item() == 2
+        assert int(got["n_tri"].sum()) == 3 * (n - 1)
+
+    def test_ring_edges_match_sql_rownumber(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from geo_index_ray.pipelines.components import user_k_ring_edges
+
+        d = "/root/testdata/sf0.001/events.parquet"
+        got = (
+            user_k_ring_edges(ray.data.read_parquet(d))
+            .to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+        )
+        want = duckdb.sql(rf"""
+        WITH uk AS (SELECT DISTINCT user_id,
+                CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS BIGINT) AS k
+                FROM '{d}' WHERE regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) <> ''),
+        rn AS (SELECT user_id, k, ROW_NUMBER() OVER (PARTITION BY k ORDER BY user_id) rn FROM uk)
+        SELECT a.user_id src, b.user_id dst FROM rn a JOIN rn b
+        ON a.k = b.k AND (b.rn - a.rn) IN (1, 2) ORDER BY 1, 2""").df()
+        assert got.equals(want.astype(got.dtypes.to_dict()))
