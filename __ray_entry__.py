@@ -1662,6 +1662,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["triangle_counts"] = triangle_counts
 
+    def nn_self_join(sf_dir):
+        """kNN SELF-join (each customer's nearest other customer): one
+        two-level index build, query side streamed in bounded chunks
+        through the envelope ring-expansion planner with k=2 inclusive
+        ties (pipelines/partition.nn_self_join)."""
+        pts = tables.points_ds(sf_dir, "customer", "c_custkey")
+        return part_pipe.nn_self_join(pts, "c_custkey")
+
+    q["nn_self_join"] = nn_self_join
+
     # ------------------------------------------------------------------
     # registration order = driver sampling order.  The driver's
     # correctness harness checks the FIRST 50 registrations; rounds 2/3
@@ -2830,6 +2840,20 @@ def oracle_sql() -> dict[str, str]:
     sql["bigram_novelty"] = webtext_pipe.sql_bigram_novelty(
         "documents", "doc_id", 25
     )
+
+    sql["nn_self_join"] = f"""
+        WITH pts AS (SELECT c_custkey AS id,
+                            {geocode.sql_lon('c_custkey')} AS x,
+                            {geocode.sql_lat('c_custkey')} AS y
+                     FROM customer),
+        dd AS (SELECT a.id qid, b.id tid,
+                 (b.x-a.x)*(b.x-a.x) + (b.y-a.y)*(b.y-a.y) AS dist
+               FROM pts a JOIN pts b ON a.id <> b.id)
+        SELECT qid AS query_id, tid AS nn_id FROM (
+          SELECT qid, tid,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, tid) rn
+          FROM dd) WHERE rn = 1
+    """
 
     sql["triangle_counts"] = r"""
         WITH uk AS (SELECT DISTINCT user_id,

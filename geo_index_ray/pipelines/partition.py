@@ -672,3 +672,53 @@ def pruned_box_search(index_ds, min_x: float, min_y: float,
         return pa.table({id_col: pa.array(np.concatenate(out))})
 
     return index_ds.map_batches(probe, batch_format="pyarrow")
+
+
+def nn_self_join(points_ds, id_col: str, partition_size: int = 256,
+                 chunk_rows: int = 65536, metric: str = "squared"):
+    """kNN SELF-join: each point's nearest OTHER point — the
+    spatial-analytics workhorse behind Clark–Evans nearest-neighbour
+    statistics and spatial outlier screens.  Returns a pandas frame
+    (query_id, nn_id), ties broken by (distance, id) exactly as the SQL
+    ``ROW_NUMBER() OVER (ORDER BY dist, id)`` oracle.
+
+    Shape: ONE two-level partitioned index build; the query side then
+    streams through the driver in bounded chunks of ``chunk_rows``
+    (id + 2×float64 per row — the driver holds one chunk's plan, never
+    the corpus) and each chunk runs the distributed envelope
+    ring-expansion planner (``knn_partitioned``, k=2 with inclusive
+    ties: rank 1 is the point itself, so the nearest-other choice is
+    exact even through duplicate coordinates).  Probes touch only the
+    few partitions inside each query's kNN ring.  At 10⁹-point scale
+    callers should persist each chunk's result instead of concatenating
+    (the per-chunk loop is the resume point); the concatenated frame
+    here serves the oracle-gated query surface.
+    """
+    import pandas as pd
+
+    idx = build_partitioned_index(points_ds, id_col, partition_size)
+    outs = []
+    for b in points_ds.select_columns([id_col, "x", "y"]).iter_batches(
+        batch_size=chunk_rows, batch_format="pyarrow"
+    ):
+        ids = b[id_col].to_numpy().astype(np.int64)
+        if not len(ids):
+            continue
+        xy = np.stack(
+            [
+                b["x"].to_numpy(zero_copy_only=False),
+                b["y"].to_numpy(zero_copy_only=False),
+            ],
+            axis=1,
+        )
+        res = knn_partitioned(idx, xy, 2, query_ids=ids, metric=metric)
+        r = res[res["target_id"] != res["query_id"]]
+        r = r.sort_values(["query_id", "dist", "target_id"], kind="stable")
+        r = r.drop_duplicates("query_id", keep="first")
+        outs.append(
+            r[["query_id", "target_id"]].rename(columns={"target_id": "nn_id"})
+        )
+    if not outs:
+        return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                             "nn_id": pd.Series([], dtype=np.int64)})
+    return pd.concat(outs, ignore_index=True)

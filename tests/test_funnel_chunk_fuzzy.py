@@ -259,3 +259,53 @@ class TestChunkWords:
             .to_pandas().set_index("doc_id")["text"]
         )
         assert (rebuilt == orig.loc[rebuilt.index]).all()
+
+
+class TestNNSelfJoin:
+    def test_matches_bruteforce_with_chunking(self):
+        import duckdb
+
+        from geo_index_ray.functions import geocode as g
+        from geo_index_ray.pipelines import partition as pp
+        from geo_index_ray.sources import tables
+
+        pts = tables.points_ds(SF, "customer", "c_custkey")
+        # chunk_rows=40 forces many driver chunks over 150 customers
+        got = (
+            pp.nn_self_join(pts, "c_custkey", chunk_rows=40)
+            .sort_values("query_id").reset_index(drop=True)
+        )
+        want = duckdb.sql(f"""
+        WITH pts AS (SELECT c_custkey AS id, {g.sql_lon('c_custkey')} AS x,
+                            {g.sql_lat('c_custkey')} AS y
+                     FROM '{SF}/customer.parquet'),
+        dd AS (SELECT a.id qid, b.id tid,
+                 (b.x-a.x)*(b.x-a.x) + (b.y-a.y)*(b.y-a.y) AS dist
+               FROM pts a JOIN pts b ON a.id <> b.id)
+        SELECT qid AS query_id, tid AS nn_id FROM (
+          SELECT qid, tid,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, tid) rn
+          FROM dd) WHERE rn = 1 ORDER BY query_id""").df()
+        assert got.equals(want.astype(got.dtypes.to_dict()))
+
+    def test_duplicate_coordinates(self):
+        """Points at identical coordinates: the nearest other is the
+        dist-0 twin with the smallest id, through the inclusive-tie
+        path."""
+        import ray.data
+
+        from geo_index_ray.pipelines import partition as pp
+
+        t = pa.table(
+            {
+                "id": pa.array([1, 2, 3, 4], pa.int64()),
+                "x": pa.array([0.0, 0.0, 5.0, 9.0]),
+                "y": pa.array([0.0, 0.0, 5.0, 9.0]),
+            }
+        )
+        got = (
+            pp.nn_self_join(ray.data.from_arrow(t), "id", partition_size=2)
+            .sort_values("query_id").reset_index(drop=True)
+        )
+        assert got["query_id"].tolist() == [1, 2, 3, 4]
+        assert got["nn_id"].tolist() == [2, 1, 4, 3]
