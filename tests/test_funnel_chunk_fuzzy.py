@@ -309,3 +309,30 @@ class TestNNSelfJoin:
         )
         assert got["query_id"].tolist() == [1, 2, 3, 4]
         assert got["nn_id"].tolist() == [2, 1, 4, 3]
+
+
+class TestFuzzyEd1Scale:
+    def test_planted_mutations_found_exactly(self):
+        """50k keys, every 10th a 1-char mutation of its predecessor:
+        recall and precision are exact and nothing is quadratic."""
+        from geo_index_ray.pipelines.dedup import fuzzy_ed1_pairs
+
+        rng = np.random.default_rng(6)
+        n = 50_000
+        base = rng.integers(97, 123, size=(n, 12), dtype=np.uint8)
+        mut = np.arange(9, n, 10)
+        base[mut] = base[mut - 1]
+        base[mut, 3] = 35
+        keys = [bytes(r).decode() for r in base]
+        t = pa.table(
+            {"doc_id": pa.array(range(n), pa.int64()), "text": pa.array(keys)}
+        )
+        got = (
+            fuzzy_ed1_pairs(ray.data.from_arrow(t).repartition(8), "doc_id", prefix=16)
+            .to_pandas().sort_values("a_id").reset_index(drop=True)
+        )
+        # random 12-char keys over a 26-letter alphabet collide at ~26^-11:
+        # the planted pairs are exactly the result set
+        assert got["a_id"].tolist() == (mut - 1).tolist()
+        assert got["b_id"].tolist() == mut.tolist()
+        assert (got["dist"] == 1).all()
