@@ -25,7 +25,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..stages.util import reducer_count
+from ..stages.util import gap_pair_offsets, reducer_count
 
 
 def _group_mins(u: np.ndarray, v: np.ndarray):
@@ -463,13 +463,8 @@ def _pair_view(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     return m
 
 
-def _pair_rkey(x: np.ndarray, y: np.ndarray, R: int) -> np.ndarray:
-    with np.errstate(over="ignore"):
-        h = (
-            x.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-            ^ y.view(np.uint64) * np.uint64(0xD1B54A32D192ED03)
-        )
-    return ((h >> np.uint64(13)) % np.uint64(R)).astype(np.int64)
+# One pair-hash recipe repo-wide: reuse the pairjoin exchange key.
+from ..stages.pairjoin import pair_hash_mod as _pair_rkey  # noqa: E402
 
 
 def triangle_counts(ds, a_col: str, b_col: str):
@@ -634,17 +629,10 @@ def triangle_counts(ds, a_col: str, b_col: str):
         starts = np.nonzero(np.r_[True, us[1:] != us[:-1]])[0]
         sizes = np.diff(np.r_[starts, len(us)])
         out_u, out_v, out_w = [], [], []
-        for k in range(1, int(sizes.max(initial=1))):
-            act = np.nonzero(sizes > k)[0]
-            if not len(act):
-                break
-            cnt = sizes[act] - k
-            t0 = np.repeat(starts[act], cnt) + (
-                np.arange(int(cnt.sum())) - np.repeat(np.cumsum(cnt) - cnt, cnt)
-            )
+        for t0, t1 in gap_pair_offsets(starts, sizes):
             out_u.append(us[t0])
-            out_v.append(vs[t0])       # lower-rank wedge tip
-            out_w.append(vs[t0 + k])   # higher-rank wedge tip
+            out_v.append(vs[t0])   # lower-rank wedge tip
+            out_w.append(vs[t1])   # higher-rank wedge tip
         if not out_u:
             return pa.table(
                 {

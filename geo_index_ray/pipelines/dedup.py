@@ -17,6 +17,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..stages.util import gap_pair_offsets
+
 _P61 = np.uint64((1 << 61) - 1)
 
 
@@ -813,15 +815,8 @@ def ngram_jaccard_dedup(
         starts = np.nonzero(np.r_[True, s_s[1:] != s_s[:-1]])[0]
         sizes = np.diff(np.r_[starts, len(order)])
         out_a, out_b = [], []
-        for k in range(1, int(sizes.max(initial=1))):
-            act = np.nonzero(sizes > k)[0]
-            if not len(act):
-                break
-            cnt = sizes[act] - k
-            t0 = np.repeat(starts[act], cnt) + (
-                np.arange(int(cnt.sum())) - np.repeat(np.cumsum(cnt) - cnt, cnt)
-            )
-            ai, bi = order[t0], order[t0 + k]
+        for t0, t1 in gap_pair_offsets(starts, sizes):
+            ai, bi = order[t0], order[t1]
             na, nb = nn[ai], nn[bi]
             lo = np.minimum(na, nb)
             hi = np.maximum(na, nb)
@@ -996,16 +991,9 @@ def simhash_pairs(ds, id_col: str, text_col: str = "text", max_hamming: int = 3)
         sizes = np.diff(np.r_[starts, len(order)])
         out_a, out_b, out_h = [], [], []
         # k-offset sweep: all (t, t+k) pairs across buckets, vectorized
-        for k in range(1, int(sizes.max(initial=1))):
-            act = np.nonzero(sizes > k)[0]
-            if not len(act):
-                break
-            cnt = sizes[act] - k
-            t0 = np.repeat(starts[act], cnt) + (
-                np.arange(int(cnt.sum())) - np.repeat(np.cumsum(cnt) - cnt, cnt)
-            )
+        for t0, t1 in gap_pair_offsets(starts, sizes):
             ai = order[t0]
-            bi = order[t0 + k]
+            bi = order[t1]
             x = h[ai] ^ h[bi]
             # vectorized popcount via byte-view + lookup
             ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
@@ -1304,6 +1292,10 @@ def fuzzy_ed1_pairs(ds, id_col: str, text_col: str = "text",
         return pc.utf8_slice_codeunits(batch[text_col], 0, prefix)
 
     def to_buckets(batch: pa.Table) -> pa.Table:
+        # NULL text never buckets: SQL's levenshtein(NULL, x) is NULL, so
+        # the oracle drops those rows — treating NULL as "" would pair a
+        # NULL doc with every key of length <= 1.
+        batch = batch.filter(pc.is_valid(batch[text_col]))
         ids = batch[id_col].to_numpy().astype(np.int64)
         row, vh = _ed1_variant_hashes(key_of(batch))
         with np.errstate(over="ignore"):
@@ -1338,15 +1330,8 @@ def fuzzy_ed1_pairs(ds, id_col: str, text_col: str = "text",
         starts = np.nonzero(np.r_[True, vs[1:] != vs[:-1]])[0]
         sizes = np.diff(np.r_[starts, len(vs)])
         out_a, out_b = [], []
-        for k in range(1, int(sizes.max(initial=1))):
-            act = np.nonzero(sizes > k)[0]
-            if not len(act):
-                break
-            cnt = sizes[act] - k
-            t0 = np.repeat(starts[act], cnt) + (
-                np.arange(int(cnt.sum())) - np.repeat(np.cumsum(cnt) - cnt, cnt)
-            )
-            a, b = is_[t0], is_[t0 + k]
+        for t0, t1 in gap_pair_offsets(starts, sizes):
+            a, b = is_[t0], is_[t1]
             out_a.append(np.minimum(a, b))
             out_b.append(np.maximum(a, b))
         if not out_a:

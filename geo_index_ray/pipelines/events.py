@@ -893,6 +893,17 @@ def funnel_conversion(ds, stages, user_col: str = "user_id",
 
     partials = lean.groupby("rkey").map_groups(funnel_reducer, batch_format="pyarrow")
 
+    # Zero-count seed: with zero qualifying events the groupby yields no
+    # groups and an empty schema-less dataset would flow out; the SQL twin
+    # always returns one row per stage.  One n_stages-row union fixes both.
+    import ray
+
+    seed = ray.data.from_arrow(
+        pa.table({"stage": stage_arr,
+                  "users": pa.array(np.zeros(n_stages, dtype=np.int64))})
+    )
+    partials = partials.union(seed)
+
     # final merge: R reducers × n_stages rows — a handful of partials whose
     # key cardinality is the LITERAL stage list (bounded by the API call),
     # not data-dependent, so a per-stage vectorized sum is rule-3 safe

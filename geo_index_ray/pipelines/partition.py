@@ -696,7 +696,10 @@ def nn_self_join(points_ds, id_col: str, partition_size: int = 256,
     """
     import pandas as pd
 
-    idx = build_partitioned_index(points_ds, id_col, partition_size)
+    # Materialize: the per-chunk loop below would otherwise re-execute the
+    # lazy build plan (spatial_partition + per-partition tree builds) once
+    # per chunk — knn_partitioned only materializes a local rebinding.
+    idx = build_partitioned_index(points_ds, id_col, partition_size).materialize()
     outs = []
     for b in points_ds.select_columns([id_col, "x", "y"]).iter_batches(
         batch_size=chunk_rows, batch_format="pyarrow"

@@ -890,14 +890,28 @@ def bigram_novelty(ds, id_col: str, text_col: str = "text", min_df: int = 5):
             {"bigram": dic.dictionary, "pdf": pa.array(pdf.astype(np.int64))}
         )
 
-    df_tbl = (
+    # Slice df >= min_df DATASET-side: the Zipf tail of rare bigrams
+    # dominates the vocabulary, so the driver must only ever see the
+    # common slice, never the full (bigram, df) table.
+    def common_slice(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(batch["sum(pdf)"], pa.scalar(min_df))
+        com = pc.cast(batch.filter(keep)["bigram"], pa.string())
+        return pa.table({"bigram": com})
+
+    common_parts = ray.get(
         ds.map_batches(df_partial, batch_format="pyarrow")
         .groupby("bigram")
         .sum("pdf")
-        .to_pandas()
+        .map_batches(common_slice, batch_format="pyarrow")
+        .to_arrow_refs()
     )
-    common = df_tbl.loc[df_tbl["sum(pdf)"] >= min_df, "bigram"]
-    common_ref = ray.put(pa.array(common.tolist(), pa.string()))
+    common_arr = pa.concat_tables(common_parts).column("bigram").combine_chunks()
+    if isinstance(common_arr, pa.ChunkedArray):
+        common_arr = (
+            common_arr.chunk(0) if common_arr.num_chunks
+            else pa.array([], pa.string())
+        )
+    common_ref = ray.put(common_arr)
 
     def score(batch: pa.Table) -> pa.Table:
         common_bc = ray.get(common_ref)

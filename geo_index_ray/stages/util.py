@@ -179,3 +179,29 @@ def rkey_of(keys, R: int):
                 np.asarray(keys).astype(np.int64).view(np.uint64) * _GOLD
             ) >> np.uint64(33)
     return (h % np.uint64(R)).astype(np.int64)
+
+
+def gap_pair_offsets(starts, sizes):
+    """Yield (t0, t1) position-index array pairs that together cover every
+    unordered within-group pair exactly once, for groups laid out
+    contiguously in a sorted array (``starts`` = first position of each
+    group, ``sizes`` = group lengths).
+
+    The k-offset sweep: iteration k pairs every position t with t+k inside
+    the same group, so each yield is one fully vectorized slab of
+    ``sum(max(size-k, 0))`` pairs and the loop runs ``max(sizes)-1`` times
+    — Python overhead scales with the LARGEST group, not the pair count.
+    Callers index their own payload arrays with t0/t1 and apply their
+    per-pair filter per slab (simhash popcount, jaccard bounds, ...).
+    """
+    import numpy as np
+
+    for k in range(1, int(sizes.max(initial=1))):
+        act = np.nonzero(sizes > k)[0]
+        if not len(act):
+            return
+        cnt = sizes[act] - k
+        t0 = np.repeat(starts[act], cnt) + (
+            np.arange(int(cnt.sum())) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        )
+        yield t0, t0 + k
