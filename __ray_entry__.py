@@ -1672,6 +1672,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["nn_self_join"] = nn_self_join
 
+    def contamination(sf_dir):
+        """Benchmark decontamination: flag docs sharing any 8-word-gram
+        with the benchmark slice (doc_id % 97 = 0 stands in for an eval
+        suite).  Bench n-gram hashes broadcast once as a sorted uint64
+        array; the corpus streams — ragged FNV hashing off Arrow buffers
+        + one searchsorted per batch, no corpus shuffle
+        (pipelines/webtext.contamination_flags)."""
+        ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+        def is_bench(batch):
+            ids = batch["doc_id"].to_numpy()
+            return batch.filter(pa.array(ids % 97 == 0))
+
+        bench = ds.map_batches(is_bench, batch_format="pyarrow")
+        return webtext_pipe.contamination_flags(ds, bench, "doc_id", n=8)
+
+    q["contamination"] = contamination
+
     # ------------------------------------------------------------------
     # registration order = driver sampling order.  The driver's
     # correctness harness checks the FIRST 50 registrations; rounds 2/3
@@ -2839,6 +2857,10 @@ def oracle_sql() -> dict[str, str]:
 
     sql["bigram_novelty"] = webtext_pipe.sql_bigram_novelty(
         "documents", "doc_id", 25
+    )
+
+    sql["contamination"] = webtext_pipe.sql_contamination(
+        "documents", "doc_id", 8, "doc_id % 97 = 0"
     )
 
     sql["nn_self_join"] = f"""

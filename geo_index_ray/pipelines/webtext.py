@@ -217,12 +217,12 @@ def heavy_hitters(ds, text_col: str, k: int):
     return pruned.sort(["cnt", "token"], descending=[True, False]).limit(k)
 
 
-def _batch_bigrams(batch: pa.Table, text_col: str):
-    """(doc_row int64, bigram string array) for one batch — lowercased
-    whitespace tokens with empties removed, adjacent same-doc pairs
-    joined with a space.  Adjacency is computed on the flattened token
-    buffer (two zero-copy slices + one join kernel — no per-row
-    Python)."""
+def _batch_word_ngrams(batch: pa.Table, text_col: str, n: int):
+    """(doc_row int64, ngram string array) for one batch — lowercased
+    whitespace tokens with empties removed, runs of ``n`` consecutive
+    same-doc tokens joined with spaces.  Adjacency is computed on the
+    flattened token buffer (``n`` zero-copy slices + one join kernel —
+    no per-row Python)."""
     words = pc.split_pattern_regex(pc.utf8_lower(batch[text_col]), r"\s+")
     if isinstance(words, pa.ChunkedArray):
         words = words.combine_chunks()
@@ -232,13 +232,21 @@ def _batch_bigrams(batch: pa.Table, text_col: str):
     nonempty = wlens > 0
     f = flat.filter(pa.array(nonempty))
     p = parents[nonempty]
-    if len(f) < 2:
+    if len(f) < n:
         return np.empty(0, np.int64), pa.array([], pa.string())
-    adjacent = p[1:] == p[:-1]
-    bigrams = pc.binary_join_element_wise(
-        f.slice(0, len(f) - 1), f.slice(1), " "
-    ).filter(pa.array(adjacent))
-    return p[:-1][adjacent].astype(np.int64), bigrams
+    m = len(f) - n + 1
+    # a window of n tokens stays inside one doc iff its first and last
+    # token share a parent (parents are non-decreasing)
+    inside = p[n - 1:] == p[:m]
+    ngrams = pc.binary_join_element_wise(
+        *(f.slice(i, m) for i in range(n)), " "
+    ).filter(pa.array(inside))
+    return p[:m][inside].astype(np.int64), ngrams
+
+
+def _batch_bigrams(batch: pa.Table, text_col: str):
+    """(doc_row, bigram) — the n=2 word-ngram case."""
+    return _batch_word_ngrams(batch, text_col, 2)
 
 
 def heavy_hitter_bigrams(ds, text_col: str, k: int):
@@ -905,7 +913,12 @@ def bigram_novelty(ds, id_col: str, text_col: str = "text", min_df: int = 5):
         .map_batches(common_slice, batch_format="pyarrow")
         .to_arrow_refs()
     )
-    common_arr = pa.concat_tables(common_parts).column("bigram").combine_chunks()
+    common_parts = _arrow_parts(common_parts)
+    common_arr = (
+        pa.concat_tables(common_parts).column("bigram").combine_chunks()
+        if common_parts
+        else pa.array([], pa.string())
+    )
     if isinstance(common_arr, pa.ChunkedArray):
         common_arr = (
             common_arr.chunk(0) if common_arr.num_chunks
@@ -973,5 +986,129 @@ SELECT d.{id_col},
        CASE WHEN sc.n_bigrams > 0
             THEN 1.0 - sc.n_common / CAST(sc.n_bigrams AS DOUBLE)
             ELSE NULL END AS novelty
+FROM {table} d LEFT JOIN sc USING ({id_col})
+"""
+
+
+def _arrow_parts(parts):
+    """Normalize ``Dataset.to_arrow_refs()`` results: empty input
+    partitions can surface as schema-less tables or raw pandas blocks —
+    keep only real Arrow tables with columns."""
+    out = []
+    for p in parts:
+        if not isinstance(p, pa.Table):
+            p = pa.Table.from_pandas(p)
+        if p.num_columns:
+            out.append(p)
+    return out
+
+
+# -- benchmark decontamination ------------------------------------------------
+
+
+def contamination_flags(ds, bench_ds, id_col: str, text_col: str = "text",
+                        n: int = 8):
+    """Benchmark decontamination: flag every corpus doc that shares at
+    least one word ``n``-gram with a benchmark/eval set — the standard
+    train-set contamination screen run before every LLM training job
+    (n=8..13 word-grams is the published convention, e.g. GPT-3 App. C /
+    PaLM-style 8-gram overlap).  Returns one row per corpus doc:
+    (id, n_ngrams:int64, n_hits:int64, contaminated:int64 0/1).
+
+    Shape: the benchmark side is SMALL by definition (eval suites are
+    MBs), so its distinct n-gram set is computed with per-batch distinct
+    combiners, collected once, and broadcast via ``ray.put`` as a SORTED
+    uint64 hash array (8 B per distinct benchmark n-gram — a 10⁶-ngram
+    suite is 8 MB); the 100 TB corpus side then streams: each batch
+    re-derives its n-grams off Arrow buffers (``_batch_word_ngrams``),
+    hashes them ragged (``_fnv1a_ragged`` — sum(len) work, no padded
+    matrix), and membership is one ``searchsorted`` per batch.  The
+    corpus is never shuffled and nothing corpus-sized is collected.
+    Matching is on 64-bit FNV-1a n-gram hashes (collision odds ~2⁻⁶⁴ per
+    pair — the exact_dedup trade, declared).
+    """
+    import ray
+
+    from .text import _fnv1a_ragged
+
+    def _ngram_hashes(batch: pa.Table):
+        rows, ngrams = _batch_word_ngrams(batch, text_col, n)
+        if len(ngrams) == 0:
+            return rows, np.empty(0, np.uint64)
+        return rows, _fnv1a_ragged(*_string_views(ngrams))
+
+    def bench_partial(batch: pa.Table) -> pa.Table:
+        _, h = _ngram_hashes(batch)
+        return pa.table({"h": pa.array(np.unique(h).view(np.int64))})
+
+    parts = ray.get(
+        bench_ds.map_batches(bench_partial, batch_format="pyarrow")
+        .to_arrow_refs()
+    )
+    parts = _arrow_parts(parts)
+    allh = (
+        pa.concat_tables(parts).column("h").to_numpy(zero_copy_only=False)
+        if parts
+        else np.empty(0, np.int64)
+    )
+    bench_ref = ray.put(np.unique(allh.view(np.uint64)))  # sorted
+
+    def score(batch: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        nrows = batch.num_rows
+        rows, h = _ngram_hashes(batch)
+        n_ngrams = np.bincount(rows, minlength=nrows).astype(np.int64)
+        if len(h) and len(bench):
+            pos = np.searchsorted(bench, h)
+            pos[pos == len(bench)] = 0
+            hit = bench[pos] == h
+            n_hits = np.bincount(rows[hit], minlength=nrows).astype(np.int64)
+        else:
+            n_hits = np.zeros(nrows, dtype=np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_ngrams": pa.array(n_ngrams),
+                "n_hits": pa.array(n_hits),
+                "contaminated": pa.array((n_hits > 0).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def sql_contamination(table: str, id_col: str, n: int,
+                      bench_pred: str) -> str:
+    """DuckDB twin of :func:`contamination_flags` — ``bench_pred`` is the
+    SQL predicate selecting the benchmark rows (e.g. ``id % 97 = 0``)."""
+    joined = " || ' ' || ".join(
+        "tok" if i == 0 else f"lead(tok, {i}) OVER w" for i in range(n)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT {id_col}, tok, ord FROM (
+    SELECT {id_col},
+           unnest(string_split_regex(lower(text), '\s+')) AS tok,
+           generate_subscripts(string_split_regex(lower(text), '\s+'), 1) AS ord
+    FROM {table})
+  WHERE tok <> ''),
+seq AS (
+  SELECT {id_col}, tok,
+         ROW_NUMBER() OVER (PARTITION BY {id_col} ORDER BY ord) AS rn
+  FROM toks),
+ng AS (
+  SELECT {id_col}, {joined} AS ngram
+  FROM seq WINDOW w AS (PARTITION BY {id_col} ORDER BY rn)),
+ngc AS (SELECT {id_col}, ngram FROM ng WHERE ngram IS NOT NULL),
+bench AS (SELECT DISTINCT ngram FROM ngc WHERE {bench_pred}),
+sc AS (
+  SELECT ngc.{id_col}, CAST(count(*) AS BIGINT) AS n_ngrams,
+         CAST(sum(CASE WHEN bench.ngram IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hits
+  FROM ngc LEFT JOIN bench USING (ngram) GROUP BY 1)
+SELECT d.{id_col},
+       COALESCE(sc.n_ngrams, 0) AS n_ngrams,
+       COALESCE(sc.n_hits, 0) AS n_hits,
+       CAST(COALESCE(sc.n_hits, 0) > 0 AS BIGINT) AS contaminated
 FROM {table} d LEFT JOIN sc USING ({id_col})
 """

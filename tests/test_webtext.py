@@ -633,3 +633,117 @@ class TestBigramNovelty:
             .to_pandas().sort_values("doc_id").reset_index(drop=True)
         )
         assert a.equals(b)
+
+
+class TestContamination:
+    def _run(self, corpus_texts, bench_texts, n=3):
+        import ray.data
+
+        from geo_index_ray.pipelines import webtext as wt
+
+        cdf = pd.DataFrame(
+            {"doc_id": np.arange(len(corpus_texts), dtype=np.int64),
+             "text": corpus_texts}
+        )
+        bdf = pd.DataFrame(
+            {"doc_id": np.arange(len(bench_texts), dtype=np.int64) + 1000,
+             "text": bench_texts}
+        )
+        cds = ray.data.from_pandas(cdf).repartition(3)
+        bds = ray.data.from_pandas(bdf).repartition(2)
+        out = (
+            wt.contamination_flags(cds, bds, "doc_id", n=n)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        return out
+
+    def test_flags_shared_ngram(self):
+        out = self._run(
+            ["the quick brown fox jumps", "a totally clean document here"],
+            ["somewhere the quick brown fox ran"],
+            n=3,
+        )
+        assert out.loc[0, "contaminated"] == 1
+        assert out.loc[0, "n_hits"] >= 1
+        assert out.loc[1, "contaminated"] == 0
+        assert out.loc[1, "n_hits"] == 0
+        # n_ngrams = tokens - n + 1
+        assert out.loc[0, "n_ngrams"] == 3
+        assert out.loc[1, "n_ngrams"] == 3
+
+    def test_short_docs_and_empty_bench(self):
+        out = self._run(["one two", "   ", "x"], ["unrelated text body"], n=3)
+        assert (out["n_ngrams"] == 0).all()
+        assert (out["contaminated"] == 0).all()
+        # bench with nothing long enough -> empty set, nothing flagged
+        out2 = self._run(["alpha beta gamma delta"], ["tiny"], n=3)
+        assert out2.loc[0, "contaminated"] == 0
+
+    def test_case_and_occurrence_counting(self):
+        # lowercased matching; every occurrence counts
+        out = self._run(
+            ["A B C x a b c"], ["a b c"], n=3,
+        )
+        assert out.loc[0, "n_hits"] == 2
+        assert out.loc[0, "n_ngrams"] == 5
+
+    def test_matches_oracle(self):
+        import duckdb
+        import ray.data
+
+        from geo_index_ray.pipelines import webtext as wt
+
+        df = _docs_df(n=300, seed=11)[["doc_id", "text"]]
+        ds = ray.data.from_pandas(df).repartition(4)
+
+        def is_bench(batch):
+            ids = batch["doc_id"].to_numpy()
+            return batch.filter(pa.array(ids % 13 == 0))
+
+        bench = ds.map_batches(is_bench, batch_format="pyarrow")
+        mine = (
+            wt.contamination_flags(ds, bench, "doc_id", n=4)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", df)
+        ora = (
+            con.execute(
+                wt.sql_contamination("documents", "doc_id", 4,
+                                     "doc_id % 13 = 0")
+            )
+            .fetchdf()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            mine[["doc_id", "n_ngrams", "n_hits", "contaminated"]],
+            ora[["doc_id", "n_ngrams", "n_hits", "contaminated"]],
+        )
+
+
+class TestWordNgramsHelper:
+    def test_n2_equals_bigrams(self):
+        from geo_index_ray.pipelines import webtext as wt
+
+        batch = pa.table(
+            {"text": pa.array(["a b  c", "", "solo", "x y z w"])}
+        )
+        r2, g2 = wt._batch_word_ngrams(batch, "text", 2)
+        rb, gb = wt._batch_bigrams(batch, "text")
+        assert r2.tolist() == rb.tolist()
+        assert g2.to_pylist() == gb.to_pylist()
+        assert g2.to_pylist() == ["a b", "b c", "x y", "y z", "z w"]
+
+    def test_n_larger_than_doc(self):
+        from geo_index_ray.pipelines import webtext as wt
+
+        batch = pa.table({"text": pa.array(["a b c"])})
+        r, g = wt._batch_word_ngrams(batch, "text", 5)
+        assert len(g) == 0 and len(r) == 0
+        r3, g3 = wt._batch_word_ngrams(batch, "text", 3)
+        assert g3.to_pylist() == ["a b c"] and r3.tolist() == [0]
