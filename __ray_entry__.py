@@ -1672,10 +1672,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["nn_self_join"] = nn_self_join
 
-    def contamination(sf_dir):
-        """Benchmark decontamination: flag docs sharing any 8-word-gram
-        with the benchmark slice (doc_id % 97 = 0 stands in for an eval
-        suite).  Bench n-gram hashes broadcast once as a sorted uint64
+    def contamination_ngrams(sf_dir):
+        """WORD-level benchmark decontamination (complements the
+        char-shingle overlap stats of `contamination`): flag docs
+        sharing any 8-word-gram with the benchmark slice (doc_id % 97
+        = 0 stands in for an eval suite), with per-occurrence hit
+        counts.  Bench n-gram hashes broadcast once as a sorted uint64
         array; the corpus streams — ragged FNV hashing off Arrow buffers
         + one searchsorted per batch, no corpus shuffle
         (pipelines/webtext.contamination_flags)."""
@@ -1688,7 +1690,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         bench = ds.map_batches(is_bench, batch_format="pyarrow")
         return webtext_pipe.contamination_flags(ds, bench, "doc_id", n=8)
 
-    q["contamination"] = contamination
+    q["contamination_ngrams"] = contamination_ngrams
+
+    def quality_resample(sf_dir):
+        """Deterministic weighted acceptance sampling (DSIR-style):
+        weight = min(n_tokens, 100)/100, survive iff the golden-hash of
+        doc_id mapped to [0,1) is < weight — pure function of (id,
+        weight), map-only, identical under any partitioning/retry
+        (pipelines/webtext.weighted_sample)."""
+        import numpy as np
+
+        ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        tok = ds.map_batches(
+            text_pipe.token_count_stage("doc_id"), batch_format="pyarrow"
+        )
+
+        def add_w(batch):
+            n = batch["n_tokens"].to_numpy()
+            w = np.minimum(n, 100).astype(np.float64) / 100.0
+            return batch.append_column("weight", pa.array(w))
+
+        wds = tok.map_batches(add_w, batch_format="pyarrow")
+        return webtext_pipe.weighted_sample(wds, "doc_id", "weight")
+
+    q["quality_resample"] = quality_resample
 
     # ------------------------------------------------------------------
     # registration order = driver sampling order.  The driver's
@@ -2859,9 +2884,23 @@ def oracle_sql() -> dict[str, str]:
         "documents", "doc_id", 25
     )
 
-    sql["contamination"] = webtext_pipe.sql_contamination(
+    sql["contamination_ngrams"] = webtext_pipe.sql_contamination(
         "documents", "doc_id", 8, "doc_id % 97 = 0"
     )
+
+    sql["quality_resample"] = rf"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split_regex(text, '\s+'),
+                          x -> x <> '')) AS BIGINT) AS n_tokens
+          FROM documents),
+        w AS (SELECT doc_id, n_tokens,
+                     LEAST(n_tokens, 100) / 100.0 AS weight
+              FROM t)
+        SELECT doc_id, n_tokens, weight
+        FROM w
+        WHERE {webtext_pipe.sql_hash_unit('doc_id')} < weight
+    """
 
     sql["nn_self_join"] = f"""
         WITH pts AS (SELECT c_custkey AS id,

@@ -381,6 +381,45 @@ def split_assign(ds, id_col: str, weights: dict[str, float]):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def weighted_sample(ds, id_col: str, weight_col: str):
+    """Deterministic weighted acceptance sampling (the DSIR-style quality
+    resample: keep high-quality docs with probability ∝ a per-row
+    weight, reproducibly).  A row survives iff
+    ``hash_unit(id) < weight``, where ``hash_unit`` maps the id through
+    the split_assign golden-ratio hash onto [0, 1) — so acceptance is a
+    pure function of (id, weight): stable under any partitioning, retry,
+    cluster size, or execution order, and a re-run resumes to the exact
+    same subset (the property random() sampling can't give a 100 TB
+    pipeline).  Weights are taken as-is; values ≥ 1 always survive
+    (upsampling by repetition is a caller-side repeat, not done here).
+    Map-only — no shuffle, nothing collected.
+
+    SQL twin predicate: :func:`sql_hash_unit` ``< weight`` (identical
+    HUGEINT→DOUBLE arithmetic; uint64→float64 rounds to nearest in both
+    numpy and DuckDB).
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy().astype(np.int64).view(np.uint64)
+        with np.errstate(over="ignore"):
+            h = ids * _GOLDEN
+        u = h.astype(np.float64) / 2.0**64
+        w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return batch.filter(pa.array(u < w))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def sql_hash_unit(id_col: str) -> str:
+    """DuckDB expression mirroring ``weighted_sample``'s hash_unit(id)
+    bit-exactly: golden-ratio multiply mod 2^64, then one uint64→double
+    round-to-nearest and one IEEE divide."""
+    return (
+        f"(CAST((CAST({id_col} AS HUGEINT) * 11400714819323198485)"
+        f" % 18446744073709551616 AS DOUBLE) / 18446744073709551616.0)"
+    )
+
+
 def sql_split_case(id_col: str, weights: dict[str, float]) -> str:
     """DuckDB CASE expression mirroring ``split_assign`` bit-exactly."""
     names = list(weights)

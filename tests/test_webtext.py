@@ -747,3 +747,62 @@ class TestWordNgramsHelper:
         assert len(g) == 0 and len(r) == 0
         r3, g3 = wt._batch_word_ngrams(batch, "text", 3)
         assert g3.to_pylist() == ["a b c"] and r3.tolist() == [0]
+
+
+class TestWeightedSample:
+    def _ds(self, n=500, w=None, parts=4):
+        import ray.data
+
+        df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64)})
+        df["weight"] = np.full(n, 0.5) if w is None else w
+        return ray.data.from_pandas(df).repartition(parts)
+
+    def test_boundary_weights(self):
+        from geo_index_ray.pipelines import webtext as wt
+
+        n = 400
+        keep_all = wt.weighted_sample(
+            self._ds(n, np.ones(n)), "doc_id", "weight"
+        ).count()
+        keep_none = wt.weighted_sample(
+            self._ds(n, np.zeros(n)), "doc_id", "weight"
+        ).count()
+        assert keep_all == n  # hash_unit < 1.0 always
+        assert keep_none == 0
+
+    def test_deterministic_under_partitioning(self):
+        from geo_index_ray.pipelines import webtext as wt
+
+        rng = np.random.default_rng(3)
+        w = rng.uniform(0, 1, 600)
+        a = wt.weighted_sample(self._ds(600, w, parts=2), "doc_id", "weight")
+        b = wt.weighted_sample(self._ds(600, w, parts=11), "doc_id", "weight")
+        ai = sorted(a.to_pandas()["doc_id"])
+        bi = sorted(b.to_pandas()["doc_id"])
+        assert ai == bi
+        # acceptance rate tracks mean weight (golden-ratio hash is
+        # equidistributed; 600 draws, generous tolerance)
+        assert abs(len(ai) / 600 - w.mean()) < 0.12
+
+    def test_matches_sql_predicate(self):
+        import duckdb
+
+        from geo_index_ray.pipelines import webtext as wt
+
+        rng = np.random.default_rng(5)
+        w = rng.uniform(0, 1, 300)
+        df = pd.DataFrame(
+            {"doc_id": np.arange(300, dtype=np.int64), "weight": w}
+        )
+        mine = sorted(
+            wt.weighted_sample(self._ds(300, w), "doc_id", "weight")
+            .to_pandas()["doc_id"]
+        )
+        con = duckdb.connect()
+        con.register("t", df)
+        ora = sorted(
+            con.execute(
+                f"SELECT doc_id FROM t WHERE {wt.sql_hash_unit('doc_id')} < weight"
+            ).fetchdf()["doc_id"]
+        )
+        assert mine == ora
