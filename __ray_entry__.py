@@ -1715,6 +1715,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["quality_resample"] = quality_resample
 
+    def rate_limit(sf_dir):
+        """Per-(user, 1h-window) rate limiter: keep the first 3 events by
+        (ts, event_id).  Per-batch pre-trim combiner (a row ranked > n in
+        its own batch can't be in the global first-n), one lean hash(user)
+        exchange, all-keys-per-reducer lexsort ranking
+        (pipelines/events.rate_limit)."""
+        ds = tables.read_table(
+            sf_dir, "events", columns=["event_id", "user_id", "ts"]
+        )
+        return events_pipe.rate_limit(ds, WINDOW_US, 3)
+
+    q["rate_limit"] = rate_limit
+
+    def price_band_pairs(sf_dir):
+        """Band (inequality) join: pairs of orders with the same
+        priority whose totals differ by <= 25.0 — PBSM bin replication
+        at width delta, one coarse (eq, bin) exchange, all groups per
+        reducer zipped through one exact integer-composite searchsorted
+        (pipelines/relational.band_join)."""
+        from geo_index_ray.pipelines import relational
+
+        def project(prefix):
+            def fn(batch):
+                return pa.table(
+                    {
+                        f"{prefix}_key": batch["o_orderkey"],
+                        f"{prefix}_price": batch["o_totalprice"],
+                        "prio": batch["o_orderpriority"],
+                    }
+                )
+
+            return fn
+
+        cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+        a = tables.read_table(sf_dir, "orders", columns=cols).map_batches(
+            project("a"), batch_format="pyarrow"
+        )
+        b = tables.read_table(sf_dir, "orders", columns=cols).map_batches(
+            project("b"), batch_format="pyarrow"
+        )
+        joined = relational.band_join(
+            a, b, "a_price", "b_price", 25.0,
+            ["a_key", "a_price"], ["b_key", "b_price"],
+            left_eq="prio", right_eq="prio",
+        )
+
+        def lt(batch: pa.Table) -> pa.Table:
+            ak = batch["a_key"].to_numpy(zero_copy_only=False)
+            bk = batch["b_key"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(ak < bk))
+
+        return joined.map_batches(lt, batch_format="pyarrow")
+
+    q["price_band_pairs"] = price_band_pairs
+
     # ------------------------------------------------------------------
     # registration order = driver sampling order.  The driver's
     # correctness harness checks the FIRST 50 registrations; rounds 2/3
@@ -2900,6 +2955,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, n_tokens, weight
         FROM w
         WHERE {webtext_pipe.sql_hash_unit('doc_id')} < weight
+    """
+
+    sql["rate_limit"] = f"""
+        SELECT event_id, user_id, window_id, rnk FROM (
+          SELECT event_id, user_id,
+                 epoch_us(ts) // {WINDOW_US} AS window_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY user_id, epoch_us(ts) // {WINDOW_US}
+                   ORDER BY ts, event_id) AS rnk
+          FROM events)
+        WHERE rnk <= 3
+    """
+
+    sql["price_band_pairs"] = """
+        WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS p,
+                          o_totalprice AS v FROM orders)
+        SELECT a.k AS a_key, a.v AS a_price, b.k AS b_key, b.v AS b_price
+        FROM o a JOIN o b
+          ON a.p = b.p AND abs(a.v - b.v) <= 25.0 AND a.k < b.k
     """
 
     sql["nn_self_join"] = f"""

@@ -1008,3 +1008,76 @@ def cohort_retention(ds, bucket_us: int, user_col: str = "user_id",
         )
 
     return partials.groupby("rkey2").map_groups(merge_many, batch_format="pyarrow")
+
+
+def rate_limit(ds, window_us: int, n: int, user_col: str = "user_id",
+               ts_col: str = "ts", id_col: str = "event_id"):
+    """Keep the first ``n`` events per (user, tumbling window), ordered by
+    (ts, event_id) — the per-key rate limiter / throttler a streaming
+    ingest pipeline applies before expensive downstream stages.
+
+    Returns (id_col, user_col, window_id, rnk) with ``rnk`` 1-based.
+
+    Scale shape: a per-batch PRE-TRIM keeps at most ``n`` rows per
+    (user, window) before the shuffle — a row ranked > n within its own
+    batch has ≥ n earlier rows in that batch alone, so it can never be in
+    the global first-n (same combiner argument as ``topk_per_group``).
+    The single exchange then carries ≤ n·|active keys| lean rows of
+    (user, window, ts, id); the reducer re-ranks ALL of its keys in one
+    lexsort (rule 3 — no per-key Python).
+    """
+    from ..stages.util import coalesce_for_shuffle, reducer_count, rkey_of
+
+    R = reducer_count()
+
+    def _rank(user, wid, tus, eid):
+        """1-based rank of each row within its (user, window) group under
+        (ts, id) order; returns (perm, rank) with perm sorting the rows."""
+        perm = np.lexsort((eid, tus, wid, user))
+        us, ws = user[perm], wid[perm]
+        new = np.empty(len(us), dtype=bool)
+        new[:1] = True
+        new[1:] = (us[1:] != us[:-1]) | (ws[1:] != ws[:-1])
+        first = np.maximum.accumulate(np.where(new, np.arange(len(us)), 0))
+        rank = np.arange(len(us)) - first + 1
+        return perm, rank
+
+    def pretrim(batch: pa.Table) -> pa.Table:
+        user = batch[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        tus = _ts_us(batch[ts_col])
+        eid = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        wid = tus // window_us
+        perm, rank = _rank(user, wid, tus, eid)
+        sel = perm[rank <= n]
+        return pa.table(
+            {
+                id_col: pa.array(eid[sel]),
+                user_col: pa.array(user[sel]),
+                "window_id": pa.array(wid[sel]),
+                "tus": pa.array(tus[sel]),
+                "rkey": pa.array(rkey_of(user[sel], R)),
+            }
+        )
+
+    trimmed = coalesce_for_shuffle(
+        ds.map_batches(pretrim, batch_format="pyarrow"), 0.25
+    )
+
+    def limit_reducer(g: pa.Table) -> pa.Table:
+        user = g[user_col].to_numpy(zero_copy_only=False)
+        wid = g["window_id"].to_numpy(zero_copy_only=False)
+        tus = g["tus"].to_numpy(zero_copy_only=False)
+        eid = g[id_col].to_numpy(zero_copy_only=False)
+        perm, rank = _rank(user, wid, tus, eid)
+        sel = rank <= n
+        p = perm[sel]
+        return pa.table(
+            {
+                id_col: pa.array(eid[p]),
+                user_col: pa.array(user[p]),
+                "window_id": pa.array(wid[p]),
+                "rnk": pa.array(rank[sel].astype(np.int64)),
+            }
+        )
+
+    return trimmed.groupby("rkey").map_groups(limit_reducer, batch_format="pyarrow")

@@ -294,3 +294,192 @@ def broadcast_join(big, small_tbl: pa.Table, big_key: str, small_key: str,
         return out
 
     return big.map_batches(fn, batch_format="pyarrow")
+
+
+def band_join(left, right, left_val: str, right_val: str, delta: float,
+              left_cols: list[str], right_cols: list[str],
+              left_eq: str | None = None, right_eq: str | None = None,
+              candidate_eps: float = 1e-6):
+    """Numeric band join: inner join on ``abs(left_val - right_val) <=
+    delta``, optionally AND an int64/string equality key (``left_eq`` /
+    ``right_eq``).  The inequality-join workhorse (price bands, sensor
+    tolerances, timestamp proximity when an as-of is too strict).
+
+    PBSM-style bin replication: both sides bin values at width ``delta``
+    (``floor(v / delta)``); the RIGHT side replicates to bins b-1, b, b+1
+    (3 lean copies), the left stays in its own bin, so every qualifying
+    pair co-locates in exactly ONE (eq, left-bin) group — no pair dedup
+    needed.  One coarse-key exchange on ``hash(eq, bin) % R``; each
+    reducer zips ALL of its groups in one pass (rule 3): rows sort by
+    (group, value); per-group value ranges resolve through an exact
+    integer composite ``gid * (nR + 1) + global_value_rank`` so a single
+    ``np.searchsorted`` answers every left row's [v - delta, v + delta]
+    window — no per-group Python, no float composite keys (which lose
+    exactness past 2^53).
+
+    Candidate windows widen by ``candidate_eps`` and the FINAL predicate
+    re-evaluates ``abs(lv - rv) <= delta`` pairwise — bit-identical to the
+    SQL expression, so boundary pairs (|diff| == delta) agree with an
+    oracle even though the window arithmetic (``lv - delta``) rounds
+    differently from the predicate arithmetic (``lv - rv``).
+
+    Skew note: a value-heavy bin concentrates on one reducer exactly like
+    a hot key in ``hash_join`` — pick ``delta`` near the matching radius
+    so bins stay balanced, and salt the eq key upstream for pathological
+    distributions.
+    """
+    R = reducer_count()
+
+    def _pa_type(t):
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(np.dtype(t))
+        except (TypeError, pa.ArrowNotImplementedError):
+            return pa.string()
+
+    types: dict[str, pa.DataType] = {}
+    for sch, cols in ((left.schema(), left_cols), (right.schema(), right_cols)):
+        for name, typ in zip(sch.names, sch.types):
+            if name in cols:
+                types.setdefault(name, _pa_type(typ))
+
+    left_slots, right_slots, slot_types = plan_slots(types, left_cols, right_cols)
+    all_slots = sorted(slot_types)
+
+    str_eq = False
+    if left_eq is not None:
+        et = dict(zip(left.schema().names, left.schema().types))[left_eq]
+        str_eq = pa.types.is_string(_pa_type(et)) or pa.types.is_large_string(
+            _pa_type(et)
+        )
+
+    def tag(val_col: str, eq_col: str | None, slots: dict[str, str], side: int):
+        inv = {s: c for c, s in slots.items()}
+        reps = (0,) if side == 0 else (-1, 0, 1)
+
+        def fn(batch: pa.Table) -> pa.Table:
+            v = batch[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            b = np.floor(v / delta).astype(np.int64)
+            if eq_col is None:
+                eh = np.zeros(len(v), dtype=np.int64)
+                ek = pa.array(eh)
+            else:
+                ec = batch[eq_col]
+                if isinstance(ec, pa.ChunkedArray):
+                    ec = ec.combine_chunks()
+                if str_eq:
+                    from ..sources.pages import url_hash64
+
+                    eh = url_hash64(ec).view(np.int64)
+                    ek = ec
+                else:
+                    eh = ec.to_numpy(zero_copy_only=False).astype(np.int64)
+                    ek = pa.array(eh)
+            parts = []
+            for off in reps:
+                bb = b + off
+                with np.errstate(over="ignore"):
+                    mix = (
+                        (eh.view(np.uint64) * _GOLDEN)
+                        ^ (bb.view(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))
+                    )
+                rk = ((mix * _GOLDEN) >> np.uint64(33)) % np.uint64(R)
+                out = {
+                    "rkey": pa.array(rk.astype(np.int64)),
+                    "eqk": ek,
+                    "bin": pa.array(bb),
+                    "val": pa.array(v),
+                    "side": pa.array(
+                        np.full(batch.num_rows, side, dtype=np.int8)
+                    ),
+                }
+                for s in all_slots:
+                    if s in inv:
+                        col = batch[inv[s]]
+                        if isinstance(col, pa.ChunkedArray):
+                            col = col.combine_chunks()
+                        out[s] = col
+                    else:
+                        out[s] = pa.nulls(batch.num_rows, type=slot_types[s])
+                parts.append(pa.table(out))
+            return pa.concat_tables(parts)
+
+        return fn
+
+    lt = left.map_batches(tag(left_val, left_eq, left_slots, 0),
+                          batch_format="pyarrow")
+    rt = right.map_batches(tag(right_val, right_eq, right_slots, 1),
+                           batch_format="pyarrow")
+    unioned = coalesce_for_shuffle(lt.union(rt), 0.5)
+
+    out_cols = list(dict.fromkeys(left_cols + right_cols))
+    shared = set(left_cols) & set(right_cols)
+
+    def zip_band(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        v = g["val"].to_numpy(zero_copy_only=False)
+        b = g["bin"].to_numpy(zero_copy_only=False)
+        eq = g["eqk"]
+        if isinstance(eq, pa.ChunkedArray):
+            eq = eq.combine_chunks()
+        if str_eq:
+            ecodes = pc.dictionary_encode(eq).indices.to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+        else:
+            ecodes = eq.to_numpy(zero_copy_only=False).astype(np.int64)
+        # dense (eq, bin) group ids across BOTH sides in one pass
+        pairs = np.stack([ecodes, b], axis=1)
+        _, gid = np.unique(pairs, axis=0, return_inverse=True)
+
+        li = np.nonzero(side == 0)[0]
+        ri = np.nonzero(side == 1)[0]
+        if len(li) == 0 or len(ri) == 0:
+            return pa.table(
+                {c: pa.nulls(0, type=types[c]) for c in out_cols}
+            )
+        rv, rg = v[ri], gid[ri]
+        rsort = np.lexsort((rv, rg))
+        rvs, rgs = rv[rsort], rg[rsort]
+        # exact integer composite: global 'left' rank of each value makes
+        # (group, value) order a single strictly-sortable int64 key
+        glob = np.sort(rvs)
+        nR = len(rvs)
+        M = np.int64(nR + 1)
+        r_rank = np.searchsorted(glob, rvs, side="left")
+        comp = rgs * M + r_rank
+        lv, lg = v[li], gid[li]
+        q_lo = lg * M + np.searchsorted(glob, lv - delta - candidate_eps,
+                                        side="left")
+        q_hi = lg * M + np.searchsorted(glob, lv + delta + candidate_eps,
+                                        side="right")
+        lo = np.searchsorted(comp, q_lo, side="left")
+        hi = np.searchsorted(comp, q_hi, side="left")
+        counts = hi - lo
+        total = int(counts.sum())
+        l_rep = np.repeat(li, counts)
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        offs = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+        r_pos = np.repeat(lo, counts) + offs
+        r_rep = ri[rsort[r_pos]] if total else np.empty(0, np.int64)
+        # final predicate, bit-identical to SQL abs(l - r) <= delta
+        keep = np.abs(v[l_rep] - v[r_rep]) <= delta if total else np.empty(
+            0, bool
+        )
+        l_idx = pa.array(l_rep[keep], pa.int64())
+        r_idx = pa.array(r_rep[keep], pa.int64())
+        out = {}
+        for c in out_cols:
+            if c in shared:
+                out[c] = pc.coalesce(
+                    g[left_slots[c]].take(l_idx), g[right_slots[c]].take(r_idx)
+                )
+            elif c in left_slots:
+                out[c] = g[left_slots[c]].take(l_idx)
+            else:
+                out[c] = g[right_slots[c]].take(r_idx)
+        return pa.table(out)
+
+    return unioned.groupby("rkey").map_groups(zip_band, batch_format="pyarrow")

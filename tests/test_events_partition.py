@@ -858,3 +858,35 @@ class TestDistinctSketch:
         for key, exact in truth.items():
             rel = abs(got[key] - exact) / exact
             assert rel < 0.05, (key, exact, got[key], rel)
+
+
+class TestRateLimit:
+    def test_matches_pandas_and_partition_invariant(self):
+        import pyarrow.parquet as pq
+        import ray
+
+        from geo_index_ray.pipelines import events as ev
+
+        W = 3_600_000_000
+        N = 2
+        t = pq.read_table(f"{SF}/events.parquet",
+                          columns=["event_id", "user_id", "ts"]).to_pandas()
+        t["window_id"] = t["ts"].astype("int64") // W
+        t = t.sort_values(["user_id", "window_id", "ts", "event_id"])
+        t["rnk"] = t.groupby(["user_id", "window_id"]).cumcount() + 1
+        want = (
+            t[t["rnk"] <= N][["event_id", "user_id", "window_id", "rnk"]]
+            .sort_values("event_id").reset_index(drop=True)
+        )
+
+        for blocks in (1, 7):
+            ds = ray.data.read_parquet(
+                f"{SF}/events.parquet",
+                columns=["event_id", "user_id", "ts"],
+            ).repartition(blocks)
+            got = _to_df(ev.rate_limit(ds, W, N)).sort_values(
+                "event_id"
+            ).reset_index(drop=True)
+            pd.testing.assert_frame_equal(
+                got.astype({"rnk": "int64"}), want.astype({"rnk": "int64"})
+            )

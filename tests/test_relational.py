@@ -362,3 +362,62 @@ class TestLeanExchange:
         ).to_pandas()
         want = left.merge(right, left_on="k", right_on="k2")
         assert len(got) == len(want)
+
+
+class TestBandJoin:
+    def test_matches_pandas_with_eq_and_negatives(self):
+        import ray
+
+        from geo_index_ray.pipelines import relational
+
+        rng = np.random.default_rng(11)
+        n = 800
+        left = pd.DataFrame(
+            {
+                "lk": np.arange(n, dtype=np.int64),
+                "lv": np.round(rng.uniform(-50, 50, n), 2),
+                "grp": rng.integers(0, 3, n),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "rk": np.arange(n, dtype=np.int64) + 10_000,
+                "rv": np.round(rng.uniform(-50, 50, n), 2),
+                "grp": rng.integers(0, 3, n),
+            }
+        )
+        delta = 0.75
+        want = left.merge(right, on="grp")
+        want = want[np.abs(want["lv"] - want["rv"]) <= delta]
+        want = (
+            want[["lk", "lv", "rk", "rv"]]
+            .sort_values(["lk", "rk"])
+            .reset_index(drop=True)
+        )
+        for blocks in (1, 5):
+            got = relational.band_join(
+                ray.data.from_pandas(left).repartition(blocks),
+                ray.data.from_pandas(right).repartition(blocks + 1),
+                "lv", "rv", delta,
+                ["lk", "lv"], ["rk", "rv"],
+                left_eq="grp", right_eq="grp",
+            ).to_pandas().sort_values(["lk", "rk"]).reset_index(drop=True)
+            pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_no_eq_key(self):
+        import ray
+
+        from geo_index_ray.pipelines import relational
+
+        left = pd.DataFrame({"lk": np.arange(5, dtype=np.int64),
+                             "lv": np.array([0.0, 1.0, 2.5, -3.0, 10.0])})
+        right = pd.DataFrame({"rk": np.arange(4, dtype=np.int64) + 100,
+                              "rv": np.array([0.9, -2.1, 10.0, 99.0])})
+        got = relational.band_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            "lv", "rv", 1.0, ["lk"], ["rk"],
+        ).to_pandas().sort_values(["lk", "rk"]).reset_index(drop=True)
+        want = left.merge(right, how="cross")
+        want = want[np.abs(want["lv"] - want["rv"]) <= 1.0]
+        want = want[["lk", "rk"]].sort_values(["lk", "rk"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
