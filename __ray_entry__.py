@@ -298,6 +298,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["spatial_lag_suppliers"] = spatial_lag_suppliers
 
+    def idw_fill_density(sf_dir):
+        from geo_index_ray.pipelines import geoanalytics as ga
+
+        ds = tables.points_ds(sf_dir, "orders", "o_orderkey")
+        return ga.idw_fill(ds, RES_ASSIGN)
+
+    q["idw_fill_density"] = idw_fill_density
+
     # --- index probes ---
     def box_search(sf_dir):
         ds = tables.points_ds(sf_dir, "orders", "o_orderkey")
@@ -1982,6 +1990,37 @@ def oracle_sql() -> dict[str, str]:
           ON (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)
              <= {WITHIN_R} * {WITHIN_R}
         GROUP BY 1
+    """
+
+    # IDW gap-fill twin: 8-way neighbor expansion from the occupied-cell
+    # histogram, integer weights 2 (orthogonal) / 1 (diagonal), anti-join
+    # against occupancy; SUMs stay integral so the single divide is
+    # bit-identical to the engine's
+    n6 = 1 << RES_ASSIGN
+    sql["idw_fill_density"] = f"""
+        WITH h AS (
+          SELECT {cell6} AS cell, COUNT(*) AS n
+          FROM (SELECT {pt('o_orderkey')} FROM orders)
+          GROUP BY 1
+        ),
+        nb AS (
+          SELECT h.cell // {n6} + d.dx AS gx, h.cell % {n6} + d.dy AS gy,
+                 CASE WHEN d.dx * d.dx + d.dy * d.dy = 1 THEN 2 ELSE 1 END AS w,
+                 h.n
+          FROM h, (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),
+                          (1,-1),(1,0),(1,1)) AS d(dx, dy)
+          WHERE h.cell // {n6} + d.dx BETWEEN 0 AND {n6 - 1}
+            AND h.cell % {n6} + d.dy BETWEEN 0 AND {n6 - 1}
+        ),
+        c AS (
+          SELECT gx * {n6} + gy AS cell, COUNT(*) AS n_neigh,
+                 SUM(w) AS sw, SUM(w * n) AS swn
+          FROM nb GROUP BY 1
+        )
+        SELECT c.cell, c.n_neigh,
+               CAST(swn AS DOUBLE) / CAST(sw AS DOUBLE) AS est
+        FROM c LEFT JOIN h ON h.cell = c.cell
+        WHERE h.cell IS NULL
     """
 
     mnx, mny, mxx, mxy = BOX_SEARCH

@@ -105,3 +105,64 @@ def test_spatial_lag_exact_integer_mean(ray_session):
         float(12445) / 200.0,
         float(12345) / 100.0,
     ]
+
+
+def _idw_ref(lon, lat, res):
+    """Brute-force IDW gap-fill reference: dict target_cell -> (n_neigh, est)."""
+    from geo_index_ray.kernels import cells as cellmod
+
+    n = 1 << res
+    cid = cellmod.flat_cell_id(np.asarray(lon, float), np.asarray(lat, float), res)
+    uniq, cnt = np.unique(cid, return_counts=True)
+    occ = dict(zip(uniq.tolist(), cnt.tolist()))
+    acc = {}
+    for c, v in occ.items():
+        gx, gy = divmod(c, n)
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                tx, ty = gx + dx, gy + dy
+                if not (0 <= tx < n and 0 <= ty < n):
+                    continue
+                t = tx * n + ty
+                if t in occ:
+                    continue
+                w = 2 if dx * dx + dy * dy == 1 else 1
+                sw, swv, k = acc.get(t, (0, 0, 0))
+                acc[t] = (sw + w, swv + w * v, k + 1)
+    return {t: (k, float(swv) / float(sw)) for t, (sw, swv, k) in acc.items()}
+
+
+def test_idw_fill_mixed_weights_exact(ray_session):
+    # res 2 (90 x 45 deg cells).  Occupied: (1,1) x4 and (1,2) x8.
+    # Target (2,1) is ORTHOGONAL to (1,1) and DIAGONAL to (1,2):
+    # est = (2*4 + 1*8) / 3 = 16/3 — exercises both weights in one cell.
+    lon = [-45.0] * 12
+    lat = [-22.5] * 4 + [22.5] * 8
+    out = (
+        ga.idw_fill(_points(lon, lat), 2)
+        .to_pandas().set_index("cell").sort_index()
+    )
+    target = 2 * 4 + 1  # (2,1) on the 4-wide grid
+    assert out.loc[target, "n_neigh"] == 2
+    assert out.loc[target, "est"] == 16.0 / 3.0
+    # occupied cells never appear
+    assert 1 * 4 + 1 not in out.index and 1 * 4 + 2 not in out.index
+
+
+def test_idw_fill_matches_bruteforce_and_partitioning(ray_session):
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(-180, 179.99, 300)
+    lat = rng.uniform(-90, 89.99, 300)
+    ref = _idw_ref(lon, lat, 5)
+    for blocks in (1, 8):
+        out = ga.idw_fill(_points(lon, lat, blocks), 5).to_pandas()
+        got = {
+            int(r.cell): (int(r.n_neigh), float(r.est))
+            for r in out.itertuples()
+        }
+        assert set(got) == set(ref)
+        for c in ref:
+            assert got[c][0] == ref[c][0]
+            assert got[c][1] == ref[c][1]  # integer-exact -> bit-equal
