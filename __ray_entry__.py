@@ -780,6 +780,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["lang_source_hist"] = lang_source_hist
 
+    def corr_len_chars(sf_dir):
+        """Exact per-language Pearson correlation between declared char
+        count and text BYTE length (multibyte divergence signal) — integer
+        moment combiners, native groupby-sum, one vectorized finisher
+        (pipelines/events.grouped_corr)."""
+        ds = tables.read_table(sf_dir, "documents", columns=["lang", "n_chars", "text"])
+
+        def lengths(batch: pa.Table) -> pa.Table:
+            from geo_index_ray.pipelines.text import _string_views
+
+            nbytes, _, _ = _string_views(batch["text"])
+            return pa.table(
+                {
+                    "lang": batch["lang"],
+                    "n_chars": batch["n_chars"],
+                    "n_bytes": pa.array(nbytes),
+                }
+            )
+
+        return events_pipe.grouped_corr(
+            ds.map_batches(lengths, batch_format="pyarrow"),
+            "lang", "n_chars", "n_bytes",
+        )
+
+    q["corr_len_chars"] = corr_len_chars
+
     def roundtrip_parquet(sf_dir):
         """Sink coverage: resumable partitioned parquet write, read back."""
         import tempfile
@@ -2191,6 +2217,26 @@ def oracle_sql() -> dict[str, str]:
 
     sql["lang_source_hist"] = """
         SELECT lang, source, COUNT(*) AS n_docs FROM documents GROUP BY 1, 2
+    """
+
+    # grouped_corr twin: integer moments (HUGEINT-exact), then the same
+    # two-sqrt-one-divide IEEE sequence as the engine's finisher
+    sql["corr_len_chars"] = """
+        WITH m AS (
+          SELECT lang, COUNT(*) AS n,
+                 SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+          FROM (SELECT lang, n_chars AS x, strlen(text) AS y FROM documents)
+          GROUP BY 1
+        )
+        SELECT lang, n,
+               CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0
+                    THEN NULL
+                    ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                         / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                            * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))
+               END AS corr
+        FROM m
     """
 
     sql["value_percentiles"] = """

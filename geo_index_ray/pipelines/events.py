@@ -1081,3 +1081,94 @@ def rate_limit(ds, window_us: int, n: int, user_col: str = "user_id",
         )
 
     return trimmed.groupby("rkey").map_groups(limit_reducer, batch_format="pyarrow")
+
+
+def grouped_corr(ds, key_col: str, x_col: str, y_col: str):
+    """Exact per-key Pearson correlation of two int64 columns.
+
+    Returns (key_col, n, corr) with
+    ``corr = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²))`` —
+    every inner moment an exact integer sum, so the three final float ops
+    (two sqrts, one divide) run the IDENTICAL IEEE sequence as the SQL
+    twin and hash-reproduce.  NULL when either variance is zero.
+
+    Scale shape: per-batch moment partials (one vectorized Arrow group_by
+    per block — six int64 sums per key), then a native Dataset
+    ``groupby(key).sum`` (no per-key interpreter work at any key
+    cardinality), then one vectorized finisher over the key-sized result.
+    Contract: per-key Σx², Σy², Σxy must fit int64 (they ride the native
+    sum); the FINAL products (n·Σx², Σx·Σy …) may pass 2⁶³ — the finisher
+    detects that and falls back to arbitrary-precision Python ints for
+    that key-sized batch only, never corpus-sized work.
+    """
+
+    def partials(batch: pa.Table) -> pa.Table:
+        x = batch[x_col].to_numpy().astype(np.int64)
+        y = batch[y_col].to_numpy().astype(np.int64)
+        t = pa.table(
+            {
+                key_col: batch[key_col],
+                "n": pa.array(np.ones(len(x), np.int64)),
+                "sx": pa.array(x),
+                "sy": pa.array(y),
+                "sxx": pa.array(x * x),
+                "syy": pa.array(y * y),
+                "sxy": pa.array(x * y),
+            }
+        )
+        agg = t.group_by(key_col).aggregate(
+            [(c, "sum") for c in ("n", "sx", "sy", "sxx", "syy", "sxy")]
+        )
+        return agg.rename_columns(
+            [key_col, "n", "sx", "sy", "sxx", "syy", "sxy"]
+        )
+
+    from ..stages.util import coalesce_for_shuffle
+
+    parts = coalesce_for_shuffle(
+        ds.map_batches(partials, batch_format="pyarrow"), 0.25
+    )
+    agg = parts.groupby(key_col).sum(["n", "sx", "sy", "sxx", "syy", "sxy"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cols = {c: batch[f"sum({c})"].to_numpy() for c in
+                ("n", "sx", "sy", "sxx", "syy", "sxy")}
+        n, sx, sy = cols["n"], cols["sx"], cols["sy"]
+        sxx, syy, sxy = cols["sxx"], cols["syy"], cols["sxy"]
+        # int64 fast path is exact iff no product can reach 2^63
+        lim = float(2**62)
+        safe = bool(
+            (
+                (n.astype(np.float64) * np.maximum(sxx, syy).astype(np.float64)
+                 < lim)
+                & (np.abs(sx.astype(np.float64) * sy.astype(np.float64)) < lim)
+            ).all()
+        )
+        if safe:
+            numf = (n * sxy - sx * sy).astype(np.float64)
+            vxf = (n * sxx - sx * sx).astype(np.float64)
+            vyf = (n * syy - sy * sy).astype(np.float64)
+        else:
+            # arbitrary-precision exact moments; float() matches SQL's
+            # CAST(HUGEINT AS DOUBLE) round-to-nearest on the same integer
+            k = len(n)
+            numf = np.empty(k)
+            vxf = np.empty(k)
+            vyf = np.empty(k)
+            for i in range(k):
+                N, SX, SY = int(n[i]), int(sx[i]), int(sy[i])
+                numf[i] = float(N * int(sxy[i]) - SX * SY)
+                vxf[i] = float(N * int(sxx[i]) - SX * SX)
+                vyf[i] = float(N * int(syy[i]) - SY * SY)
+        mask = (vxf <= 0) | (vyf <= 0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            corr = numf / (np.sqrt(vxf) * np.sqrt(vyf))
+        return pa.table(
+            {
+                key_col: batch[key_col],
+                "n": pa.array(n),
+                "corr": pa.array(np.where(mask, np.nan, corr), mask=mask),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -890,3 +890,72 @@ class TestRateLimit:
             pd.testing.assert_frame_equal(
                 got.astype({"rnk": "int64"}), want.astype({"rnk": "int64"})
             )
+
+
+class TestGroupedCorr:
+    @staticmethod
+    def _ref(df):
+        rows = []
+        for g, sub in df.groupby("g", sort=True):
+            n = len(sub)
+            sx, sy = int(sub.x.sum()), int(sub.y.sum())
+            sxx = int((sub.x.astype(object) ** 2).sum())
+            syy = int((sub.y.astype(object) ** 2).sum())
+            sxy = int((sub.x.astype(object) * sub.y.astype(object)).sum())
+            num = n * sxy - sx * sy
+            vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+            corr = (
+                None if vx <= 0 or vy <= 0
+                else float(num) / (float(vx) ** 0.5 * float(vy) ** 0.5)
+            )
+            rows.append((g, n, corr))
+        return pd.DataFrame(rows, columns=["g", "n", "corr"])
+
+    def test_exact_and_partition_invariant(self):
+        import ray
+
+        from geo_index_ray.pipelines import events as ev
+
+        rng = np.random.default_rng(5)
+        df = pd.DataFrame(
+            {
+                "g": np.array(["a", "b", "c"])[rng.integers(0, 3, 400)],
+                "x": rng.integers(0, 5000, 400),
+                "y": rng.integers(0, 5000, 400),
+            }
+        )
+        # one constant-x group: zero variance -> NULL corr
+        df.loc[df.g == "c", "x"] = 7
+        want = self._ref(df)
+        for blocks in (1, 6):
+            ds = ray.data.from_pandas(df).repartition(blocks)
+            got = (
+                _to_df(ev.grouped_corr(ds, "g", "x", "y"))
+                .sort_values("g").reset_index(drop=True)
+            )
+            assert got["g"].tolist() == want["g"].tolist()
+            assert got["n"].tolist() == want["n"].tolist()
+            for a, b in zip(got["corr"], want["corr"]):
+                assert (pd.isna(b) and pd.isna(a)) or a == b  # bit-exact
+
+    def test_bigint_fallback_exact(self):
+        import ray
+
+        from geo_index_ray.pipelines import events as ev
+
+        # per-key sums fit int64 (the documented contract), but the final
+        # products n*sxx and sx*sx pass 2^63 -> the exact python-int path
+        # must engage and match the big-int reference
+        df = pd.DataFrame(
+            {
+                "g": ["a"] * 4,
+                "x": [860_000_000, 870_000_000, 850_000_000, 865_000_000],
+                "y": [5, 9, 3, 8],
+            }
+        )
+        want = self._ref(df)
+        got = _to_df(
+            ev.grouped_corr(ray.data.from_pandas(df).repartition(2), "g", "x", "y")
+        )
+        assert got["n"].tolist() == want["n"].tolist()
+        assert got["corr"].tolist() == want["corr"].tolist()
