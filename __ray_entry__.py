@@ -468,6 +468,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["dedup_exact"] = dedup_exact
 
+    def snapshot_delta(sf_dir):
+        """Incremental crawl dedup: new-snapshot pages (derived warc_ts in
+        the second half-day) whose text never occurred in the old snapshot
+        — hash-only anti-membership exchange (pipelines/dedup.snapshot_delta)."""
+        from geo_index_ray.pipelines.webtext import _TS_MIX
+
+        ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+        def side_filter(new: bool):
+            def fn(b: pa.Table) -> pa.Table:
+                ids = b["doc_id"].to_numpy()
+                ts = (ids * _TS_MIX) % 86400
+                return b.filter(pa.array(ts >= 43200 if new else ts < 43200))
+
+            return fn
+
+        old = ds.map_batches(side_filter(False), batch_format="pyarrow")
+        new = ds.map_batches(side_filter(True), batch_format="pyarrow")
+        return dedup_pipe.snapshot_delta(old, new, "doc_id")
+
+    q["snapshot_delta"] = snapshot_delta
+
     def token_count(sf_dir):
         ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
         return ds.map_batches(text_pipe.token_count_stage("doc_id"), batch_format="pyarrow")
@@ -2464,6 +2486,18 @@ def oracle_sql() -> dict[str, str]:
     sql["dedup_exact"] = """
         SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
         FROM documents GROUP BY text
+    """
+
+    from geo_index_ray.pipelines.webtext import _TS_MIX as _ts_mix
+    sql["snapshot_delta"] = f"""
+        WITH t AS (
+          SELECT doc_id, text, (doc_id * {_ts_mix}) % 86400 AS warc_ts
+          FROM documents
+        ),
+        o AS (SELECT text FROM t WHERE warc_ts < 43200),
+        n AS (SELECT doc_id, text FROM t WHERE warc_ts >= 43200)
+        SELECT n.doc_id FROM n
+        WHERE NOT EXISTS (SELECT 1 FROM o WHERE o.text = n.text)
     """
 
     sql["token_count"] = r"""

@@ -78,6 +78,88 @@ def exact_dedup(ds, id_col: str, text_col: str = "text"):
     return hashed.groupby("rkey").map_groups(reduce_many, batch_format="pandas")
 
 
+def snapshot_delta(old_ds, new_ds, id_col: str, text_col: str = "text",
+                   carry_cols: tuple = ()):
+    """Incremental crawl dedup: rows of ``new_ds`` whose ``text_col`` does
+    NOT occur anywhere in ``old_ds`` — the "what content is genuinely new
+    this snapshot" filter a recrawl pipeline runs before paying for
+    downstream curation of already-ingested pages.
+
+    SQL twin: ``SELECT n.id FROM new n WHERE NOT EXISTS
+    (SELECT 1 FROM old o WHERE o.text = n.text)``.  Duplicates WITHIN the
+    new snapshot all pass (each is a new page); only old-content matches
+    drop.  Same 64-bit-FNV content-identity convention as ``exact_dedup``.
+
+    Scale shape: both corpora hash inside ``map_batches``
+    (``_fnv1a_ragged`` off Arrow buffers, sum(len) work); the single
+    exchange carries (rkey, h, side, id, carry…) — ~17 B + carry per row,
+    never text.  Old-side rows could be pre-deduped per batch to shrink
+    further; each reducer resolves all its hashes in one sorted
+    searchsorted pass (rule 3).
+    """
+    from ..stages.util import coalesce_for_shuffle, reducer_count
+
+    R = reducer_count()
+    # carry columns exist only on the new side; the old side ships typed
+    # nulls so the union schema lines up (types from driver-side metadata)
+    carry_types = {}
+    if carry_cols:
+        sch = new_ds.schema().base_schema
+        if isinstance(sch, pa.Schema):
+            carry_types = {f.name: f.type for f in sch}
+        else:  # pandas-block schema: numpy dtypes (object -> string)
+            for name, dt in zip(sch.names, sch.types):
+                try:
+                    carry_types[name] = pa.from_numpy_dtype(dt)
+                except (pa.ArrowNotImplementedError, TypeError):
+                    carry_types[name] = pa.string()
+
+    def tagger(side: int):
+        def to_hash(batch: pa.Table) -> pa.Table:
+            h = _text_hash64(batch[text_col])
+            cols = {
+                "rkey": pa.array(
+                    ((h >> np.uint64(3)) % np.uint64(R)).astype(np.int64)
+                ),
+                "h": pa.array(h.view(np.int64)),
+                "side": pa.array(np.full(len(h), side, np.int8)),
+                id_col: batch[id_col],
+            }
+            for c in carry_cols:
+                cols[c] = batch[c] if side == 1 else pa.nulls(
+                    len(h), carry_types[c]
+                )
+            return pa.table(cols)
+
+        return to_hash
+
+    tagged = coalesce_for_shuffle(
+        old_ds.map_batches(tagger(0), batch_format="pyarrow").union(
+            new_ds.map_batches(tagger(1), batch_format="pyarrow")
+        ),
+        0.5,
+    )
+
+    def anti_in_reducer(g: pa.Table) -> pa.Table:
+        h = g["h"].to_numpy()
+        side = g["side"].to_numpy()
+        old = np.sort(h[side == 0])
+        keep = side == 1
+        if len(old):
+            nh = h[keep]
+            pos = np.searchsorted(old, nh)
+            hit = (pos < len(old)) & (old[np.minimum(pos, len(old) - 1)] == nh)
+            idx = np.flatnonzero(keep)[~hit]
+        else:
+            idx = np.flatnonzero(keep)
+        out = g.take(pa.array(idx))
+        return out.select([id_col, *carry_cols])
+
+    return tagged.groupby("rkey").map_groups(
+        anti_in_reducer, batch_format="pyarrow"
+    )
+
+
 # --- MinHash ----------------------------------------------------------------
 
 

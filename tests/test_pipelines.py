@@ -350,3 +350,64 @@ class TestContamination:
         pd.testing.assert_frame_equal(
             got[want.columns.tolist()], want, check_dtype=False
         )
+
+
+class TestSnapshotDelta:
+    def test_matches_bruteforce_and_partitioning(self):
+        import ray
+
+        from geo_index_ray.pipelines import dedup as dd
+
+        rng = np.random.default_rng(9)
+        # small text pool so old/new overlap is substantial
+        pool = [f"text body {i}" for i in range(40)]
+        old = pd.DataFrame(
+            {
+                "doc_id": np.arange(100),
+                "text": [pool[i] for i in rng.integers(0, 40, 100)],
+            }
+        )
+        new = pd.DataFrame(
+            {
+                "doc_id": np.arange(100, 220),
+                "text": [pool[i] for i in rng.integers(0, 60 - 20, 120)]
+                + [],
+            }
+        )
+        # make some new texts genuinely unseen
+        new.loc[new.index[:30], "text"] = [f"fresh {i}" for i in range(30)]
+        seen = set(old["text"])
+        want = sorted(new.loc[~new["text"].isin(seen), "doc_id"].tolist())
+        for blocks in (1, 6):
+            o = ray.data.from_pandas(old).repartition(blocks)
+            n = ray.data.from_pandas(new).repartition(blocks)
+            got = sorted(
+                dd.snapshot_delta(o, n, "doc_id").to_pandas()["doc_id"].tolist()
+            )
+            assert got == want
+
+    def test_carry_cols_and_new_side_dups_pass(self):
+        import ray
+
+        from geo_index_ray.pipelines import dedup as dd
+
+        old = pd.DataFrame({"doc_id": [1], "text": ["seen"]})
+        new = pd.DataFrame(
+            {
+                "doc_id": [2, 3, 4],
+                "text": ["fresh", "fresh", "seen"],
+                "src": ["a", "b", "c"],
+            }
+        )
+        out = (
+            dd.snapshot_delta(
+                ray.data.from_pandas(old),
+                ray.data.from_pandas(new),
+                "doc_id",
+                carry_cols=("src",),
+            )
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        # both new-side duplicates pass; the old-content match drops
+        assert out["doc_id"].tolist() == [2, 3]
+        assert out["src"].tolist() == ["a", "b"]
