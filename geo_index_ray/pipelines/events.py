@@ -1172,3 +1172,125 @@ def grouped_corr(ds, key_col: str, x_col: str, y_col: str):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def pivot_counts(ds, key_col: str, type_col: str, types: list[str],
+                 out_prefix: str = "n_", total_col: str = "n_total"):
+    """Wide reshape (pivot): one output row per key, one int64 count
+    column per ``types`` entry plus a total — the long→wide step every
+    per-entity feature table starts with.
+
+    Returns (key_col, {out_prefix}{type}..., total_col).  Types absent
+    for a key count 0; rows whose type is not in ``types`` still count
+    toward ``total_col`` (matching COUNT(*) FILTER semantics in SQL).
+
+    Scale shape: each block collapses to per-key partial counts with ONE
+    vectorized Arrow group_by (indicator columns are pc.equal + cast —
+    no Python per row), so the only all-to-all is a native Dataset
+    ``groupby(key).sum`` over partials whose row count is bounded by
+    keys-per-block, never events.  Column count scales with
+    ``len(types)`` — a pivot over an unbounded type domain should use
+    the long form (``tumbling_window`` / ``mode_per_key``) instead; the
+    wide form is for the bounded vocabularies (event kinds, languages)
+    a feature pipeline actually pivots on.
+    """
+    from ..stages.util import coalesce_for_shuffle
+
+    cnt_cols = [f"{out_prefix}{t}" for t in types] + [total_col]
+
+    def partials(batch: pa.Table) -> pa.Table:
+        tv = batch[type_col]
+        cols: dict[str, object] = {key_col: batch[key_col]}
+        for t, c in zip(types, cnt_cols):
+            cols[c] = pc.cast(pc.equal(tv, t), pa.int64())
+        cols[total_col] = pa.array(np.ones(len(batch), np.int64))
+        t = pa.table(cols)
+        agg = t.group_by(key_col).aggregate([(c, "sum") for c in cnt_cols])
+        return agg.rename_columns([key_col] + cnt_cols)
+
+    parts = coalesce_for_shuffle(
+        ds.map_batches(partials, batch_format="pyarrow"), 0.25
+    )
+    agg = parts.groupby(key_col).sum(cnt_cols)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        out = {key_col: batch[key_col]}
+        for c in cnt_cols:
+            out[c] = batch[f"sum({c})"]
+        return pa.table(out)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def running_sum(ds, key_col: str, ts_col: str, id_col: str, value_col: str,
+                out_col: str = "running_value", scale: int = 100):
+    """Per-key running (cumulative) sum of ``value_col`` in (ts, id)
+    order — the ordered-scan window function (SUM ... OVER (PARTITION BY
+    key ORDER BY ts ROWS UNBOUNDED PRECEDING)) behind balances, session
+    spend, and cumulative token budgets.
+
+    Returns (id_col, key_col, out_col float64) with one row per input
+    row.  Values are scaled to int64 (``round(value*scale)``) before
+    accumulation so the prefix sums are EXACT integers at any
+    distribution order, and the single final float op
+    (``int64 → float64 / scale``) is the identical IEEE sequence as the
+    SQL twin — hash-reproducible (same trick as grouped_corr /
+    spatial-lag cents).
+
+    Scale shape: a cumulative sum cannot pre-aggregate (every row is an
+    output), but it needs only KEY-LOCALITY, not global order: one lean
+    hash(key) exchange of (id, key, ts_us, cents) — 32 B/row — then each
+    reducer lexsorts ALL of its keys at once and computes every per-key
+    prefix sum with one np.cumsum minus a segment-start offset gather
+    (rule 3: no per-key Python).  Skew ceiling: a single key's full
+    history must fit one reducer — the same contract as SQL PARTITION BY.
+    """
+    from ..stages.util import coalesce_for_shuffle, reducer_count, rkey_of
+
+    R = reducer_count()
+
+    def lean(batch: pa.Table) -> pa.Table:
+        key = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        # caller contract: value has <= log10(scale) decimals, so v*scale
+        # sits ~1e-10 from integral and never at a .5 tie — np.round
+        # (half-even) and SQL ROUND (half-away) land the same integer
+        cents = np.round(v * scale).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                key_col: pa.array(key),
+                "tus": pa.array(_ts_us(batch[ts_col])),
+                "cents": pa.array(cents),
+                "rkey": pa.array(rkey_of(key, R)),
+            }
+        )
+
+    keyed = coalesce_for_shuffle(
+        ds.map_batches(lean, batch_format="pyarrow"), 0.25
+    )
+
+    def scan(g: pa.Table) -> pa.Table:
+        key = g[key_col].to_numpy(zero_copy_only=False)
+        tus = g["tus"].to_numpy(zero_copy_only=False)
+        eid = g[id_col].to_numpy(zero_copy_only=False)
+        cents = g["cents"].to_numpy(zero_copy_only=False)
+        perm = np.lexsort((eid, tus, key))
+        ks, cs = key[perm], cents[perm]
+        run = np.cumsum(cs)
+        new = np.empty(len(ks), dtype=bool)
+        new[:1] = True
+        new[1:] = ks[1:] != ks[:-1]
+        # value of `run` just before each segment start, gathered to rows
+        base = np.where(new, run - cs, 0)
+        start = np.maximum.accumulate(np.where(new, np.arange(len(ks)), 0))
+        cum = run - base[start]
+        return pa.table(
+            {
+                id_col: pa.array(eid[perm]),
+                key_col: pa.array(ks),
+                out_col: pa.array(cum.astype(np.float64) / float(scale)),
+            }
+        )
+
+    return keyed.groupby("rkey").map_groups(scan, batch_format="pyarrow")

@@ -238,3 +238,149 @@ def sql_ntile_bins(table: str, value_col: str, id_col: str, k: int) -> str:
                  AS bin
         FROM {table}
     """
+
+
+def _skyline_kernel(ids: np.ndarray, x: np.ndarray, y: np.ndarray):
+    """Boolean keep-mask of the 2-D Pareto frontier (minimize ``x``,
+    maximize ``y``) in original row order.  A row is dominated iff some
+    row has x' <= x and y' >= y with one inequality strict; duplicate
+    (x, y) points never dominate each other, so all survive together.
+
+    One lexsort (x asc, y desc): within an x-group the first row carries
+    the group max; a row survives iff its y beats the running max over
+    all STRICTLY cheaper groups AND equals its own group's max.
+    """
+    n = len(x)
+    keep = np.zeros(n, dtype=bool)
+    if n == 0:
+        return keep
+    if y.dtype.kind in "iu":
+        yk = y.astype(np.int64)
+        ydesc = np.bitwise_not(yk)  # exact at any magnitude
+        lo = np.iinfo(np.int64).min
+    else:
+        yk = y.astype(np.float64)
+        ydesc = -yk
+        lo = -np.inf
+    perm = np.lexsort((ids, ydesc, x))
+    xs, ys = x[perm], yk[perm]
+    new = np.empty(n, dtype=bool)
+    new[:1] = True
+    new[1:] = xs[1:] != xs[:-1]
+    gidx = np.cumsum(new) - 1
+    gmax = ys[new]
+    prev = np.empty(len(gmax), gmax.dtype)
+    prev[0] = lo
+    np.maximum.accumulate(gmax[:-1], out=prev[1:])
+    keep[perm] = (ys > prev[gidx]) & (ys == gmax[gidx])
+    return keep
+
+
+def skyline(ds, id_col: str, min_col: str, max_col: str):
+    """2-D skyline (Pareto frontier): rows not dominated on
+    (minimize ``min_col``, maximize ``max_col``) — the cheapest-for-its-
+    quality query behind price/performance sweeps and data-mixture
+    frontier picks.  Returns (id_col, min_col, max_col).
+
+    Scale shape: dominance is transitive through the frontier, so each
+    block prunes LOCALLY first (every global skyline row survives its
+    own block's prune — nothing in the block dominates it) and only the
+    per-block frontiers — expected O(log block_rows) rows each on
+    independent dimensions — reach the single final prune, which runs
+    the identical kernel once over the candidate union.  The corpus is
+    read once and never shuffled; no driver-side loops.
+    """
+    cols = [id_col, min_col, max_col]
+
+    def local(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        x = batch[min_col].to_numpy(zero_copy_only=False)
+        y = batch[max_col].to_numpy(zero_copy_only=False)
+        return batch.select(cols).filter(pa.array(_skyline_kernel(ids, x, y)))
+
+    cand = ds.map_batches(local, batch_format="pyarrow").repartition(1)
+
+    def final(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        x = batch[min_col].to_numpy(zero_copy_only=False)
+        y = batch[max_col].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(_skyline_kernel(ids, x, y)))
+
+    return cand.map_batches(final, batch_format="pyarrow", batch_size=None)
+
+
+def mode_per_key(ds, key_col: str, value_col: str,
+                 out_val: str = "top_value", out_cnt: str = "cnt"):
+    """Per-key mode: the most frequent ``value_col`` for every key, ties
+    broken by the lexicographically smallest value (ROW_NUMBER ... ORDER
+    BY cnt DESC, value semantics).  Returns (key_col, out_val, out_cnt).
+
+    Scale shape: each block run-length-compresses to per-(key, value)
+    partial counts with one lexsort (no Python per row); one lean
+    hash(key) exchange of (key, value, cnt) partials — bounded by
+    distinct pairs per block, never rows; each reducer merges and ranks
+    ALL of its keys in two vectorized passes (rule 3).  Values are
+    factorized to sorted codes inside the reducer so the tie-break
+    compares integers, not strings, in the hot lexsort.
+    """
+    from ..stages.util import coalesce_for_shuffle, reducer_count, rkey_of
+
+    R = reducer_count()
+
+    def _compress(key: np.ndarray, vcode: np.ndarray, cnt: np.ndarray):
+        """Sum ``cnt`` over runs of equal (key, vcode); returns the
+        compressed (key, vcode, cnt) triple sorted by (key, vcode)."""
+        perm = np.lexsort((vcode, key))
+        ks, vs, cs = key[perm], vcode[perm], cnt[perm]
+        new = np.empty(len(ks), dtype=bool)
+        new[:1] = True
+        new[1:] = (ks[1:] != ks[:-1]) | (vs[1:] != vs[:-1])
+        seg = np.cumsum(new) - 1
+        # int64 scatter-add (np.bincount(weights=...) sums in float64,
+        # which silently loses exactness past 2^53)
+        sums = np.zeros(int(seg[-1]) + 1, np.int64)
+        np.add.at(sums, seg, cs)
+        return ks[new], vs[new], sums
+
+    def partial(batch: pa.Table) -> pa.Table:
+        key = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals, vcode = np.unique(
+            batch[value_col].to_numpy(zero_copy_only=False), return_inverse=True
+        )
+        ks, vs, cs = _compress(key, vcode, np.ones(len(key), np.int64))
+        return pa.table(
+            {
+                key_col: pa.array(ks),
+                value_col: pa.array(vals[vs]),
+                "cnt": pa.array(cs),
+                "rkey": pa.array(rkey_of(ks, R)),
+            }
+        )
+
+    parts = coalesce_for_shuffle(
+        ds.map_batches(partial, batch_format="pyarrow"), 0.25
+    )
+
+    def rank(g: pa.Table) -> pa.Table:
+        key = g[key_col].to_numpy(zero_copy_only=False)
+        vals, vcode = np.unique(
+            g[value_col].to_numpy(zero_copy_only=False), return_inverse=True
+        )
+        cnt = g["cnt"].to_numpy(zero_copy_only=False)
+        ks, vs, cs = _compress(key, vcode, cnt)
+        # (cnt desc, value asc) within key; first row per key wins
+        perm = np.lexsort((vs, np.bitwise_not(cs), ks))
+        ko = ks[perm]
+        first = np.empty(len(ko), dtype=bool)
+        first[:1] = True
+        first[1:] = ko[1:] != ko[:-1]
+        sel = perm[first]
+        return pa.table(
+            {
+                key_col: pa.array(ks[sel]),
+                out_val: pa.array(vals[vs[sel]]),
+                out_cnt: pa.array(cs[sel]),
+            }
+        )
+
+    return parts.groupby("rkey").map_groups(rank, batch_format="pyarrow")
