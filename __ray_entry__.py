@@ -1102,6 +1102,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["bpe_merges"] = bpe_merges
 
+    def lm_fluency(sf_dir):
+        """Corpus-trained bigram-LM fluency score per document (CCNet-style
+        filter) — integer-quantized add-one transition probabilities;
+        unigram table broadcast, bigram table met via string-keyed
+        hash_join, coarse-key per-doc reduce
+        (pipelines/text.lm_bigram_score)."""
+        ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        return text_pipe.lm_bigram_score(ds, "doc_id")
+
+    q["lm_fluency"] = lm_fluency
+
     # approximate sketches — deliberately NO oracle_sql() entries (the
     # driver records rows-only checks; exactness is pinned by the
     # error-bound + partition-invariance tests instead)
@@ -2711,6 +2722,7 @@ def oracle_sql() -> dict[str, str]:
     )
 
     sql["bpe_merges"] = text_pipe.sql_bpe_top_merges("documents", "text", k=20)
+    sql["lm_fluency"] = text_pipe.sql_lm_bigram_score("documents", "doc_id")
 
     sql["top_tokens_per_source"] = """
         WITH w AS (

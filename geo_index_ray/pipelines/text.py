@@ -1170,3 +1170,240 @@ SELECT {id_col}, k AS chunk_id,
        CAST(len(toks[k*{s}+1 : k*{s}+{size}]) AS BIGINT) AS n_tok
 FROM e
 """
+
+
+# -- bigram language-model fluency score (CCNet-style filter) ----------------
+
+
+def _doc_token_stream(batch: pa.Table, text_col: str):
+    """(doc_row, tokens) in document order — the shared tokenizer
+    (lower → ``\\s+`` split → drop empties) WITHOUT the tf aggregation of
+    :func:`_doc_term_tf`, so adjacency survives for n-gram models."""
+    col = batch[text_col]
+    words = pc.split_pattern_regex(pc.utf8_lower(col), r"\s+")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    flat = words.flatten()
+    parents = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+    wlens, _, _ = _string_views(flat)
+    nonempty = wlens > 0
+    toks = flat.filter(pa.array(nonempty))
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    return parents[nonempty], toks
+
+
+_LM_SEP = "\x1f"
+
+
+def lm_bigram_score(ds, id_col: str, text_col: str = "text",
+                    scale_bits: int = 20):
+    """Corpus-trained bigram language-model fluency score per document —
+    the CCNet-style "does this read like the rest of the corpus" filter,
+    with INTEGER-QUANTIZED add-one transition probabilities so the score
+    is hash-exact against the SQL oracle (no transcendentals, no
+    order-dependent float sums):
+
+        pq(w1 w2) = (2^scale_bits * (c(w1 w2) + 1)) // (c(w1) + V)
+        lm_score(doc) = Σ pq over the doc's bigram occurrences / n_bigrams
+
+    where c(·) are corpus occurrence counts and V is the distinct-unigram
+    vocabulary size.  Per-bigram pq ≤ 2^scale_bits (c(w1w2) ≤ c(w1)), the
+    per-doc sum is an exact int64, and the single final int/int division
+    is the only float op — bit-identical on both sides.  Valid while the
+    hottest bigram count stays below 2^(63-scale_bits) occurrences
+    (2^43 ≈ 8·10^12 at the default — beyond any real corpus term).
+
+    Output (id, n_bigrams, lm_score) for documents with ≥ 1 bigram
+    (single-token / empty docs have no transitions — inner-join
+    semantics, as in the oracle).
+
+    Scale shape: pass 1 reduces per-block unigram partials through a
+    vocabulary-bounded groupby and broadcasts (``ray.put``) the count
+    table — same documented trade as ``top_tfidf_terms``; at open-web
+    vocabulary (10⁸+ terms) swap for a term-keyed shuffle join.  The
+    BIGRAM count table (the side that grows with the corpus) is never
+    broadcast and never pinned: it stays a Dataset and meets the per-doc
+    occurrence rows in a string-keyed :func:`~..pipelines.relational.hash_join`
+    (lean slot exchange, hash routes / key rides).  The corpus is
+    tokenized twice (counts pass + scoring pass) rather than pinning a
+    corpus-sized intermediate.  Final per-doc reduce is a coarse-key
+    vectorized merge (rule 3).
+    """
+    import ray
+
+    from .relational import hash_join
+    from ..stages.util import coalesce_for_shuffle, reducer_count, rkey_of
+
+    scale = np.int64(1) << np.int64(scale_bits)
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        _, toks = _doc_token_stream(batch, text_col)
+        dic = pc.dictionary_encode(toks)
+        cnt = np.bincount(
+            dic.indices.to_numpy(zero_copy_only=False),
+            minlength=len(dic.dictionary),
+        ).astype(np.int64)
+        return pa.table({"term": dic.dictionary, "c": pa.array(cnt)})
+
+    uni = (
+        ds.map_batches(uni_partial, batch_format="pyarrow")
+        .groupby("term")
+        .sum("c")
+        .to_pandas()
+    )
+    V = np.int64(len(uni))
+    uni_ref = ray.put(
+        (
+            pa.array(uni["term"].tolist(), pa.string()),
+            uni["sum(c)"].to_numpy().astype(np.int64),
+        )
+    )
+
+    def _block_bigrams(batch: pa.Table):
+        """(doc_row, w1_tokens, bigram_strings) for one batch."""
+        rows, toks = _doc_token_stream(batch, text_col)
+        if len(toks) < 2:
+            e = pa.array([], pa.string())
+            return np.empty(0, np.int64), e, e
+        adj = pa.array(rows[1:] == rows[:-1])
+        w1 = toks.slice(0, len(toks) - 1).filter(adj)
+        w2 = toks.slice(1).filter(adj)
+        big = pc.binary_join_element_wise(w1, w2, _LM_SEP)
+        return rows[:-1][rows[1:] == rows[:-1]], w1, big
+
+    def big_partial(batch: pa.Table) -> pa.Table:
+        _, _, big = _block_bigrams(batch)
+        dic = pc.dictionary_encode(big)
+        cnt = np.bincount(
+            dic.indices.to_numpy(zero_copy_only=False),
+            minlength=len(dic.dictionary),
+        ).astype(np.int64)
+        return pa.table({"bigram": dic.dictionary, "cb": pa.array(cnt)})
+
+    cb_ds = (
+        coalesce_for_shuffle(
+            ds.map_batches(big_partial, batch_format="pyarrow"), 0.5
+        )
+        .groupby("bigram")
+        .sum("cb")
+        .map_batches(
+            lambda t: t.rename_columns(["bigram", "cb"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    def occ_stage(batch: pa.Table) -> pa.Table:
+        terms_bc, cnt_bc = ray.get(uni_ref)
+        drows, w1, big = _block_bigrams(batch)
+        dic = pc.dictionary_encode(big)
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = max(len(dic.dictionary), 1)
+        pair, first, occ = np.unique(
+            drows * vocab + codes, return_index=True, return_counts=True
+        )
+        prow, pcode = pair // vocab, pair % vocab
+        # c(w1) lookup from the broadcast unigram table (every pass-2
+        # token was counted in pass 1, so index_in always hits)
+        pos = pc.index_in(
+            w1.take(pa.array(first)), value_set=terms_bc
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col].take(pa.array(prow)),
+                "bigram": dic.dictionary.take(pa.array(pcode)),
+                "occ": pa.array(occ.astype(np.int64)),
+                "cu": pa.array(cnt_bc[pos]),
+            }
+        )
+
+    occ_ds = ds.map_batches(occ_stage, batch_format="pyarrow")
+    joined = hash_join(
+        occ_ds, cb_ds, "bigram", "bigram",
+        [id_col, "occ", "cu"], ["cb"], how="inner",
+    )
+
+    R = reducer_count()
+
+    def pq_partial(batch: pa.Table) -> pa.Table:
+        occ = batch["occ"].to_numpy(zero_copy_only=False)
+        cu = batch["cu"].to_numpy(zero_copy_only=False)
+        cb = batch["cb"].to_numpy(zero_copy_only=False)
+        pq = occ * ((scale * (cb + np.int64(1))) // (cu + V))
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        dic = pc.dictionary_encode(ids)
+        codes = dic.indices.to_numpy(zero_copy_only=False)
+        nk = len(dic.dictionary)
+        s = np.zeros(nk, dtype=np.int64)
+        nb = np.zeros(nk, dtype=np.int64)
+        np.add.at(s, codes, pq)
+        np.add.at(nb, codes, occ)
+        key = dic.dictionary
+        return pa.table(
+            {
+                id_col: key,
+                "s": pa.array(s),
+                "nb": pa.array(nb),
+                "rkey": pa.array(rkey_of(key, R)),
+            }
+        )
+
+    def final_many(g: pa.Table) -> pa.Table:
+        ids = g[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        dic = pc.dictionary_encode(ids)
+        codes = dic.indices.to_numpy(zero_copy_only=False)
+        nk = len(dic.dictionary)
+        s = np.zeros(nk, dtype=np.int64)
+        nb = np.zeros(nk, dtype=np.int64)
+        np.add.at(s, codes, g["s"].to_numpy(zero_copy_only=False))
+        np.add.at(nb, codes, g["nb"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                id_col: dic.dictionary,
+                "n_bigrams": pa.array(nb),
+                "lm_score": pa.array(s.astype(np.float64) / nb),
+            }
+        )
+
+    return (
+        coalesce_for_shuffle(
+            joined.map_batches(pq_partial, batch_format="pyarrow"), 0.5
+        )
+        .groupby("rkey")
+        .map_groups(final_many, batch_format="pyarrow")
+    )
+
+
+def sql_lm_bigram_score(table: str, id_col: str, scale_bits: int = 20) -> str:
+    """DuckDB twin of :func:`lm_bigram_score` — same tokenizer, same
+    integer-quantized add-one bigram probability, same single final
+    division."""
+    scale = 1 << scale_bits
+    return f"""
+WITH toks AS (
+  SELECT {id_col},
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS l
+  FROM {table}
+),
+w AS (SELECT {id_col}, unnest(l) AS term FROM toks),
+bg AS (
+  SELECT {id_col}, l[i] AS w1, l[i] || chr(31) || l[i+1] AS bigram
+  FROM toks, unnest(range(1, len(l))) AS r(i)
+),
+cu AS (SELECT term, COUNT(*) AS c FROM w GROUP BY 1),
+vv AS (SELECT COUNT(*) AS v FROM cu),
+cb AS (SELECT bigram, COUNT(*) AS c FROM bg GROUP BY 1),
+pq AS (
+  SELECT bg.{id_col},
+         ({scale} * (cb.c + 1)) // (cu.c + vv.v) AS pq
+  FROM bg JOIN cb USING (bigram) JOIN cu ON bg.w1 = cu.term CROSS JOIN vv
+)
+SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(pq) AS DOUBLE) / COUNT(*) AS lm_score
+FROM pq GROUP BY {id_col}
+"""
