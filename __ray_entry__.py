@@ -32,6 +32,7 @@ from geo_index_ray.pipelines import ranking as rank_pipe
 from geo_index_ray.pipelines import spatial_join as sj
 from geo_index_ray.pipelines import text as text_pipe
 from geo_index_ray.pipelines import tiling
+from geo_index_ray.pipelines import trajectory as traj_pipe
 from geo_index_ray.pipelines import webtext as webtext_pipe
 from geo_index_ray.sources import tables
 
@@ -1112,6 +1113,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return text_pipe.lm_bigram_score(ds, "doc_id")
 
     q["lm_fluency"] = lm_fluency
+
+    def trajectory_stats(sf_dir):
+        """Per-user movement summary on the integer milli-degree grid —
+        exact int64 squared-leg sums + GPS-jump max leg, one shuffle
+        under hash(user) (pipelines/trajectory.trajectory_stats)."""
+        ds = tables.read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+        return traj_pipe.trajectory_stats(ds)
+
+    q["trajectory_stats"] = trajectory_stats
+
+    def od_cell_matrix(sf_dir):
+        """Origin–destination flow matrix: consecutive-event cell
+        transitions at res 3 over all users
+        (pipelines/trajectory.od_matrix)."""
+        ds = tables.read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+        return traj_pipe.od_matrix(ds, res=3)
+
+    q["od_cell_matrix"] = od_cell_matrix
+
+    def dwell_segments(sf_dir):
+        """Stay-point runs: maximal same-cell consecutive-event segments
+        per user at res 2 with exact µs durations
+        (pipelines/trajectory.dwell_segments)."""
+        ds = tables.read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+        return traj_pipe.dwell_segments(ds, res=2)
+
+    q["dwell_segments"] = dwell_segments
 
     # approximate sketches — deliberately NO oracle_sql() entries (the
     # driver records rows-only checks; exactness is pinned by the
@@ -2723,6 +2751,9 @@ def oracle_sql() -> dict[str, str]:
 
     sql["bpe_merges"] = text_pipe.sql_bpe_top_merges("documents", "text", k=20)
     sql["lm_fluency"] = text_pipe.sql_lm_bigram_score("documents", "doc_id")
+    sql["trajectory_stats"] = traj_pipe.sql_trajectory_stats("events")
+    sql["od_cell_matrix"] = traj_pipe.sql_od_matrix("events", res=3)
+    sql["dwell_segments"] = traj_pipe.sql_dwell_segments("events", res=2)
 
     sql["top_tokens_per_source"] = """
         WITH w AS (

@@ -29,6 +29,21 @@ def derive_lat(key) -> np.ndarray:
     return ((key * _LAT_MULT) % _MOD) % 170000 / 1000.0 - 85.0
 
 
+def derive_ilon_md(key) -> np.ndarray:
+    """Integer milli-degree longitude offset (``(lon + 180) * 1000`` as an
+    exact int64 in [0, 360000)) — the grid :func:`derive_lon` scales from.
+    Trajectory operators sum SQUARED leg lengths on this grid so per-leg
+    terms are exact int64 (order-independent, hash-exact vs SQL)."""
+    key = np.asarray(key, dtype=np.int64)
+    return ((key * _LON_MULT) % _MOD) % 360000
+
+
+def derive_ilat_md(key) -> np.ndarray:
+    """Integer milli-degree latitude offset (``(lat + 85) * 1000``)."""
+    key = np.asarray(key, dtype=np.int64)
+    return ((key * _LAT_MULT) % _MOD) % 170000
+
+
 def derive_half_w(key) -> np.ndarray:
     key = np.asarray(key, dtype=np.int64)
     return (key % 97) / 100.0 + 0.05
@@ -48,6 +63,14 @@ def sql_lon(expr: str) -> str:
 
 def sql_lat(expr: str) -> str:
     return f"(((({expr}) * {_LAT_MULT}) % {_MOD}) % 170000 / 1000.0 - 85.0)"
+
+
+def sql_ilon_md(expr: str) -> str:
+    return f"(((({expr}) * {_LON_MULT}) % {_MOD}) % 360000)"
+
+
+def sql_ilat_md(expr: str) -> str:
+    return f"(((({expr}) * {_LAT_MULT}) % {_MOD}) % 170000)"
 
 
 def sql_half_w(expr: str) -> str:
