@@ -1141,6 +1141,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["dwell_segments"] = dwell_segments
 
+    def normalized_dedup(sf_dir):
+        """Exact dedup after lowercase/punctuation/whitespace
+        normalization — catches re-encoded mirrors raw exact dedup
+        misses (pipelines/dedup.normalized_dedup)."""
+        ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        return dedup_pipe.normalized_dedup(ds, "doc_id")
+
+    q["normalized_dedup"] = normalized_dedup
+
+    def top_collocations(sf_dir):
+        """Corpus top-30 collocations by integer-quantized PMI
+        (min bigram count 5) — staged floor divisions, hash-exact
+        ranking (pipelines/text.top_collocations)."""
+        ds = tables.read_table(sf_dir, "documents", columns=["text"])
+        return text_pipe.top_collocations(ds, k=30, min_count=5)
+
+    q["top_collocations"] = top_collocations
+
     # approximate sketches — deliberately NO oracle_sql() entries (the
     # driver records rows-only checks; exactness is pinned by the
     # error-bound + partition-invariance tests instead)
@@ -2754,6 +2772,10 @@ def oracle_sql() -> dict[str, str]:
     sql["trajectory_stats"] = traj_pipe.sql_trajectory_stats("events")
     sql["od_cell_matrix"] = traj_pipe.sql_od_matrix("events", res=3)
     sql["dwell_segments"] = traj_pipe.sql_dwell_segments("events", res=2)
+    sql["normalized_dedup"] = dedup_pipe.sql_normalized_dedup("documents", "doc_id")
+    sql["top_collocations"] = text_pipe.sql_top_collocations(
+        "documents", k=30, min_count=5
+    )
 
     sql["top_tokens_per_source"] = """
         WITH w AS (

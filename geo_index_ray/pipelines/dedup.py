@@ -1456,3 +1456,47 @@ def fuzzy_ed1_pairs(ds, id_col: str, text_col: str = "text",
         )
 
     return verify_pairs(pairs, payload, id_col, "key", pa.string(), verify_red)
+
+
+_NORM_PATTERN = r"[^a-z0-9]+"
+
+
+def normalized_dedup(ds, id_col: str, text_col: str = "text"):
+    """Exact dedup AFTER lexical normalization — lowercase, collapse every
+    non-alphanumeric run to one space, trim.  Catches the near-duplicates
+    that differ only in case, punctuation, or whitespace (re-encoded
+    mirrors, print views), which raw :func:`exact_dedup` misses.
+
+    Returns (keep_id = min id, n_dups) per distinct NORMALIZED text —
+    SQL twin groups by ``trim(regexp_replace(lower(text), '[^a-z0-9]+',
+    ' ', 'g'), ' ')`` (Arrow and DuckDB both run RE2, so the
+    normalization is byte-identical on both sides).
+
+    Scale shape: normalization is three zero-copy Arrow kernels inside
+    the same ``map_batches`` that hashes; everything downstream is
+    :func:`exact_dedup`'s (id, hash)-only exchange.
+    """
+    import pyarrow.compute as _pc
+
+    def norm(batch: pa.Table) -> pa.Table:
+        t = _pc.utf8_trim(
+            _pc.replace_substring_regex(
+                _pc.utf8_lower(batch[text_col]), _NORM_PATTERN, " "
+            ),
+            " ",
+        )
+        return pa.table({id_col: batch[id_col], text_col: t})
+
+    return exact_dedup(
+        ds.map_batches(norm, batch_format="pyarrow"), id_col, text_col
+    )
+
+
+def sql_normalized_dedup(table: str, id_col: str, text_col: str = "text") -> str:
+    """DuckDB twin of :func:`normalized_dedup`."""
+    return f"""
+        SELECT MIN({id_col}) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_dups
+        FROM {table}
+        GROUP BY trim(regexp_replace(lower({text_col}),
+                                     '{_NORM_PATTERN}', ' ', 'g'), ' ')
+    """

@@ -1407,3 +1407,177 @@ SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
        CAST(SUM(pq) AS DOUBLE) / COUNT(*) AS lm_score
 FROM pq GROUP BY {id_col}
 """
+
+
+# -- PMI collocations ---------------------------------------------------------
+
+
+def top_collocations(ds, text_col: str = "text", k: int = 30,
+                     min_count: int = 5, scale_bits: int = 20):
+    """Corpus top-k collocations: adjacent word pairs ranked by
+    INTEGER-QUANTIZED pointwise mutual information,
+
+        pmi_q = ((2^scale_bits * c12) // c1 * N) // c2
+
+    (c1/c2/c12 = corpus unigram/bigram occurrence counts, N = total token
+    occurrences) — the staged floor divisions are deterministic on both
+    sides, so the ranking is hash-exact against the SQL twin with no
+    transcendentals.  Overflow audit: ``(2^b * c12) // c1 ≤ 2^b`` (since
+    c12 ≤ c1), so the second product ≤ 2^b·N — exact int64 while
+    N < 2^43 ≈ 8·10¹² tokens.
+
+    Returns (w1, w2, c12, pmi_q, rnk) for pairs with c12 ≥ ``min_count``,
+    ROW_NUMBER semantics (pmi_q DESC, w1, w2).
+
+    Scale shape: unigram table vocabulary-bounded, reduced via groupby
+    then broadcast once (``ray.put``) — the ``top_tfidf_terms`` trade;
+    bigram counts reduce under ``groupby(w1, w2)`` (pair-vocabulary-sized,
+    already min_count-filtered per-block partials would under-count, so
+    the filter runs AFTER the global sum); final top-k is a tie-safe
+    block top-k + sort over surviving pair rows only.
+    """
+    import ray
+
+    scale = np.int64(1) << np.int64(scale_bits)
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        _, toks = _doc_token_stream(batch, text_col)
+        dic = pc.dictionary_encode(toks)
+        cnt = np.bincount(
+            dic.indices.to_numpy(zero_copy_only=False),
+            minlength=len(dic.dictionary),
+        ).astype(np.int64)
+        return pa.table({"term": dic.dictionary, "c": pa.array(cnt)})
+
+    uni = (
+        ds.map_batches(uni_partial, batch_format="pyarrow")
+        .groupby("term")
+        .sum("c")
+        .to_pandas()
+    )
+    cnts = uni["sum(c)"].to_numpy().astype(np.int64)
+    N = np.int64(cnts.sum())
+    uni_ref = ray.put((pa.array(uni["term"].tolist(), pa.string()), cnts))
+
+    def big_partial(batch: pa.Table) -> pa.Table:
+        rows, toks = _doc_token_stream(batch, text_col)
+        if len(toks) < 2:
+            e = pa.array([], pa.string())
+            return pa.table(
+                {"w1": e, "w2": e, "c12": pa.array([], pa.int64())}
+            )
+        adj = pa.array(rows[1:] == rows[:-1])
+        w1 = toks.slice(0, len(toks) - 1).filter(adj)
+        w2 = toks.slice(1).filter(adj)
+        big = pc.binary_join_element_wise(w1, w2, _LM_SEP)
+        dic = pc.dictionary_encode(big)
+        codes = dic.indices.to_numpy(zero_copy_only=False)
+        first = np.unique(codes, return_index=True)[1]
+        cnt = np.bincount(codes, minlength=len(dic.dictionary)).astype(np.int64)
+        # w1/w2 recovered at each pair's first occurrence — never by
+        # re-splitting the joined key (tokens may legally contain the
+        # separator byte; carrying the sides dodges the ambiguity)
+        codes_at_first = codes[first]
+        return pa.table(
+            {
+                "w1": w1.take(pa.array(first)),
+                "w2": w2.take(pa.array(first)),
+                "c12": pa.array(cnt[codes_at_first]),
+            }
+        )
+
+    totals = (
+        ds.map_batches(big_partial, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .sum("c12")
+        .map_batches(
+            lambda t: t.rename_columns(["w1", "w2", "c12"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    def pmi_stage(batch: pa.Table) -> pa.Table:
+        terms_bc, cnt_bc = ray.get(uni_ref)
+        c12 = batch["c12"].to_numpy(zero_copy_only=False)
+        keep = c12 >= min_count
+        batch = batch.filter(pa.array(keep))
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "w1": pa.array([], pa.string()),
+                    "w2": pa.array([], pa.string()),
+                    "c12": pa.array([], pa.int64()),
+                    "pmi_q": pa.array([], pa.int64()),
+                }
+            )
+        c12 = c12[keep]
+        p1 = pc.index_in(batch["w1"], value_set=terms_bc).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        p2 = pc.index_in(batch["w2"], value_set=terms_bc).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        pmi = (scale * c12) // cnt_bc[p1] * N // cnt_bc[p2]
+        return pa.table(
+            {
+                "w1": batch["w1"],
+                "w2": batch["w2"],
+                "c12": pa.array(c12),
+                "pmi_q": pa.array(pmi),
+            }
+        )
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        v = batch["pmi_q"].to_numpy()
+        if len(v) <= k:
+            return batch
+        kth = -np.partition(-v, k - 1)[k - 1]
+        return batch.filter(pa.array(v >= kth))  # ties survive to the sort
+
+    top = (
+        totals.map_batches(pmi_stage, batch_format="pyarrow")
+        .map_batches(block_topk, batch_format="pyarrow")
+        .sort(["pmi_q", "w1", "w2"], descending=[True, False, False])
+        .limit(k)
+    )
+
+    def add_rank(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "rnk", pa.array(np.arange(1, batch.num_rows + 1, dtype=np.int64))
+        )
+
+    return top.repartition(1).map_batches(add_rank, batch_format="pyarrow")
+
+
+def sql_top_collocations(table: str, text_col: str = "text", k: int = 30,
+                         min_count: int = 5, scale_bits: int = 20) -> str:
+    """DuckDB twin of :func:`top_collocations` — same tokenizer, same
+    staged integer floor divisions."""
+    scale = 1 << scale_bits
+    return f"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower({text_col}), '\\s+'),
+                     x -> x <> '') AS l
+  FROM {table}
+),
+w AS (SELECT unnest(l) AS term FROM toks),
+nn AS (SELECT COUNT(*) AS n FROM w),
+bg AS (
+  SELECT l[i] AS w1, l[i+1] AS w2
+  FROM toks, unnest(range(1, len(l))) AS r(i)
+),
+cu AS (SELECT term, COUNT(*) AS c FROM w GROUP BY 1),
+cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg
+       GROUP BY 1, 2 HAVING COUNT(*) >= {min_count}),
+pm AS (
+  SELECT cb.w1, cb.w2, cb.c12,
+         ({scale} * cb.c12) // u1.c * nn.n // u2.c AS pmi_q
+  FROM cb JOIN cu u1 ON cb.w1 = u1.term JOIN cu u2 ON cb.w2 = u2.term
+  CROSS JOIN nn
+)
+SELECT w1, w2, c12, pmi_q, rnk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY pmi_q DESC, w1, w2) AS BIGINT)
+            AS rnk
+  FROM pm
+) WHERE rnk <= {k}
+"""
