@@ -1159,6 +1159,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["top_collocations"] = top_collocations
 
+    def rknn_suppliers(sf_dir):
+        """Reverse-kNN influence counts: per supplier, how many customers
+        rank it among their 5 nearest — facility side broadcast once,
+        point side streams (pipelines/knn.rknn_counts)."""
+        supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+        sk = supp["s_suppkey"].to_numpy().astype(np.int64)
+        fxy = np.stack([geocode.derive_lon(sk), geocode.derive_lat(sk)], axis=1)
+        pts = tables.points_ds(sf_dir, "customer", "c_custkey")
+        return knn_pipe.rknn_counts(pts, fxy, sk, KNN_K, "s_suppkey")
+
+    q["rknn_suppliers"] = rknn_suppliers
+
     # approximate sketches — deliberately NO oracle_sql() entries (the
     # driver records rows-only checks; exactness is pinned by the
     # error-bound + partition-invariance tests instead)
@@ -2776,6 +2788,21 @@ def oracle_sql() -> dict[str, str]:
     sql["top_collocations"] = text_pipe.sql_top_collocations(
         "documents", k=30, min_count=5
     )
+    sql["rknn_suppliers"] = f"""
+        WITH c AS (SELECT c_custkey, {pt('c_custkey')} FROM customer),
+             s AS (SELECT s_suppkey, {pt('s_suppkey')} FROM supplier),
+             d AS (
+               SELECT s.s_suppkey,
+                      ROW_NUMBER() OVER (
+                        PARTITION BY c.c_custkey
+                        ORDER BY (s.x - c.x) * (s.x - c.x)
+                               + (s.y - c.y) * (s.y - c.y), s.s_suppkey
+                      ) AS rnk
+               FROM c CROSS JOIN s
+             )
+        SELECT s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_rknn
+        FROM d WHERE rnk <= {KNN_K} GROUP BY s_suppkey
+    """
 
     sql["top_tokens_per_source"] = """
         WITH w AS (

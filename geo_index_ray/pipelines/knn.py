@@ -331,3 +331,60 @@ def knn_to_boxes(targets_ds, query_xy: np.ndarray, k: int, id_col: str,
         candidates, "query_id", k, ["dist", "target_id"], [False, False],
         ["query_id", "target_id", "dist"],
     )
+
+
+def rknn_counts(points_ds, facility_xy: np.ndarray, facility_ids: np.ndarray,
+                k: int, out_id_col: str, x_col: str = "x", y_col: str = "y"):
+    """Reverse-kNN influence counts: for each facility, how many of the
+    streamed points rank it among their k nearest facilities — the
+    catchment / influence-set size (reference distance machinery:
+    src/rtree/distance.rs; this inverts Q3's direction).
+
+    The FACILITY side is the broadcast side (facility sets — stores,
+    cells, depots — are bounded; the point side is the 100 TB side and
+    only streams).  Facilities ship once via ``ray.put``; each batch
+    computes a (batch × m) squared-distance matrix and takes each row's
+    k smallest by (dist, facility_id) via a stable argsort over
+    id-ordered columns, so boundary ties resolve EXACTLY like the SQL
+    ``ROW_NUMBER() OVER (ORDER BY dist, id)`` twin.  Per-batch bincount
+    partials mean the exchange carries at most m rows per block; the
+    final reduce is a facility-keyed groupby sum.
+
+    Memory: the distance matrix is 8·batch·m bytes — at m = 10⁵
+    facilities use batch_size ≲ 1024 (800 MB); beyond that, swap the
+    brute stage for the partitioned-index path.
+    """
+    import ray
+
+    order = np.argsort(np.asarray(facility_ids, dtype=np.int64), kind="stable")
+    fxy = np.ascontiguousarray(np.asarray(facility_xy, np.float64)[order])
+    fids = np.asarray(facility_ids, dtype=np.int64)[order]
+    fac_ref = ray.put((fxy, fids))
+    m = len(fids)
+    kk = min(k, m)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        fxy_b, fids_b = ray.get(fac_ref)
+        x = batch[x_col].to_numpy(zero_copy_only=False)
+        y = batch[y_col].to_numpy(zero_copy_only=False)
+        dx = x[:, None] - fxy_b[None, :, 0]
+        dy = y[:, None] - fxy_b[None, :, 1]
+        d = dx * dx + dy * dy
+        # columns are pre-sorted by facility id, so a STABLE argsort on
+        # dist alone realizes the (dist, id) tie order
+        top = np.argsort(d, axis=1, kind="stable")[:, :kk]
+        cnt = np.bincount(top.ravel(), minlength=m).astype(np.int64)
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {out_id_col: pa.array(fids_b[nz]), "n": pa.array(cnt[nz])}
+        )
+
+    return (
+        points_ds.map_batches(stage, batch_format="pyarrow")
+        .groupby(out_id_col)
+        .sum("n")
+        .map_batches(
+            lambda t: t.rename_columns([out_id_col, "n_rknn"]),
+            batch_format="pyarrow",
+        )
+    )
