@@ -1171,6 +1171,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["rknn_suppliers"] = rknn_suppliers
 
+    def value_hour_regression(sf_dir):
+        """Per-event-type OLS fit of value (cents) on hour-of-day —
+        integer moments, hash-exact slope/intercept
+        (pipelines/events.grouped_regression)."""
+        ds = tables.read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            tus = events_pipe._ts_us(b["ts"])
+            cents = np.round(b["value"].to_numpy() * 100).astype(np.int64)
+            return pa.table(
+                {
+                    "event_type": b["event_type"],
+                    "hour": pa.array((tus // 3_600_000_000) % 24),
+                    "cents": pa.array(cents),
+                }
+            )
+
+        return events_pipe.grouped_regression(
+            ds.map_batches(prep, batch_format="pyarrow"),
+            "event_type", "hour", "cents",
+        )
+
+    q["value_hour_regression"] = value_hour_regression
+
     # approximate sketches — deliberately NO oracle_sql() entries (the
     # driver records rows-only checks; exactness is pinned by the
     # error-bound + partition-invariance tests instead)
@@ -2802,6 +2826,32 @@ def oracle_sql() -> dict[str, str]:
              )
         SELECT s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_rknn
         FROM d WHERE rnk <= {KNN_K} GROUP BY s_suppkey
+    """
+
+    sql["value_hour_regression"] = """
+        WITH m AS (
+          SELECT event_type, COUNT(*) AS n,
+                 SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * x) AS sxx, SUM(x * y) AS sxy
+          FROM (SELECT event_type,
+                       (epoch_us(ts) // 3600000000) % 24 AS x,
+                       CAST(ROUND(value * 100) AS BIGINT) AS y
+                FROM events)
+          GROUP BY 1
+        )
+        SELECT event_type, n,
+               CASE WHEN n * sxx - sx * sx <= 0 THEN NULL
+                    ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE)
+               END AS slope,
+               CASE WHEN n * sxx - sx * sx <= 0 THEN NULL
+                    ELSE (CAST(sy AS DOUBLE)
+                          - (CAST(n * sxy - sx * sy AS DOUBLE)
+                             / CAST(n * sxx - sx * sx AS DOUBLE))
+                            * CAST(sx AS DOUBLE))
+                         / CAST(n AS DOUBLE)
+               END AS intercept
+        FROM m
     """
 
     sql["top_tokens_per_source"] = """

@@ -1294,3 +1294,87 @@ def running_sum(ds, key_col: str, ts_col: str, id_col: str, value_col: str,
         )
 
     return keyed.groupby("rkey").map_groups(scan, batch_format="pyarrow")
+
+
+def grouped_regression(ds, key_col: str, x_col: str, y_col: str):
+    """Exact per-key OLS fit y = slope·x + intercept of two int64 columns.
+
+    Same integer-moment machinery as :func:`grouped_corr` (per-batch
+    Arrow group_by partials → native groupby sum → vectorized finisher):
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+        intercept = (Σy − slope·Σx) / n
+
+    Every moment is an exact int64 (with the same big-int fallback past
+    2⁶² in the final products), and the float ops run the identical IEEE
+    sequence as the SQL twin — hash-exact.  Zero x-variance → NULL
+    slope/intercept.  Returns (key, n, slope, intercept).
+    """
+
+    def partials(batch: pa.Table) -> pa.Table:
+        x = batch[x_col].to_numpy().astype(np.int64)
+        y = batch[y_col].to_numpy().astype(np.int64)
+        t = pa.table(
+            {
+                key_col: batch[key_col],
+                "n": pa.array(np.ones(len(x), np.int64)),
+                "sx": pa.array(x),
+                "sy": pa.array(y),
+                "sxx": pa.array(x * x),
+                "sxy": pa.array(x * y),
+            }
+        )
+        agg = t.group_by(key_col).aggregate(
+            [(c, "sum") for c in ("n", "sx", "sy", "sxx", "sxy")]
+        )
+        return agg.rename_columns([key_col, "n", "sx", "sy", "sxx", "sxy"])
+
+    from ..stages.util import coalesce_for_shuffle
+
+    parts = coalesce_for_shuffle(
+        ds.map_batches(partials, batch_format="pyarrow"), 0.25
+    )
+    agg = parts.groupby(key_col).sum(["n", "sx", "sy", "sxx", "sxy"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cols = {c: batch[f"sum({c})"].to_numpy() for c in
+                ("n", "sx", "sy", "sxx", "sxy")}
+        n, sx, sy, sxx, sxy = (cols[c] for c in ("n", "sx", "sy", "sxx", "sxy"))
+        lim = float(2**62)
+        safe = bool(
+            (
+                (n.astype(np.float64) * sxx.astype(np.float64) < lim)
+                & (np.abs(sx.astype(np.float64) * sy.astype(np.float64)) < lim)
+                & (np.abs(sx.astype(np.float64) * sxx.astype(np.float64))
+                   < lim)
+            ).all()
+        )
+        if safe:
+            numf = (n * sxy - sx * sy).astype(np.float64)
+            vxf = (n * sxx - sx * sx).astype(np.float64)
+        else:
+            k = len(n)
+            numf = np.empty(k)
+            vxf = np.empty(k)
+            for i in range(k):
+                N, SX = int(n[i]), int(sx[i])
+                numf[i] = float(N * int(sxy[i]) - SX * int(sy[i]))
+                vxf[i] = float(N * int(sxx[i]) - SX * SX)
+        mask = vxf <= 0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            slope = numf / vxf
+            intercept = (
+                sy.astype(np.float64) - slope * sx.astype(np.float64)
+            ) / n.astype(np.float64)
+        return pa.table(
+            {
+                key_col: batch[key_col],
+                "n": pa.array(n),
+                "slope": pa.array(np.where(mask, np.nan, slope), mask=mask),
+                "intercept": pa.array(
+                    np.where(mask, np.nan, intercept), mask=mask
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
