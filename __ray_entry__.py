@@ -1195,6 +1195,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["value_hour_regression"] = value_hour_regression
 
+    def user_active_us(sf_dir):
+        """Per-user union-coverage of activity windows [ts, ts + 10ms ×
+        value-cents) — overlaps counted once, exact µs
+        (pipelines/events.interval_union one-sweep reducer)."""
+        ds = tables.read_table(sf_dir, "events", columns=["ts", "user_id", "value"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            tus = events_pipe._ts_us(b["ts"])
+            cents = np.round(b["value"].to_numpy() * 100).astype(np.int64)
+            return pa.table(
+                {
+                    "user_id": b["user_id"],
+                    "s": pa.array(tus),
+                    "e": pa.array(tus + cents * 10_000),
+                }
+            )
+
+        return events_pipe.interval_union(
+            ds.map_batches(prep, batch_format="pyarrow"), "user_id", "s", "e"
+        )
+
+    q["user_active_us"] = user_active_us
+
     # approximate sketches — deliberately NO oracle_sql() entries (the
     # driver records rows-only checks; exactness is pinned by the
     # error-bound + partition-invariance tests instead)
@@ -2853,6 +2876,14 @@ def oracle_sql() -> dict[str, str]:
                END AS intercept
         FROM m
     """
+
+    sql["user_active_us"] = events_pipe.sql_interval_union(
+        """SELECT user_id, epoch_us(ts) AS s,
+                  epoch_us(ts) + CAST(ROUND(value * 100) AS BIGINT) * 10000
+                    AS e
+           FROM events""",
+        "user_id",
+    )
 
     sql["top_tokens_per_source"] = """
         WITH w AS (

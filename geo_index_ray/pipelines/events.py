@@ -1378,3 +1378,103 @@ def grouped_regression(ds, key_col: str, x_col: str, y_col: str):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def interval_union(ds, key_col: str, start_col: str, end_col: str):
+    """Per-key UNION length of half-open intervals [s, e) — "how long was
+    this entity actually active", with overlaps counted once (coverage
+    aggregation; touching intervals merge).  Returns
+    (key, n_intervals, covered) — covered is an exact int64 in the input
+    unit, so the result hash-matches the SQL gaps-and-islands twin.
+
+    Scale shape: one 32 B/row (rkey, key, s, e) exchange under
+    hash(key); each reducer runs ONE vectorized sweep over all its keys
+    at once — +1/−1 boundary events, a global cumsum minus segment-start
+    offsets for the per-key active count (the invertible-scan reset
+    trick of :func:`running_sum`; max-based cummax would not reset this
+    way), and covered = Σ inter-event gaps where active > 0.  No per-key
+    Python at any key cardinality; skew ceiling = one key's intervals
+    fit one reducer (the SQL PARTITION BY contract).
+    """
+    from ..stages.util import coalesce_for_shuffle, reducer_count, rkey_of
+
+    R = reducer_count()
+
+    def lean(batch: pa.Table) -> pa.Table:
+        key = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                key_col: pa.array(key),
+                "s": batch[start_col],
+                "e": batch[end_col],
+                "rkey": pa.array(rkey_of(key, R)),
+            }
+        )
+
+    keyed = coalesce_for_shuffle(
+        ds.map_batches(lean, batch_format="pyarrow"), 0.25
+    )
+
+    def sweep(g: pa.Table) -> pa.Table:
+        k0 = g[key_col].to_numpy(zero_copy_only=False)
+        s = g["s"].to_numpy(zero_copy_only=False)
+        e = g["e"].to_numpy(zero_copy_only=False)
+        n = len(k0)
+        k2 = np.concatenate([k0, k0])
+        pos = np.concatenate([s, e])
+        delta = np.concatenate(
+            [np.ones(n, np.int64), np.full(n, -1, np.int64)]
+        )
+        order = np.lexsort((pos, k2))
+        k2, pos, delta = k2[order], pos[order], delta[order]
+        newk = np.r_[True, k2[1:] != k2[:-1]]
+        starts = np.nonzero(newk)[0]
+        run = np.cumsum(delta)
+        base = np.where(starts > 0, run[starts - 1], 0)
+        act = run - np.repeat(base, np.diff(np.r_[starts, len(k2)]))
+        gap = pos[1:] - pos[:-1]
+        hot = (act[:-1] > 0) & (k2[1:] == k2[:-1])
+        codes = np.cumsum(newk) - 1
+        nk = len(starts)
+        covered = np.zeros(nk, dtype=np.int64)
+        np.add.at(covered, codes[:-1][hot], gap[hot])
+        cnt = np.zeros(nk, dtype=np.int64)
+        np.add.at(cnt, codes[delta > 0], 1)
+        return pa.table(
+            {
+                key_col: pa.array(k2[starts]),
+                "n_intervals": pa.array(cnt),
+                "covered": pa.array(covered),
+            }
+        )
+
+    return keyed.groupby("rkey").map_groups(sweep, batch_format="pyarrow")
+
+
+def sql_interval_union(intervals_cte: str, key_col: str) -> str:
+    """DuckDB twin of :func:`interval_union` — ``intervals_cte`` must
+    yield (key, s, e); islands merge when the next start does not pass
+    the running max end (touching intervals merge, as in the sweep)."""
+    return f"""
+WITH iv AS ({intervals_cte}),
+o AS (
+  SELECT *, MAX(e) OVER (PARTITION BY {key_col} ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS pm
+  FROM iv
+),
+i AS (SELECT *, CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS brk
+      FROM o),
+g AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY {key_col} ORDER BY s, e
+                           ROWS UNBOUNDED PRECEDING) AS isl
+  FROM i
+),
+isl AS (
+  SELECT {key_col}, isl, COUNT(*) AS cnt, MAX(e) - MIN(s) AS len
+  FROM g GROUP BY 1, 2
+)
+SELECT {key_col}, CAST(SUM(cnt) AS BIGINT) AS n_intervals,
+       CAST(SUM(len) AS BIGINT) AS covered
+FROM isl GROUP BY {key_col}
+"""
