@@ -1218,6 +1218,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["user_active_us"] = user_active_us
 
+    def negative_parts(sf_dir):
+        """Deterministic negative sampling for a recommender training
+        set: per customer, 5 parts they never ordered, regenerable by
+        the oracle (pipelines/ranking.negative_samples — LCG candidates,
+        packed-key anti hash_join, slot-ranked survivors)."""
+        from geo_index_ray.pipelines import relational
+
+        orders = tables.read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+        li = tables.read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+        pos = relational.hash_join(
+            orders, li, "o_orderkey", "l_orderkey",
+            ["o_custkey"], ["l_partkey"], how="inner",
+        )
+        n_items = pq.ParquetFile(f"{sf_dir}/part.parquet").metadata.num_rows
+        return rank_pipe.negative_samples(
+            pos, "o_custkey", "l_partkey", n_items, k=5
+        )
+
+    q["negative_parts"] = negative_parts
+
     # approximate sketches — deliberately NO oracle_sql() entries (the
     # driver records rows-only checks; exactness is pinned by the
     # error-bound + partition-invariance tests instead)
@@ -2876,6 +2896,12 @@ def oracle_sql() -> dict[str, str]:
                END AS intercept
         FROM m
     """
+
+    sql["negative_parts"] = rank_pipe.sql_negative_samples(
+        """SELECT o_custkey AS u, l_partkey AS it
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey""",
+        "o_custkey", "l_partkey", "(SELECT COUNT(*) FROM part)", k=5,
+    )
 
     sql["user_active_us"] = events_pipe.sql_interval_union(
         """SELECT user_id, epoch_us(ts) AS s,

@@ -384,3 +384,105 @@ def mode_per_key(ds, key_col: str, value_col: str,
         )
 
     return parts.groupby("rkey").map_groups(rank, batch_format="pyarrow")
+
+
+_NS_A = 48271    # MINSTD — same public LCG family as functions/geocode
+_NS_B = 16807
+_NS_MOD = 2147483647
+
+
+def negative_samples(pos_ds, user_col: str, item_col: str, n_items: int,
+                     k: int, m_factor: int = 4):
+    """Deterministic negative sampling for recommender / contrastive
+    training sets: for every user in ``pos_ds`` (a (user, item) positives
+    Dataset), emit up to ``k`` items the user did NOT interact with,
+    reproducibly — the same (user, item, rnk) rows on every run, cluster
+    layout, and engine, so the SQL oracle can regenerate them.
+
+    Candidates come from a keyed LCG, ``item = 1 + ((u·A + (slot+1)·B)
+    mod 2³¹−1) mod n_items`` for slot = 0..m−1 (m = m_factor·k); each
+    user's duplicate candidate items collapse to their smallest slot
+    (one np.unique — all of a user's slots are generated in one batch
+    row-expansion); positives are removed with the lean anti
+    :func:`~.relational.hash_join` on the packed key ``u·n_items +
+    item``; survivors rank by slot via :func:`~..stages.util.topk_per_group`.
+    Users whose m candidates all collide with positives yield < k rows —
+    identically on both sides.
+
+    Bounds (documented, asserted): ``u·n_items`` and ``u·A`` must fit
+    int64 — u < 2⁶³/max(n_items, A) (10⁹ users × 10⁷ items is fine).
+
+    Scale shape: positives stream once into the distinct-user groupby
+    and once into the anti-join; candidates are m rows per DISTINCT user
+    (never per event); nothing is broadcast.
+    """
+    from ..stages.util import topk_per_group
+    from .relational import hash_join
+
+    m = m_factor * k
+    users = pos_ds.groupby(user_col).count()
+
+    def expand(batch: pa.Table) -> pa.Table:
+        u = batch[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        uu = np.repeat(u, m)
+        slot = np.tile(np.arange(m, dtype=np.int64), len(u))
+        item = 1 + ((uu * _NS_A + (slot + 1) * _NS_B) % _NS_MOD) % n_items
+        packed = uu * np.int64(n_items) + item
+        order = np.lexsort((slot, packed))
+        pk = packed[order]
+        keep = np.r_[True, pk[1:] != pk[:-1]]  # min slot per (user, item)
+        sel = order[keep]
+        return pa.table(
+            {
+                user_col: pa.array(uu[sel]),
+                item_col: pa.array(item[sel]),
+                "slot": pa.array(slot[sel]),
+                "ck": pa.array(packed[sel]),
+            }
+        )
+
+    cands = users.map_batches(expand, batch_format="pyarrow")
+
+    def pos_key(batch: pa.Table) -> pa.Table:
+        u = batch[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        it = batch[item_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"ck": pa.array(u * np.int64(n_items) + it)})
+
+    pos_keys = pos_ds.map_batches(pos_key, batch_format="pyarrow")
+    surv = hash_join(
+        cands, pos_keys, "ck", "ck",
+        [user_col, item_col, "slot"], [], how="anti",
+    )
+    return topk_per_group(
+        surv, user_col, k, ["slot"], [False],
+        [user_col, item_col, "slot"], rank_col="rnk",
+    )
+
+
+def sql_negative_samples(pos_cte: str, user_col: str, item_col: str,
+                         n_items_sql: str, k: int, m_factor: int = 4) -> str:
+    """DuckDB twin of :func:`negative_samples`.  ``pos_cte`` yields
+    (u, it) positives; ``n_items_sql`` is a scalar subquery for the item
+    count."""
+    m = m_factor * k
+    return f"""
+WITH pos AS ({pos_cte}),
+np AS (SELECT {n_items_sql} AS n),
+uu AS (SELECT DISTINCT u FROM pos),
+cand AS (
+  SELECT uu.u, CAST(t.i AS BIGINT) AS slot,
+         1 + ((uu.u * {_NS_A} + (t.i + 1) * {_NS_B}) % {_NS_MOD}) % np.n
+           AS it
+  FROM uu CROSS JOIN np, unnest(range(0, {m})) AS t(i)
+),
+cd AS (SELECT u, it, MIN(slot) AS slot FROM cand GROUP BY 1, 2),
+surv AS (
+  SELECT cd.* FROM cd
+  WHERE NOT EXISTS (SELECT 1 FROM pos WHERE pos.u = cd.u AND pos.it = cd.it)
+)
+SELECT u AS {user_col}, it AS {item_col}, slot, rnk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY u ORDER BY slot)
+                 AS BIGINT) AS rnk
+  FROM surv
+) WHERE rnk <= {k}
+"""
