@@ -1238,6 +1238,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["negative_parts"] = negative_parts
 
+    def event_transitions(sf_dir):
+        """First-order Markov transition counts over event_type in each
+        user's (ts, id)-ordered stream — next-event-model training
+        aggregate (pipelines/trajectory.state_transitions)."""
+        ds = tables.read_table(
+            sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]
+        )
+        return traj_pipe.state_transitions(ds, "event_type")
+
+    q["event_transitions"] = event_transitions
+
     # approximate sketches — deliberately NO oracle_sql() entries (the
     # driver records rows-only checks; exactness is pinned by the
     # error-bound + partition-invariance tests instead)
@@ -2896,6 +2907,10 @@ def oracle_sql() -> dict[str, str]:
                END AS intercept
         FROM m
     """
+
+    sql["event_transitions"] = traj_pipe.sql_state_transitions(
+        "events", "event_type"
+    )
 
     sql["negative_parts"] = rank_pipe.sql_negative_samples(
         """SELECT o_custkey AS u, l_partkey AS it

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions import geocode
 from ..kernels import cells as cellmod
@@ -290,4 +291,88 @@ SELECT {user_col}, CAST(seg AS BIGINT) AS seg_seq, cell,
        epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
 FROM g GROUP BY {user_col}, seg, cell
 HAVING COUNT(*) >= {min_events}
+"""
+
+
+def state_transitions(ds, state_col: str, user_col: str = "user_id",
+                      ts_col: str = "ts", key_col: str = "event_id"):
+    """First-order Markov transition counts over a categorical column:
+    how often does state A follow state B in a user's (ts, id)-ordered
+    stream — the training aggregate for next-event models and the
+    behavioral analogue of :func:`od_matrix` (which this generalizes to
+    string states).
+
+    Output (from_state, to_state, n_trans), exact int64.  Per-reducer
+    partials dictionary-encode each side and count packed code pairs in
+    one np.unique; only (state, state, n) rows — state-vocabulary
+    bounded — cross the second exchange.
+    """
+    from ..stages.util import coalesce_for_shuffle, reducer_count, rkey_of
+
+    R = reducer_count()
+
+    def project(batch: pa.Table) -> pa.Table:
+        uid = batch[user_col]
+        return pa.table(
+            {
+                "rkey": pa.array(rkey_of(uid, R)),
+                user_col: uid,
+                "tus": pa.array(_ts_us(batch[ts_col])),
+                key_col: batch[key_col],
+                state_col: batch[state_col],
+            }
+        )
+
+    lean = coalesce_for_shuffle(
+        ds.map_batches(project, batch_format="pyarrow"), 0.25
+    )
+
+    def reducer(g: pa.Table) -> pa.Table:
+        uid = g[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        tus = g["tus"].to_numpy(zero_copy_only=False)
+        eid = g[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, tus, uid))
+        u = uid[order]
+        st = g[state_col]
+        if isinstance(st, pa.ChunkedArray):
+            st = st.combine_chunks()
+        st = st.take(pa.array(order))
+        dic = pc.dictionary_encode(st)
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        same = u[1:] == u[:-1]
+        frm = codes[:-1][same]
+        to = codes[1:][same]
+        nv = np.int64(max(len(dic.dictionary), 1))
+        pair, n = np.unique(frm * nv + to, return_counts=True)
+        return pa.table(
+            {
+                "from_state": dic.dictionary.take(pa.array(pair // nv)),
+                "to_state": dic.dictionary.take(pa.array(pair % nv)),
+                "n": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    partials = lean.groupby("rkey").map_groups(reducer, batch_format="pyarrow")
+    return (
+        partials.groupby(["from_state", "to_state"])
+        .sum("n")
+        .map_batches(
+            lambda t: t.rename_columns(["from_state", "to_state", "n_trans"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def sql_state_transitions(table: str, state_col: str,
+                          user_col: str = "user_id",
+                          key_col: str = "event_id") -> str:
+    return f"""
+WITH l AS (
+  SELECT LAG({state_col}) OVER (PARTITION BY {user_col}
+                                ORDER BY ts, {key_col}) AS from_state,
+         {state_col} AS to_state
+  FROM {table}
+)
+SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n_trans
+FROM l WHERE from_state IS NOT NULL GROUP BY 1, 2
 """

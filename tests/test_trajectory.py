@@ -121,3 +121,46 @@ class TestDwellSegments:
             big[key].sort_values(key).reset_index(drop=True),
             filtered[key].sort_values(key).reset_index(drop=True),
         )
+
+
+class TestStateTransitions:
+    def test_matches_sql_twin(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from geo_index_ray.pipelines.trajectory import (
+            sql_state_transitions,
+            state_transitions,
+        )
+
+        rng = np.random.default_rng(17)
+        n = 500
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(1, n + 1, dtype=np.int64),
+                "user_id": rng.integers(1, 15, n).astype(np.int64),
+                "ts": pd.to_datetime("2026-01-01")
+                + pd.to_timedelta(rng.integers(0, 10**8, n), unit="us"),
+                "state": rng.choice(["view", "click", "buy"], n),
+            }
+        )
+        ds = ray.data.from_pandas(df).repartition(6)
+        out = (
+            state_transitions(ds, "state")
+            .to_pandas()
+            .sort_values(["from_state", "to_state"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("events", df)
+        ora = (
+            con.sql(
+                sql_state_transitions("events", "state")
+                + " ORDER BY from_state, to_state"
+            )
+            .df()
+            .astype(out.dtypes)
+        )
+        pd.testing.assert_frame_equal(out, ora)
+        n_legs = (df.groupby("user_id").size() - 1).sum()
+        assert out["n_trans"].sum() == n_legs
