@@ -1249,6 +1249,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["event_transitions"] = event_transitions
 
+    def rank_in_lang(sf_dir):
+        """Per-row window function: RANK() of each doc's length within
+        its language — two-pass histogram broadcast, the corpus never
+        shuffles (pipelines/ranking.rank_in_group)."""
+        ds = tables.read_table(
+            sf_dir, "documents", columns=["doc_id", "lang", "n_chars"]
+        )
+        return rank_pipe.rank_in_group(ds, "lang", "n_chars", "doc_id")
+
+    q["rank_in_lang"] = rank_in_lang
+
     # approximate sketches — deliberately NO oracle_sql() entries (the
     # driver records rows-only checks; exactness is pinned by the
     # error-bound + partition-invariance tests instead)
@@ -2910,6 +2921,10 @@ def oracle_sql() -> dict[str, str]:
 
     sql["event_transitions"] = traj_pipe.sql_state_transitions(
         "events", "event_type"
+    )
+
+    sql["rank_in_lang"] = rank_pipe.sql_rank_in_group(
+        "documents", "lang", "n_chars", "doc_id"
     )
 
     sql["negative_parts"] = rank_pipe.sql_negative_samples(

@@ -486,3 +486,75 @@ SELECT u AS {user_col}, it AS {item_col}, slot, rnk FROM (
   FROM surv
 ) WHERE rnk <= {k}
 """
+
+
+def rank_in_group(ds, key_col: str, value_col: str, id_col: str,
+                  rank_col: str = "rnk"):
+    """Distributed ``RANK() OVER (PARTITION BY key ORDER BY value)`` —
+    one output row PER INPUT ROW (unlike :func:`grouped_topk`), the
+    window function behind percentile features and keep-best-rank dedup.
+
+    Rank = 1 + count of same-key rows with strictly smaller value, ties
+    share (SQL RANK, not ROW_NUMBER — a per-row tiebreak would need a
+    total order the histogram can't see).
+
+    Two passes, NO corpus shuffle: pass 1 reduces (key, value) → count
+    through a native groupby (value-DOMAIN-bounded, not corpus-bounded)
+    and broadcasts per-key sorted values + exclusive prefix counts; pass
+    2 maps every row to ``prefix[searchsorted(values, v)] + 1`` — rows
+    never leave their blocks, so the 100 TB side only streams.  The
+    broadcast is the documented trade (same as the bm25 df table): it
+    holds one row per DISTINCT (key, value) pair — swap pass 2's lookup
+    for a key-sheltered shuffle join when the pair domain nears 10⁸.
+    """
+    import ray
+
+    hist = (
+        ds.map_batches(
+            lambda b: pa.table({key_col: b[key_col], "v": b[value_col]}),
+            batch_format="pyarrow",
+        )
+        .groupby([key_col, "v"])
+        .count()
+        .to_pandas()
+    )
+    cnt_col = [c for c in hist.columns if c not in (key_col, "v")][0]
+    hist = hist.sort_values([key_col, "v"], kind="mergesort")
+    lut = {}
+    for key, sub in hist.groupby(key_col, sort=False):
+        vals = sub["v"].to_numpy()
+        cnts = sub[cnt_col].to_numpy().astype(np.int64)
+        prefix = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+        lut[key] = (vals, prefix)
+    lut_ref = ray.put(lut)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        table = ray.get(lut_ref)
+        kcol = batch[key_col]
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        dic = pc.dictionary_encode(kcol)
+        codes = dic.indices.to_numpy(zero_copy_only=False)
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        rnk = np.empty(len(v), dtype=np.int64)
+        # Python touches only the batch's DISTINCT keys, never its rows
+        for ki, key in enumerate(dic.dictionary.to_pylist()):
+            sel = codes == ki
+            vals, prefix = table[key]
+            rnk[sel] = prefix[np.searchsorted(vals, v[sel])] + 1
+        return batch.select([id_col, key_col, value_col]).append_column(
+            rank_col, pa.array(rnk)
+        )
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def sql_rank_in_group(table: str, key_col: str, value_col: str,
+                      id_col: str, rank_col: str = "rnk") -> str:
+    return f"""
+        SELECT {id_col}, {key_col}, {value_col},
+               CAST(RANK() OVER (PARTITION BY {key_col}
+                                 ORDER BY {value_col}) AS BIGINT)
+                 AS {rank_col}
+        FROM {table}
+    """
