@@ -1260,6 +1260,158 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["rank_in_lang"] = rank_in_lang
 
+    def tpch_q1(sf_dir):
+        """TPC-H Q1 pricing summary as a composition: per-batch integer
+        combiner (qty / cents / percent bases, exact int64 sums) → tiny
+        (flag, status) groupby → one vectorized float finisher mirroring
+        the oracle's IEEE sequence.  Predicate applied at the scan."""
+        ds = tables.read_table(
+            sf_dir, "lineitem",
+            columns=["l_returnflag", "l_linestatus", "l_quantity",
+                     "l_extendedprice", "l_discount", "l_tax", "l_shipdate"],
+        )
+        cut = np.datetime64("2000-09-02T00:00:00", "us").astype(np.int64)
+
+        def partials(b: pa.Table) -> pa.Table:
+            ship = events_pipe._ts_us(b["l_shipdate"])
+            keep = ship <= cut
+            b = b.filter(pa.array(keep))
+            q_ = np.round(b["l_quantity"].to_numpy()).astype(np.int64)
+            c = np.round(b["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+            d = np.round(b["l_discount"].to_numpy() * 100).astype(np.int64)
+            t = np.round(b["l_tax"].to_numpy() * 100).astype(np.int64)
+            tbl = pa.table(
+                {
+                    "l_returnflag": b["l_returnflag"],
+                    "l_linestatus": b["l_linestatus"],
+                    "n": pa.array(np.ones(len(q_), np.int64)),
+                    "sq": pa.array(q_),
+                    "sc": pa.array(c),
+                    "sd": pa.array(c * (100 - d)),
+                    "sch": pa.array(c * (100 - d) * (100 + t)),
+                    "sdisc": pa.array(d),
+                }
+            )
+            agg = tbl.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+                [(x, "sum") for x in ("n", "sq", "sc", "sd", "sch", "sdisc")]
+            )
+            return agg.rename_columns(
+                ["l_returnflag", "l_linestatus", "n", "sq", "sc", "sd",
+                 "sch", "sdisc"]
+            )
+
+        agg = (
+            ds.map_batches(partials, batch_format="pyarrow")
+            .groupby(["l_returnflag", "l_linestatus"])
+            .sum(["n", "sq", "sc", "sd", "sch", "sdisc"])
+        )
+
+        def finish(b: pa.Table) -> pa.Table:
+            n = b["sum(n)"].to_numpy()
+            sq = b["sum(sq)"].to_numpy().astype(np.float64)
+            sc = b["sum(sc)"].to_numpy().astype(np.float64)
+            sd = b["sum(sd)"].to_numpy().astype(np.float64)
+            sch = b["sum(sch)"].to_numpy().astype(np.float64)
+            sdisc = b["sum(sdisc)"].to_numpy().astype(np.float64)
+            nf = n.astype(np.float64)
+            return pa.table(
+                {
+                    "l_returnflag": b["l_returnflag"],
+                    "l_linestatus": b["l_linestatus"],
+                    "sum_qty": pa.array(sq),
+                    "sum_base_price": pa.array(sc / 100.0),
+                    "sum_disc_price": pa.array(sd / 10000.0),
+                    "sum_charge": pa.array(sch / 1000000.0),
+                    "avg_qty": pa.array(sq / nf),
+                    "avg_price": pa.array((sc / 100.0) / nf),
+                    "avg_disc": pa.array((sdisc / 100.0) / nf),
+                    "count_order": pa.array(n),
+                }
+            )
+
+        return agg.map_batches(finish, batch_format="pyarrow")
+
+    q["tpch_q1"] = tpch_q1
+
+    def tpch_q3(sf_dir):
+        """TPC-H Q3-style shipping-priority composition: segment-filtered
+        customers SEMI-join orders (hash_join), lineitem pre-aggregated
+        per order in int64 cents BEFORE the join, top-10 by exact cents
+        with tie-safe block top-k + global sort."""
+        from geo_index_ray.pipelines import relational
+
+        CUT = np.datetime64("1998-03-15T00:00:00", "us").astype(np.int64)
+        cust = tables.read_table(
+            sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]
+        ).filter(lambda r: r["c_mktsegment"] == "BUILDING")
+        orders = tables.read_table(
+            sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+        )
+
+        def ofilt(b: pa.Table) -> pa.Table:
+            keep = events_pipe._ts_us(b["o_orderdate"]) < CUT
+            return b.filter(pa.array(keep))
+
+        orders = orders.map_batches(ofilt, batch_format="pyarrow")
+        o_building = relational.hash_join(
+            orders, cust, "o_custkey", "c_custkey",
+            ["o_orderkey", "o_orderdate"], [], how="semi",
+        )
+        li = tables.read_table(
+            sf_dir, "lineitem",
+            columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+
+        def lpart(b: pa.Table) -> pa.Table:
+            keep = events_pipe._ts_us(b["l_shipdate"]) > CUT
+            b = b.filter(pa.array(keep))
+            c = np.round(b["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+            d = np.round(b["l_discount"].to_numpy() * 100).astype(np.int64)
+            tbl = pa.table(
+                {"l_orderkey": b["l_orderkey"], "rc": pa.array(c * (100 - d))}
+            )
+            return (
+                tbl.group_by("l_orderkey").aggregate([("rc", "sum")])
+                .rename_columns(["l_orderkey", "rc"])
+            )
+
+        rev = li.map_batches(lpart, batch_format="pyarrow")
+        joined = relational.hash_join(
+            rev, o_building, "l_orderkey", "o_orderkey",
+            ["l_orderkey", "rc"], ["o_orderdate"], how="inner",
+        )
+        agg = joined.groupby(["l_orderkey", "o_orderdate"]).sum("rc")
+
+        K = 10
+
+        def block_topk(b: pa.Table) -> pa.Table:
+            v = b["sum(rc)"].to_numpy()
+            if len(v) <= K:
+                return b
+            kth = -np.partition(-v, K - 1)[K - 1]
+            return b.filter(pa.array(v >= kth))
+
+        top = (
+            agg.map_batches(block_topk, batch_format="pyarrow")
+            .sort(["sum(rc)", "l_orderkey"], descending=[True, False])
+            .limit(K)
+        )
+
+        def finish(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "l_orderkey": b["l_orderkey"],
+                    "revenue": pa.array(
+                        b["sum(rc)"].to_numpy().astype(np.float64) / 10000.0
+                    ),
+                    "o_orderdate": b["o_orderdate"],
+                }
+            )
+
+        return top.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+    q["tpch_q3"] = tpch_q3
+
     # approximate sketches — deliberately NO oracle_sql() entries (the
     # driver records rows-only checks; exactness is pinned by the
     # error-bound + partition-invariance tests instead)
@@ -2926,6 +3078,53 @@ def oracle_sql() -> dict[str, str]:
     sql["rank_in_lang"] = rank_pipe.sql_rank_in_group(
         "documents", "lang", "n_chars", "doc_id"
     )
+
+    sql["tpch_q1"] = """
+        WITH l AS (
+          SELECT l_returnflag, l_linestatus,
+                 CAST(ROUND(l_quantity) AS BIGINT) AS q,
+                 CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c,
+                 CAST(ROUND(l_discount * 100) AS BIGINT) AS d,
+                 CAST(ROUND(l_tax * 100) AS BIGINT) AS t
+          FROM lineitem
+          WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        ),
+        m AS (
+          SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                 SUM(q) AS sq, SUM(c) AS sc, SUM(c * (100 - d)) AS sd,
+                 SUM(c * (100 - d) * (100 + t)) AS sch, SUM(d) AS sdisc
+          FROM l GROUP BY 1, 2
+        )
+        SELECT l_returnflag, l_linestatus,
+               CAST(sq AS DOUBLE) AS sum_qty,
+               CAST(sc AS DOUBLE) / 100.0 AS sum_base_price,
+               CAST(sd AS DOUBLE) / 10000.0 AS sum_disc_price,
+               CAST(sch AS DOUBLE) / 1000000.0 AS sum_charge,
+               CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS avg_qty,
+               (CAST(sc AS DOUBLE) / 100.0) / CAST(n AS DOUBLE) AS avg_price,
+               (CAST(sdisc AS DOUBLE) / 100.0) / CAST(n AS DOUBLE) AS avg_disc,
+               CAST(n AS BIGINT) AS count_order
+        FROM m
+    """
+
+    sql["tpch_q3"] = """
+        WITH r AS (
+          SELECT l.l_orderkey, o.o_orderdate,
+                 SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                   AS rc
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          WHERE c.c_mktsegment = 'BUILDING'
+            AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+            AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+          GROUP BY 1, 2
+        )
+        SELECT l_orderkey, CAST(rc AS DOUBLE) / 10000.0 AS revenue,
+               o_orderdate
+        FROM r ORDER BY rc DESC, l_orderkey LIMIT 10
+    """
 
     sql["negative_parts"] = rank_pipe.sql_negative_samples(
         """SELECT o_custkey AS u, l_partkey AS it
