@@ -1412,6 +1412,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["tpch_q3"] = tpch_q3
 
+    def nation_diameter(sf_dir):
+        """Per-nation farthest-pair squared distance of customer points
+        on the integer milli-degree grid — distributed hull pruning
+        (per-(key,x) min/max-y candidates), per-key monotone chain +
+        vectorized all-pairs over hull vertices
+        (pipelines/geoanalytics.group_diameter)."""
+        from geo_index_ray.pipelines import geoanalytics as ga
+
+        ds = tables.read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            ck = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "c_nationkey": pa.array(
+                        b["c_nationkey"].to_numpy(zero_copy_only=False)
+                        .astype(np.int64)
+                    ),
+                    "mx": pa.array(geocode.derive_ilon_md(ck)),
+                    "my": pa.array(geocode.derive_ilat_md(ck)),
+                }
+            )
+
+        return ga.group_diameter(
+            ds.map_batches(prep, batch_format="pyarrow"), "c_nationkey"
+        )
+
+    q["nation_diameter"] = nation_diameter
+
     # approximate sketches — deliberately NO oracle_sql() entries (the
     # driver records rows-only checks; exactness is pinned by the
     # error-bound + partition-invariance tests instead)
@@ -3124,6 +3153,21 @@ def oracle_sql() -> dict[str, str]:
         SELECT l_orderkey, CAST(rc AS DOUBLE) / 10000.0 AS revenue,
                o_orderdate
         FROM r ORDER BY rc DESC, l_orderkey LIMIT 10
+    """
+
+    sql["nation_diameter"] = f"""
+        WITH p AS (
+          SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                 {geocode.sql_ilon_md('c_custkey')} AS mx,
+                 {geocode.sql_ilat_md('c_custkey')} AS my
+          FROM customer
+        )
+        SELECT a.c_nationkey,
+               CAST(MAX((a.mx - b.mx) * (a.mx - b.mx)
+                        + (a.my - b.my) * (a.my - b.my)) AS BIGINT)
+                 AS diam_sq
+        FROM p a JOIN p b USING (c_nationkey)
+        GROUP BY 1
     """
 
     sql["negative_parts"] = rank_pipe.sql_negative_samples(

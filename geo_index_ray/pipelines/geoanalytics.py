@@ -364,3 +364,128 @@ def spatial_lag(pairs_ds, value_ds, left_id: str, right_id: str,
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# -- per-group farthest pair (diameter) via distributed hull pruning ----------
+
+
+def _monotone_chain(x: np.ndarray, y: np.ndarray):
+    """Convex hull (Andrew's monotone chain) over integer coords, indices
+    into the input; input must be lexsorted by (x, y).  Collinear points
+    are dropped (<= 0 cross test).  Cross products are exact int64 for
+    |coord| < ~2^30 (milli-degree grid: < 2^19)."""
+    n = len(x)
+    if n <= 2:
+        return np.arange(n)
+
+    def half(idx_iter):
+        st = []
+        for i in idx_iter:
+            while len(st) >= 2:
+                a, b = st[-2], st[-1]
+                if (x[b] - x[a]) * (y[i] - y[a]) - (y[b] - y[a]) * (
+                    x[i] - x[a]
+                ) <= 0:
+                    st.pop()
+                else:
+                    break
+            st.append(i)
+        return st
+
+    lower = half(range(n))
+    upper = half(range(n - 1, -1, -1))
+    return np.array(lower[:-1] + upper[:-1], dtype=np.int64)
+
+
+def group_diameter(ds, key_col: str, x_col: str = "mx", y_col: str = "my"):
+    """Per-key farthest-pair SQUARED distance over integer coords — the
+    set diameter (spread of a nation's customers, a cluster's extent).
+    Exact int64, oracle = brute MAX over the per-key self-join.
+
+    Distributed shape (the hull-union identity: hull(A ∪ B) =
+    hull(hull(A) ∪ hull(B)), and the diameter is attained at hull
+    vertices):
+
+      1. per-batch VECTORIZED pruning — only per-(key, x) min-y and
+         max-y points can be hull vertices, so one Arrow group_by per
+         block cuts candidates to ≤ 2·distinct-x per key;
+      2. one native groupby-(key, x) min/max merge of the partials
+         (candidate rows are x-DOMAIN-bounded, never corpus-bounded);
+      3. per-key monotone chain + vectorized all-pairs max over the
+         hull's vertices (hulls of scattered points are tiny; the
+         sequential chain runs over pruned candidates only — the single
+         per-key loop this operator is allowed, documented).
+
+    Output (key, diam_sq) for every key with ≥ 1 point (singletons → 0,
+    matching the a=b self-join floor).
+    """
+    from ..stages.util import coalesce_for_shuffle, reducer_count, rkey_of
+
+    R = reducer_count()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                key_col: batch[key_col],
+                "x": batch[x_col],
+                "ylo": batch[y_col],
+                "yhi": batch[y_col],
+            }
+        )
+        agg = t.group_by([key_col, "x"]).aggregate(
+            [("ylo", "min"), ("yhi", "max")]
+        )
+        return agg.rename_columns([key_col, "x", "ylo", "yhi"])
+
+    parts = coalesce_for_shuffle(
+        ds.map_batches(partial, batch_format="pyarrow"), 0.25
+    )
+    merged = (
+        parts.groupby([key_col, "x"])
+        .aggregate(*_minmax_aggs())
+        .map_batches(
+            lambda t: t.rename_columns([key_col, "x", "ylo", "yhi"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    def add_rkey(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "rkey", pa.array(rkey_of(batch[key_col], R))
+        )
+
+    keyed = merged.map_batches(add_rkey, batch_format="pyarrow")
+
+    def finish(g: pa.Table) -> pa.Table:
+        k = g[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = g["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ylo = g["ylo"].to_numpy(zero_copy_only=False).astype(np.int64)
+        yhi = g["yhi"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # expand to candidate points (min-y and max-y per (key, x));
+        # duplicates where ylo == yhi are harmless to the chain
+        kk = np.concatenate([k, k])
+        xx = np.concatenate([x, x])
+        yy = np.concatenate([ylo, yhi])
+        order = np.lexsort((yy, xx, kk))
+        kk, xx, yy = kk[order], xx[order], yy[order]
+        starts = np.nonzero(np.r_[True, kk[1:] != kk[:-1]])[0]
+        ends = np.r_[starts[1:], len(kk)]
+        out_k = kk[starts]
+        out_d = np.zeros(len(starts), dtype=np.int64)
+        for i, (s, e) in enumerate(zip(starts, ends)):
+            hx, hy = xx[s:e], yy[s:e]
+            h = _monotone_chain(hx, hy)
+            dx = hx[h][:, None] - hx[h][None, :]
+            dy = hy[h][:, None] - hy[h][None, :]
+            out_d[i] = (dx * dx + dy * dy).max()
+        return pa.table(
+            {key_col: pa.array(out_k), "diam_sq": pa.array(out_d)}
+        )
+
+    return keyed.groupby("rkey").map_groups(finish, batch_format="pyarrow")
+
+
+def _minmax_aggs():
+    from ray.data.aggregate import Max, Min
+
+    return (Min("ylo"), Max("yhi"))
