@@ -1441,6 +1441,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["nation_diameter"] = nation_diameter
 
+    def pq_assign(sf_dir):
+        """Product-quantization codes per embedding (4 subspaces,
+        deterministic codebook, floor-quantized exact int64 distances) —
+        the compression half of IVF-PQ (pipelines/ann.pq_codes)."""
+        ds = tables.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        return ann_pipe.pq_codes(ds)
+
+    q["pq_assign"] = pq_assign
+
     # approximate sketches — deliberately NO oracle_sql() entries (the
     # driver records rows-only checks; exactness is pinned by the
     # error-bound + partition-invariance tests instead)
@@ -3169,6 +3178,8 @@ def oracle_sql() -> dict[str, str]:
         FROM p a JOIN p b USING (c_nationkey)
         GROUP BY 1
     """
+
+    sql["pq_assign"] = ann_pipe.sql_pq_codes("embeddings")
 
     sql["negative_parts"] = rank_pipe.sql_negative_samples(
         """SELECT o_custkey AS u, l_partkey AS it

@@ -736,3 +736,120 @@ def sql_kmeans_assign(table: str, id_col: str = "vec_id",
         SELECT {id_col}, cidx AS cluster
         FROM {assign_cte(f'cent{final}')} t
     """
+
+
+def pq_codes(ds, id_col: str = "vec_id", emb_col: str = "embedding",
+             n_sub: int = 4, centroid_mod: int = 101, quant_bits: int = 10):
+    """Product-quantization code assignment — the compression half of an
+    IVF-PQ index: split each embedding into ``n_sub`` contiguous
+    subspaces and assign each to its nearest codebook centroid, emitting
+    (id, m, code) — ``n_sub`` small codes per vector instead of the full
+    float payload.
+
+    Codebook = the embeddings with ``id % centroid_mod == 0`` (ascending
+    id; the :func:`kmeans_assign` deterministic-init convention — swap in
+    trained sub-codebooks without changing the serving path).  BOTH
+    vectors and centroids are quantized to a ``2^-quant_bits`` grid
+    first (FLOOR — round's half-tie differs between numpy and SQL; the
+    ×2^quant_bits product is exact in float64, so floor is deterministic),
+    so every subspace distance is an exact int64 sum of squares
+    and argmin ties break to the lowest code identically in numpy
+    (first-min) and SQL (ROW_NUMBER ORDER BY dist, cid) — hash-exact.
+
+    Scale shape: the codebook broadcasts once (``ray.put``,
+    K × dim × 8 B); assignment is one streaming map emitting n_sub rows
+    per vector — the corpus never shuffles.
+    """
+    import ray
+
+    scale = float(1 << quant_bits)
+
+    def keep_cent(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy().astype(np.int64)
+        return b.filter(pa.array(ids % centroid_mod == 0))
+
+    got_ids, got_mat = [], []
+    for b in ds.map_batches(keep_cent, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        if b.num_rows:
+            got_ids.append(b[id_col].to_numpy().astype(np.int64))
+            got_mat.append(_emb_matrix(b, emb_col).astype(np.float64))
+    if not got_ids:
+        raise ValueError(
+            f"pq_codes: no rows with {id_col} % {centroid_mod} == 0"
+        )
+    init_ids = np.concatenate(got_ids)
+    order = np.argsort(init_ids)
+    cent_q = np.floor(np.concatenate(got_mat)[order] * scale).astype(np.int64)
+    dim = cent_q.shape[1]
+    if dim % n_sub:
+        raise ValueError(f"pq_codes: dim {dim} not divisible by {n_sub}")
+    sub = dim // n_sub
+    cent_ref = ray.put(cent_q)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cq = ray.get(cent_ref)
+        q = np.floor(
+            _emb_matrix(batch, emb_col).astype(np.float64) * scale
+        ).astype(np.int64)
+        n = len(q)
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        out_id = np.repeat(ids, n_sub)
+        out_m = np.tile(np.arange(n_sub, dtype=np.int64), n)
+        codes = np.empty(n * n_sub, dtype=np.int64)
+        for m in range(n_sub):
+            qa = q[:, m * sub:(m + 1) * sub]
+            ca = cq[:, m * sub:(m + 1) * sub]
+            d2 = (
+                (qa * qa).sum(1)[:, None]
+                - 2 * qa @ ca.T
+                + (ca * ca).sum(1)[None, :]
+            )
+            codes[m::n_sub] = np.argmin(d2, axis=1)  # first min = lowest cid
+        return pa.table(
+            {
+                id_col: pa.array(out_id),
+                "m": pa.array(out_m),
+                "code": pa.array(codes),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def sql_pq_codes(table: str, id_col: str = "vec_id",
+                 emb_col: str = "embedding", n_sub: int = 4,
+                 centroid_mod: int = 101, quant_bits: int = 10) -> str:
+    """DuckDB twin of :func:`pq_codes` — same quantized grid, same
+    subspace split, same (dist, cid) tie order."""
+    scale = 1 << quant_bits
+    return f"""
+WITH dd AS (SELECT MAX(len({emb_col})) AS d FROM {table}),
+q AS (
+  SELECT {id_col}, CAST(t.i AS BIGINT) AS dim,
+         CAST(FLOOR(CAST({emb_col}[CAST(t.i + 1 AS INT)] AS DOUBLE)
+                    * {scale}) AS BIGINT) AS x
+  FROM {table} CROSS JOIN dd,
+       UNNEST(generate_series(0, CAST(dd.d - 1 AS BIGINT))) AS t(i)
+),
+cidx AS (
+  SELECT {id_col} AS cvid,
+         CAST(ROW_NUMBER() OVER (ORDER BY {id_col}) - 1 AS BIGINT) AS cid
+  FROM {table} WHERE {id_col} % {centroid_mod} = 0
+),
+cv AS (SELECT c.cid, q.dim, q.x FROM cidx c JOIN q ON q.{id_col} = c.cvid),
+d AS (
+  SELECT q.{id_col}, (q.dim * {n_sub}) // dd.d AS m, cv.cid,
+         SUM((q.x - cv.x) * (q.x - cv.x)) AS dist
+  FROM q JOIN cv ON cv.dim = q.dim CROSS JOIN dd
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT {id_col}, m, cid,
+         ROW_NUMBER() OVER (PARTITION BY {id_col}, m
+                            ORDER BY dist, cid) AS rn
+  FROM d
+)
+SELECT {id_col}, m, cid AS code FROM best WHERE rn = 1
+"""
