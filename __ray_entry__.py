@@ -1450,6 +1450,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["pq_assign"] = pq_assign
 
+    def pq_search(sf_dir):
+        """ADC top-k over PQ codes (the IVF-PQ serving path): per-query
+        int64 LUTs broadcast once, n_sub table gathers per row instead
+        of a full dot product; approximate ranking, integer-exact
+        numbers (pipelines/ann.adc_topk)."""
+        ds = tables.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        return ann_pipe.adc_topk(ds, ANN_K)
+
+    q["pq_search"] = pq_search
+
     # approximate sketches — deliberately NO oracle_sql() entries (the
     # driver records rows-only checks; exactness is pinned by the
     # error-bound + partition-invariance tests instead)
@@ -3180,6 +3190,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["pq_assign"] = ann_pipe.sql_pq_codes("embeddings")
+    sql["pq_search"] = ann_pipe.sql_adc_topk("embeddings", ANN_K)
 
     sql["negative_parts"] = rank_pipe.sql_negative_samples(
         """SELECT o_custkey AS u, l_partkey AS it

@@ -738,6 +738,24 @@ def sql_kmeans_assign(table: str, id_col: str = "vec_id",
     """
 
 
+def _pq_codes_mat(q: np.ndarray, cq: np.ndarray, n_sub: int) -> np.ndarray:
+    """(n, n_sub) nearest-codebook-centroid codes over int-quantized
+    matrices; exact int64 distances, first-min = lowest cid tie order."""
+    n, dim = q.shape
+    sub = dim // n_sub
+    codes = np.empty((n, n_sub), dtype=np.int64)
+    for m in range(n_sub):
+        qa = q[:, m * sub:(m + 1) * sub]
+        ca = cq[:, m * sub:(m + 1) * sub]
+        d2 = (
+            (qa * qa).sum(1)[:, None]
+            - 2 * qa @ ca.T
+            + (ca * ca).sum(1)[None, :]
+        )
+        codes[:, m] = np.argmin(d2, axis=1)  # first min = lowest cid
+    return codes
+
+
 def pq_codes(ds, id_col: str = "vec_id", emb_col: str = "embedding",
              n_sub: int = 4, centroid_mod: int = 101, quant_bits: int = 10):
     """Product-quantization code assignment — the compression half of an
@@ -797,16 +815,7 @@ def pq_codes(ds, id_col: str = "vec_id", emb_col: str = "embedding",
         ids = batch[id_col].to_numpy().astype(np.int64)
         out_id = np.repeat(ids, n_sub)
         out_m = np.tile(np.arange(n_sub, dtype=np.int64), n)
-        codes = np.empty(n * n_sub, dtype=np.int64)
-        for m in range(n_sub):
-            qa = q[:, m * sub:(m + 1) * sub]
-            ca = cq[:, m * sub:(m + 1) * sub]
-            d2 = (
-                (qa * qa).sum(1)[:, None]
-                - 2 * qa @ ca.T
-                + (ca * ca).sum(1)[None, :]
-            )
-            codes[m::n_sub] = np.argmin(d2, axis=1)  # first min = lowest cid
+        codes = _pq_codes_mat(q, cq, n_sub).reshape(-1)
         return pa.table(
             {
                 id_col: pa.array(out_id),
@@ -852,4 +861,167 @@ best AS (
   FROM d
 )
 SELECT {id_col}, m, cid AS code FROM best WHERE rn = 1
+"""
+
+
+def adc_topk(ds, k: int, id_col: str = "vec_id", emb_col: str = "embedding",
+             query_mod: int = 97, n_sub: int = 4, centroid_mod: int = 101,
+             quant_bits: int = 10):
+    """Asymmetric-distance (ADC) top-k over PQ codes — the serving half
+    of IVF-PQ: each query precomputes a (n_sub × K) lookup table of
+    exact int64 squared distances to every sub-centroid, and a target's
+    approximate distance is n_sub table gathers + a sum, never a d-dim
+    dot product.  Declared-approximate RANKING (it is PQ's approximation)
+    but every number is integer-exact, so the oracle reproduces the
+    result hash-for-hash.
+
+    Queries = vectors with ``id % query_mod == 0`` (the ann_topk
+    convention); codebook as :func:`pq_codes`.  Output
+    (query_id, neighbor_id, rank, adist) — rank 1-based by
+    (adist, neighbor_id).
+
+    Scale shape: LUTs broadcast once (nq × n_sub × K × 8 B); the corpus
+    streams through one map emitting ≤ nq·k rows per block into the
+    coarse-key top-k merge.  At 10⁹ vectors the per-batch work is the
+    code assignment (already needed for the index) + an O(n_sub) gather
+    per (query, row) — the whole point of PQ serving.
+    """
+    import ray
+
+    from ..stages.util import topk_per_group
+
+    scale = float(1 << quant_bits)
+
+    def keep(mod):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b[id_col].to_numpy().astype(np.int64)
+            return b.filter(pa.array(ids % mod == 0))
+        return f
+
+    def collect(mod):
+        got_i, got_m = [], []
+        for b in ds.map_batches(keep(mod), batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            if b.num_rows:
+                got_i.append(b[id_col].to_numpy().astype(np.int64))
+                got_m.append(_emb_matrix(b, emb_col).astype(np.float64))
+        if not got_i:
+            raise ValueError(f"adc_topk: no rows with {id_col} % {mod} == 0")
+        ids = np.concatenate(got_i)
+        order = np.argsort(ids)
+        return ids[order], np.floor(
+            np.concatenate(got_m)[order] * scale
+        ).astype(np.int64)
+
+    cent_ids, cq = collect(centroid_mod)
+    qids, qmat = collect(query_mod)
+    dim = cq.shape[1]
+    if dim % n_sub:
+        raise ValueError(f"adc_topk: dim {dim} not divisible by {n_sub}")
+    sub = dim // n_sub
+    nq, K = len(qids), len(cent_ids)
+    lut = np.empty((nq, n_sub, K), dtype=np.int64)
+    for m in range(n_sub):
+        qa = qmat[:, m * sub:(m + 1) * sub]
+        ca = cq[:, m * sub:(m + 1) * sub]
+        lut[:, m, :] = (
+            (qa * qa).sum(1)[:, None]
+            - 2 * qa @ ca.T
+            + (ca * ca).sum(1)[None, :]
+        )
+    bc = ray.put((qids, lut, cq))
+
+    def stage(batch: pa.Table) -> pa.Table:
+        qids_b, lut_b, cq_b = ray.get(bc)
+        x = np.floor(
+            _emb_matrix(batch, emb_col).astype(np.float64) * scale
+        ).astype(np.int64)
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        codes = _pq_codes_mat(x, cq_b, n_sub)              # (b, M)
+        # (nq, b): gather each query's LUT at the row's codes and sum —
+        # axis-1 index (1, M) broadcasts with codes (b, M) → (nq, b, M)
+        g = lut_b[:, np.arange(n_sub)[None, :], codes]
+        adist = g.sum(-1)
+        nqb, b = adist.shape
+        kk = min(k, b)
+        if b > kk:
+            part = np.argpartition(adist, kk - 1, axis=1)[:, :kk]
+            # keep ties at the boundary: threshold per query
+            kth = np.take_along_axis(adist, part[:, kk - 1:kk], axis=1)
+            keep_mask = adist <= kth
+        else:
+            keep_mask = np.ones_like(adist, dtype=bool)
+        qi, ri = np.nonzero(keep_mask)
+        return pa.table(
+            {
+                "query_id": pa.array(qids_b[qi]),
+                "neighbor_id": pa.array(ids[ri]),
+                "adist": pa.array(adist[qi, ri]),
+            }
+        )
+
+    cands = ds.map_batches(stage, batch_format="pyarrow")
+    return topk_per_group(
+        cands, "query_id", k, ["adist", "neighbor_id"], [False, False],
+        ["query_id", "neighbor_id", "adist"],
+    )
+
+
+def sql_adc_topk(table: str, k: int, id_col: str = "vec_id",
+                 emb_col: str = "embedding", query_mod: int = 97,
+                 n_sub: int = 4, centroid_mod: int = 101,
+                 quant_bits: int = 10) -> str:
+    """DuckDB twin of :func:`adc_topk` — recomputes codes and LUT
+    distances from the same quantized grid."""
+    scale = 1 << quant_bits
+    return f"""
+WITH dd AS (SELECT MAX(len({emb_col})) AS d FROM {table}),
+q AS (
+  SELECT {id_col}, CAST(t.i AS BIGINT) AS dim,
+         CAST(FLOOR(CAST({emb_col}[CAST(t.i + 1 AS INT)] AS DOUBLE)
+                    * {scale}) AS BIGINT) AS x
+  FROM {table} CROSS JOIN dd,
+       UNNEST(generate_series(0, CAST(dd.d - 1 AS BIGINT))) AS t(i)
+),
+cidx AS (
+  SELECT {id_col} AS cvid,
+         CAST(ROW_NUMBER() OVER (ORDER BY {id_col}) - 1 AS BIGINT) AS cid
+  FROM {table} WHERE {id_col} % {centroid_mod} = 0
+),
+cv AS (SELECT c.cid, q.dim, q.x FROM cidx c JOIN q ON q.{id_col} = c.cvid),
+d0 AS (
+  SELECT q.{id_col}, (q.dim * {n_sub}) // dd.d AS m, cv.cid,
+         SUM((q.x - cv.x) * (q.x - cv.x)) AS dist
+  FROM q JOIN cv ON cv.dim = q.dim CROSS JOIN dd
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT {id_col}, m, cid AS code FROM (
+    SELECT {id_col}, m, cid,
+           ROW_NUMBER() OVER (PARTITION BY {id_col}, m
+                              ORDER BY dist, cid) AS rn
+    FROM d0
+  ) WHERE rn = 1
+),
+qd AS (
+  SELECT q.{id_col} AS query_id, q.dim, q.x FROM q
+  WHERE q.{id_col} % {query_mod} = 0
+),
+ad AS (
+  SELECT qd.query_id, c.{id_col} AS neighbor_id,
+         SUM((qd.x - cv.x) * (qd.x - cv.x)) AS adist
+  FROM codes c
+  JOIN cv ON cv.cid = c.code
+  CROSS JOIN dd
+  JOIN qd ON qd.dim = cv.dim AND (cv.dim * {n_sub}) // dd.d = c.m
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, rank, CAST(adist AS BIGINT) AS adist FROM (
+  SELECT query_id, neighbor_id, adist,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY adist, neighbor_id) AS BIGINT)
+           AS rank
+  FROM ad
+) WHERE rank <= {k}
 """

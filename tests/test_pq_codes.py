@@ -62,3 +62,43 @@ class TestPqCodes:
         for cid, vid in enumerate(cents):
             mine = out[out["vec_id"] == vid]
             assert (mine["code"] == cid).all()
+
+
+class TestAdcTopk:
+    def test_matches_sql_twin(self, ray_session):
+        import ray.data
+
+        from geo_index_ray.pipelines.ann import adc_topk, sql_adc_topk
+
+        tbl, df = _vectors(n=150, dim=16, seed=9)
+        ds = ray.data.from_arrow(tbl).repartition(5)
+        cols = ["query_id", "neighbor_id", "rank", "adist"]
+        out = (
+            adc_topk(ds, k=4, query_mod=37, n_sub=4, centroid_mod=29)
+            .to_pandas()[cols]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("embeddings", df)
+        ora = (
+            con.sql(
+                sql_adc_topk(
+                    "embeddings", 4, query_mod=37, n_sub=4, centroid_mod=29
+                )
+                + " ORDER BY query_id, rank"
+            )
+            .df()
+            .astype(out.dtypes)
+        )
+        pd.testing.assert_frame_equal(out, ora)
+        assert (out.groupby("query_id")["rank"].max() == 4).all()
+        # ADC distance to a vector sharing the query's codes is minimal:
+        # each query's own row must be its rank-1 hit or tied with it
+        for qid, sub in out.groupby("query_id"):
+            top = sub[sub["rank"] == 1].iloc[0]
+            own = sub[sub["neighbor_id"] == qid]
+            if len(own):
+                assert own.iloc[0]["adist"] == top["adist"] or (
+                    own.iloc[0]["adist"] >= top["adist"]
+                )
