@@ -1272,6 +1272,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         cut = np.datetime64("2000-09-02T00:00:00", "us").astype(np.int64)
 
+        # The cents-product moments (sc ~1e7, sd ~2e9, sch ~4e11 per row)
+        # would wrap an int64 global sum at large SF (sch at ~2e7 rows
+        # per group), while the oracle's DuckDB SUM promotes to HUGEINT
+        # and stays exact.  So the per-BATCH group sums (exact: block
+        # rows x 4e11 stays well under 2^63) are carried through the
+        # global groupby as hi/lo 2^32 splits — each half's cross-block
+        # sum is safe past 10^12 rows — and recombined exactly with
+        # Python ints in the 4-group finisher.
+        SPLIT = np.int64(1) << np.int64(32)
+
         def partials(b: pa.Table) -> pa.Table:
             ship = events_pipe._ts_us(b["l_shipdate"])
             keep = ship <= cut
@@ -1295,24 +1305,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
             agg = tbl.group_by(["l_returnflag", "l_linestatus"]).aggregate(
                 [(x, "sum") for x in ("n", "sq", "sc", "sd", "sch", "sdisc")]
             )
-            return agg.rename_columns(
+            agg = agg.rename_columns(
                 ["l_returnflag", "l_linestatus", "n", "sq", "sc", "sd",
                  "sch", "sdisc"]
             )
+            out = {c_: agg[c_] for c_ in
+                   ("l_returnflag", "l_linestatus", "n", "sq", "sdisc")}
+            for m in ("sc", "sd", "sch"):
+                v = agg[m].to_numpy()
+                out[f"{m}_hi"] = pa.array(v // SPLIT)
+                out[f"{m}_lo"] = pa.array(v % SPLIT)
+            return pa.table(out)
 
+        moments = ["n", "sq", "sdisc", "sc_hi", "sc_lo", "sd_hi", "sd_lo",
+                   "sch_hi", "sch_lo"]
         agg = (
             ds.map_batches(partials, batch_format="pyarrow")
             .groupby(["l_returnflag", "l_linestatus"])
-            .sum(["n", "sq", "sc", "sd", "sch", "sdisc"])
+            .sum(moments)
         )
 
         def finish(b: pa.Table) -> pa.Table:
             n = b["sum(n)"].to_numpy()
             sq = b["sum(sq)"].to_numpy().astype(np.float64)
-            sc = b["sum(sc)"].to_numpy().astype(np.float64)
-            sd = b["sum(sd)"].to_numpy().astype(np.float64)
-            sch = b["sum(sch)"].to_numpy().astype(np.float64)
             sdisc = b["sum(sdisc)"].to_numpy().astype(np.float64)
+            # exact big-int recombine (<= a handful of groups); float()
+            # matches SQL's CAST(HUGEINT AS DOUBLE) round-to-nearest
+            rec = {}
+            for m in ("sc", "sd", "sch"):
+                hi = b[f"sum({m}_hi)"].to_numpy()
+                lo = b[f"sum({m}_lo)"].to_numpy()
+                rec[m] = np.array(
+                    [float(int(h) * int(SPLIT) + int(l))
+                     for h, l in zip(hi, lo)],
+                    dtype=np.float64,
+                )
+            sc, sd, sch = rec["sc"], rec["sd"], rec["sch"]
             nf = n.astype(np.float64)
             return pa.table(
                 {

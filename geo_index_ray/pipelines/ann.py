@@ -803,7 +803,6 @@ def pq_codes(ds, id_col: str = "vec_id", emb_col: str = "embedding",
     dim = cent_q.shape[1]
     if dim % n_sub:
         raise ValueError(f"pq_codes: dim {dim} not divisible by {n_sub}")
-    sub = dim // n_sub
     cent_ref = ray.put(cent_q)
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -892,30 +891,40 @@ def adc_topk(ds, k: int, id_col: str = "vec_id", emb_col: str = "embedding",
 
     scale = float(1 << quant_bits)
 
-    def keep(mod):
-        def f(b: pa.Table) -> pa.Table:
-            ids = b[id_col].to_numpy().astype(np.int64)
-            return b.filter(pa.array(ids % mod == 0))
-        return f
+    # ONE corpus pass gathers both small sides (centroids + queries);
+    # the quantize/sort-by-id recipe is shared with pq_codes so the
+    # codebook here and the codes it assigns can never drift apart
+    def keep_either(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy().astype(np.int64)
+        return b.filter(
+            pa.array((ids % centroid_mod == 0) | (ids % query_mod == 0))
+        )
 
-    def collect(mod):
-        got_i, got_m = [], []
-        for b in ds.map_batches(keep(mod), batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"
-        ):
-            if b.num_rows:
-                got_i.append(b[id_col].to_numpy().astype(np.int64))
-                got_m.append(_emb_matrix(b, emb_col).astype(np.float64))
-        if not got_i:
+    got_i, got_m = [], []
+    for b in ds.map_batches(keep_either, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        if b.num_rows:
+            got_i.append(b[id_col].to_numpy().astype(np.int64))
+            got_m.append(_emb_matrix(b, emb_col).astype(np.float64))
+    if not got_i:
+        raise ValueError(
+            f"adc_topk: no rows with {id_col} % {centroid_mod} == 0 "
+            f"or % {query_mod} == 0"
+        )
+    all_ids = np.concatenate(got_i)
+    order = np.argsort(all_ids)
+    all_ids = all_ids[order]
+    all_q = np.floor(np.concatenate(got_m)[order] * scale).astype(np.int64)
+
+    def side(mod):
+        sel = all_ids % mod == 0
+        if not sel.any():
             raise ValueError(f"adc_topk: no rows with {id_col} % {mod} == 0")
-        ids = np.concatenate(got_i)
-        order = np.argsort(ids)
-        return ids[order], np.floor(
-            np.concatenate(got_m)[order] * scale
-        ).astype(np.int64)
+        return all_ids[sel], all_q[sel]
 
-    cent_ids, cq = collect(centroid_mod)
-    qids, qmat = collect(query_mod)
+    cent_ids, cq = side(centroid_mod)
+    qids, qmat = side(query_mod)
     dim = cq.shape[1]
     if dim % n_sub:
         raise ValueError(f"adc_topk: dim {dim} not divisible by {n_sub}")
@@ -939,10 +948,12 @@ def adc_topk(ds, k: int, id_col: str = "vec_id", emb_col: str = "embedding",
         ).astype(np.int64)
         ids = batch[id_col].to_numpy().astype(np.int64)
         codes = _pq_codes_mat(x, cq_b, n_sub)              # (b, M)
-        # (nq, b): gather each query's LUT at the row's codes and sum —
-        # axis-1 index (1, M) broadcasts with codes (b, M) → (nq, b, M)
-        g = lut_b[:, np.arange(n_sub)[None, :], codes]
-        adist = g.sum(-1)
+        # (nq, b): accumulate per-subspace LUT gathers instead of
+        # materializing the (nq, b, n_sub) fancy-index intermediate —
+        # same integer result at 1/n_sub the peak memory
+        adist = lut_b[:, 0, codes[:, 0]]  # fancy index → fresh array
+        for m in range(1, n_sub):
+            adist += lut_b[:, m, codes[:, m]]
         nqb, b = adist.shape
         kk = min(k, b)
         if b > kk:

@@ -1341,12 +1341,14 @@ def grouped_regression(ds, key_col: str, x_col: str, y_col: str):
                 ("n", "sx", "sy", "sxx", "sxy")}
         n, sx, sy, sxx, sxy = (cols[c] for c in ("n", "sx", "sy", "sxx", "sxy"))
         lim = float(2**62)
+        # unlike grouped_corr there is no syy to give |sxy| a
+        # Cauchy-Schwarz ceiling, so n·|sxy| needs its own bound
         safe = bool(
             (
                 (n.astype(np.float64) * sxx.astype(np.float64) < lim)
-                & (np.abs(sx.astype(np.float64) * sy.astype(np.float64)) < lim)
-                & (np.abs(sx.astype(np.float64) * sxx.astype(np.float64))
+                & (n.astype(np.float64) * np.abs(sxy.astype(np.float64))
                    < lim)
+                & (np.abs(sx.astype(np.float64) * sy.astype(np.float64)) < lim)
             ).all()
         )
         if safe:

@@ -424,6 +424,13 @@ def negative_samples(pos_ds, user_col: str, item_col: str, n_items: int,
 
     def expand(batch: pa.Table) -> pa.Table:
         u = batch[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(u):
+            umax = int(u.max())
+            lim = (2**63 - 1) // max(int(n_items) + 1, _NS_A)
+            assert 0 <= int(u.min()) and umax <= lim, (
+                f"negative_samples: user id {umax} would overflow int64 "
+                f"in u*A / u*n_items+item (limit {lim})"
+            )
         uu = np.repeat(u, m)
         slot = np.tile(np.arange(m, dtype=np.int64), len(u))
         item = 1 + ((uu * _NS_A + (slot + 1) * _NS_B) % _NS_MOD) % n_items
@@ -446,6 +453,12 @@ def negative_samples(pos_ds, user_col: str, item_col: str, n_items: int,
     def pos_key(batch: pa.Table) -> pa.Table:
         u = batch[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
         it = batch[item_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(u):
+            lim = (2**63 - 1) // max(int(n_items) + 1, _NS_A)
+            assert 0 <= int(u.min()) and int(u.max()) <= lim, (
+                "negative_samples: user id overflows the packed "
+                f"u*n_items+item key (limit {lim})"
+            )
         return pa.table({"ck": pa.array(u * np.int64(n_items) + it)})
 
     pos_keys = pos_ds.map_batches(pos_key, batch_format="pyarrow")

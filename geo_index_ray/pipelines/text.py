@@ -1193,7 +1193,13 @@ def _doc_token_stream(batch: pa.Table, text_col: str):
     return parents[nonempty], toks
 
 
-_LM_SEP = "\x1f"
+# Bigram join separator. Tokens are produced by an RE2 \s+ split, so no
+# token can contain a space — "w1 w2" therefore decomposes uniquely and
+# per-block dictionary grouping on the joined string cannot merge two
+# distinct (w1, w2) pairs. (A non-\s byte like \x1f would NOT be safe:
+# tokens may legally contain it, and 'a\x1fb'+'c' / 'a'+'b\x1fc' would
+# collide, mis-attributing counts.)
+_LM_SEP = " "
 
 
 def lm_bigram_score(ds, id_col: str, text_col: str = "text",
@@ -1474,9 +1480,10 @@ def top_collocations(ds, text_col: str = "text", k: int = 30,
         codes = dic.indices.to_numpy(zero_copy_only=False)
         first = np.unique(codes, return_index=True)[1]
         cnt = np.bincount(codes, minlength=len(dic.dictionary)).astype(np.int64)
-        # w1/w2 recovered at each pair's first occurrence — never by
-        # re-splitting the joined key (tokens may legally contain the
-        # separator byte; carrying the sides dodges the ambiguity)
+        # w1/w2 carried from each pair's first occurrence rather than by
+        # re-splitting the joined key; the space separator makes the
+        # joined key collision-free (see _LM_SEP), so first-occurrence
+        # sides are THE sides for every occurrence in the group
         codes_at_first = codes[first]
         return pa.table(
             {

@@ -307,8 +307,6 @@ def state_transitions(ds, state_col: str, user_col: str = "user_id",
     one np.unique; only (state, state, n) rows — state-vocabulary
     bounded — cross the second exchange.
     """
-    from ..stages.util import coalesce_for_shuffle, reducer_count, rkey_of
-
     R = reducer_count()
 
     def project(batch: pa.Table) -> pa.Table:

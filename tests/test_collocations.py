@@ -57,6 +57,35 @@ class TestTopCollocations:
         assert ("new", "york") in pairs
         assert ("machine", "learning") in pairs
 
+    def test_separator_byte_in_tokens_cannot_collide(self, ray_session):
+        """Tokens may contain any non-\\s byte (e.g. \\x1f).  With a \\x1f
+        join separator the pairs ('a\\x1fb','c') and ('a','b\\x1fc')
+        collided into one per-block count bucket; the space separator
+        (unreachable inside \\s+-split tokens) keeps them distinct."""
+        import ray.data
+
+        texts = ["a\x1fb c " * 3, "a b\x1fc " * 3]
+        df = _df(texts)
+        out = (
+            top_collocations(
+                ray.data.from_pandas(df).repartition(2), k=10, min_count=2
+            )
+            .to_pandas()
+            .sort_values("rnk")
+            .reset_index(drop=True)
+        )
+        ora = (
+            _oracle(df, sql_top_collocations("documents", k=10, min_count=2))
+            .sort_values("rnk")
+            .reset_index(drop=True)
+            .astype(out.dtypes)
+        )
+        pd.testing.assert_frame_equal(out, ora)
+        counts = {(w1, w2): c for w1, w2, c in
+                  zip(out["w1"], out["w2"], out["c12"])}
+        assert counts[("a\x1fb", "c")] == 3
+        assert counts[("a", "b\x1fc")] == 3
+
     def test_min_count_filters(self, ray_session):
         import ray.data
 

@@ -87,3 +87,30 @@ class TestGroupedRegression:
             }
         )
         _run(ray_session, df)
+
+    def test_sxy_overflow_guard(self, ray_session):
+        # |n·Σxy| > 2^63 while n·Σx² and Σx·Σy stay tiny — the one
+        # product the other guard terms cannot bound (no syy here, so
+        # no Cauchy-Schwarz ceiling).  The int64 fast path would wrap
+        # the slope numerator to a garbage value; the guard must route
+        # this to the big-int fallback.  True slope = 2e18 exactly.
+        df = pd.DataFrame(
+            {
+                "k": np.zeros(4, dtype=np.int64),
+                "x": np.array([1, -1, 1, -1], dtype=np.int64),
+                "y": np.array(
+                    [2 * 10**18, -2 * 10**18, 2 * 10**18, -2 * 10**18],
+                    dtype=np.int64,
+                ),
+            }
+        )
+        import ray.data
+
+        out = (
+            grouped_regression(
+                ray.data.from_pandas(df).repartition(2), "k", "x", "y"
+            )
+            .to_pandas()
+        )
+        assert out.loc[0, "slope"] == 2.0e18
+        assert out.loc[0, "intercept"] == 0.0
