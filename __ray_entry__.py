@@ -2104,6 +2104,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["triangle_counts"] = triangle_counts
 
+    def pagerank_users(sf_dir):
+        """Integer-quantized 2-iteration PageRank over the same user
+        co-occurrence ring graph — link-authority scoring for corpus
+        curation; exact int64 rank units, one edge-bound hash_join +
+        one node-bound groupby per iteration
+        (pipelines/components.pagerank)."""
+        ds = tables.read_table(sf_dir, "events", columns=["user_id", "props"])
+        edges = comp_pipe.user_k_ring_edges(ds)
+        return comp_pipe.pagerank(edges)
+
+    q["pagerank_users"] = pagerank_users
+
     def nn_self_join(sf_dir):
         """kNN SELF-join (each customer's nearest other customer): one
         two-level index build, query side streamed in bounded chunks
@@ -3770,6 +3782,20 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL SELECT c FROM t)
         GROUP BY 1
     """
+
+    sql["pagerank_users"] = comp_pipe.sql_pagerank(
+        r"""WITH uk AS (SELECT DISTINCT user_id,
+                CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS BIGINT)
+                    AS k
+                FROM events
+                WHERE regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) <> ''),
+        rn AS (SELECT user_id, k,
+                      ROW_NUMBER() OVER (PARTITION BY k ORDER BY user_id)
+                          AS rn
+               FROM uk)
+        SELECT a.user_id AS src, b.user_id AS dst FROM rn a JOIN rn b
+        ON a.k = b.k AND (b.rn - a.rn) IN (1, 2)"""
+    )
 
     sql["pivot_user_events"] = """
         SELECT user_id,

@@ -794,3 +794,171 @@ def user_k_ring_edges(ds, user_col: str = "user_id", props_col: str = "props"):
         .groupby("rkey")
         .map_groups(ring, batch_format="pyarrow")
     )
+
+
+def pagerank(edges, src_col: str = "src", dst_col: str = "dst",
+             iters: int = 2, r0_bits: int = 20,
+             alpha_num: int = 85, alpha_den: int = 100):
+    """Integer-quantized PageRank over a directed edge Dataset — the
+    canonical link-authority score for web-corpus curation (rank pages
+    before sampling / filtering), engine-added like the rest of the
+    graph layer (geo-index has no graph stage).
+
+    Every node starts at ``r0 = 2^r0_bits`` rank units; one iteration is
+
+        share(u)  = r(u) // outdeg(u)                (integer floor)
+        s(v)      = Σ_{u→v} share(u)
+        r'(v)     = (alpha_num · s(v)) // alpha_den + teleport
+
+    with ``teleport = ((alpha_den − alpha_num) · r0) // alpha_den``
+    (0.15·r0 at the default damping 85/100).  All arithmetic is exact
+    nonneg int64, so a fixed-``iters`` run is hash-identical to the SQL
+    CTE twin — the same trick as :func:`~.ann.kmeans_assign`'s
+    2-iteration oracle.  Dangling nodes (outdeg 0) keep only teleport
+    mass and their share leaks, the standard simplification; multi-edges
+    contribute once per edge (multigraph semantics on BOTH sides).
+
+    Overflow bound: total rank mass never exceeds N·r0 (mass is damped
+    each round and teleport adds back at most what damping removed), so
+    ``alpha_num · s(v) ≤ 85 · N · 2^20`` stays inside int64 for
+    N < 10^11 nodes at the defaults.
+
+    Scale shape: per iteration ONE edge-bound exchange (the
+    :func:`~.relational.hash_join` of edges against the node-keyed share
+    table — 16 B/edge plus the 8 B share slot) and one node-bound
+    groupby; nothing is broadcast, no per-node Python anywhere.  The
+    ``edges`` Dataset is consumed ``iters + 2`` times (nodes, outdeg,
+    one join per iteration) — at corpus scale persist the derived edge
+    list to Parquet first (state/checkpoint) so each pass is a columnar
+    re-read, not a recompute.
+    """
+    import pyarrow.compute as pc
+
+    from .relational import hash_join
+
+    r0 = np.int64(1) << np.int64(r0_bits)
+    teleport = np.int64((alpha_den - alpha_num) * int(r0) // alpha_den)
+
+    def as_node(col):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {"node": pa.array(np.unique(
+                    batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+                ))}
+            )
+        return f
+
+    # distinct node set = distinct(src) ∪ distinct(dst)
+    nodes = (
+        edges.map_batches(as_node(src_col), batch_format="pyarrow")
+        .union(edges.map_batches(as_node(dst_col), batch_format="pyarrow"))
+        .groupby("node")
+        .count()
+        .select_columns(["node"])
+    )
+    outdeg = (
+        edges.map_batches(
+            lambda b: pa.table({"node": b[src_col]}), batch_format="pyarrow"
+        )
+        .groupby("node")
+        .count()
+        .map_batches(
+            lambda t: t.rename_columns(["node", "outdeg"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    def init_rank(batch: pa.Table) -> pa.Table:
+        od = pc.fill_null(batch["outdeg"], 0)
+        return pa.table(
+            {
+                "node": batch["node"],
+                "outdeg": od,
+                "rank_q": pa.array(
+                    np.full(batch.num_rows, r0, dtype=np.int64)
+                ),
+            }
+        )
+
+    rank = hash_join(
+        nodes, outdeg, "node", "node", ["node"], ["outdeg"], how="left"
+    ).map_batches(init_rank, batch_format="pyarrow")
+
+    def to_share(batch: pa.Table) -> pa.Table:
+        od = batch["outdeg"].to_numpy(zero_copy_only=False)
+        keep = od > 0
+        rq = batch["rank_q"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {
+                "node": batch["node"].filter(pa.array(keep)),
+                "share": pa.array(rq // od[keep]),
+            }
+        )
+
+    def apply_rank(batch: pa.Table) -> pa.Table:
+        s = pc.fill_null(batch["s"], 0).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": batch["node"],
+                "outdeg": batch["outdeg"],
+                "rank_q": pa.array(
+                    np.int64(alpha_num) * s // np.int64(alpha_den) + teleport
+                ),
+            }
+        )
+
+    for _ in range(iters):
+        # checkpoint the NODE-bounded rank table each round: it is
+        # consumed twice per iteration (share leg + update join), and
+        # without a barrier the lazy DAG would replay every earlier
+        # round 2^iters times.  Blocks live in the object store and
+        # spill; the corpus-sized edge list is never materialized.
+        rank = rank.materialize()
+        share = rank.map_batches(to_share, batch_format="pyarrow")
+        contrib = hash_join(
+            edges, share, src_col, "node", [dst_col], ["share"], how="inner"
+        )
+        sums = (
+            contrib.groupby(dst_col)
+            .sum("share")
+            .map_batches(
+                lambda t: t.rename_columns(["node", "s"]),
+                batch_format="pyarrow",
+            )
+        )
+        rank = hash_join(
+            rank, sums, "node", "node", ["node", "outdeg"], ["s"], how="left"
+        ).map_batches(apply_rank, batch_format="pyarrow")
+
+    return rank.select_columns(["node", "rank_q"])
+
+
+def sql_pagerank(edges_cte: str, iters: int = 2, r0_bits: int = 20,
+                 alpha_num: int = 85, alpha_den: int = 100) -> str:
+    """DuckDB twin of :func:`pagerank` — ``edges_cte`` must yield
+    (src, dst); same integer floor arithmetic, unrolled ``iters`` CTEs."""
+    r0 = 1 << r0_bits
+    tele = (alpha_den - alpha_num) * r0 // alpha_den
+    parts = [
+        f"WITH e AS ({edges_cte})",
+        "n0 AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "od AS (SELECT src AS node, COUNT(*) AS outdeg FROM e GROUP BY 1)",
+        "r0 AS (SELECT n0.node, COALESCE(od.outdeg, 0) AS outdeg,"
+        f" CAST({r0} AS BIGINT) AS rq FROM n0 LEFT JOIN od USING (node))",
+    ]
+    prev = "r0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"s{i} AS (SELECT e.dst AS node, SUM({prev}.rq // {prev}.outdeg)"
+            f" AS s FROM e JOIN {prev} ON {prev}.node = e.src"
+            f" AND {prev}.outdeg > 0 GROUP BY 1)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT {prev}.node, {prev}.outdeg,"
+            f" ({alpha_num} * COALESCE(s{i}.s, 0)) // {alpha_den} + {tele}"
+            f" AS rq FROM {prev} LEFT JOIN s{i} USING (node))"
+        )
+        prev = f"r{i}"
+    return (
+        ",\n".join(parts) + f"\nSELECT node, rq AS rank_q FROM {prev}"
+    )
