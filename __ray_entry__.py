@@ -159,6 +159,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["cell_counts"] = cell_counts
 
+    def cell_smooth(sf_dir):
+        """Focal-sum (k-ring 1) smoothing of the res-5 order-point
+        density raster — each cell's smoothed count sums its 3x3
+        in-bounds neighborhood; the fan-out runs over the cell-bounded
+        histogram, never the corpus (pipelines/tiling.kring_smooth)."""
+        ds = tables.points_ds(sf_dir, "orders", "o_orderkey")
+        hist = tiling.cell_histogram(ds, RES_COUNTS)
+        return tiling.kring_smooth(hist, RES_COUNTS, k=1)
+
+    q["cell_smooth"] = cell_smooth
+
     def cell_stats(sf_dir):
         ds = tables.points_ds(sf_dir, "orders", "o_orderkey")
         ds = tiling.assign_cells(ds, RES_STATS)
@@ -2436,6 +2447,13 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT {pt('o_orderkey')} FROM orders)
         GROUP BY 1
     """
+
+    sql["cell_smooth"] = tiling.sql_kring_smooth(
+        f"""SELECT {cell5} AS cell, COUNT(*) AS n_rows
+        FROM (SELECT {pt('o_orderkey')} FROM orders)
+        GROUP BY 1""",
+        RES_COUNTS, k=1,
+    )
 
     sql["cell_stats"] = f"""
         SELECT {cell4} AS cell, COUNT(*) AS n_rows,

@@ -62,6 +62,76 @@ def vectorize_cells(hist_ds, res: int):
     return hist_ds.map_batches(fn, batch_format="pyarrow")
 
 
+def kring_smooth(hist_ds, res: int, k: int = 1, count_col: str = "n_rows"):
+    """Neighborhood (k-ring) smoothing over the flat cell grid — the
+    raster focal-sum every density / heat-map pipeline runs after
+    :func:`cell_histogram`: each cell's smoothed value is the sum of the
+    counts of all in-bounds cells within Chebyshev distance ≤ ``k``.
+
+    Input is the (cell, count) histogram — already cell-bounded, orders
+    of magnitude smaller than the corpus — so the fan-out is (2k+1)²
+    contribution rows per counted cell into one cell-keyed groupby; the
+    corpus itself is never touched.  Cells with no counted neighbor emit
+    nothing (sparse-raster semantics, same as the SQL twin).  Output
+    (cell, n_smooth), exact int64.
+    """
+    n = np.int64(1 << res)
+    offs = np.arange(-k, k + 1, dtype=np.int64)
+    dx = np.repeat(offs, 2 * k + 1)
+    dy = np.tile(offs, 2 * k + 1)
+
+    def fan(batch: pa.Table) -> pa.Table:
+        cell = batch["cell"].to_numpy(zero_copy_only=False)
+        cnt = batch[count_col].to_numpy(zero_copy_only=False)
+        ix = cell // n
+        iy = cell % n
+        nx = ix[:, None] + dx[None, :]
+        ny = iy[:, None] + dy[None, :]
+        ok = (nx >= 0) & (nx < n) & (ny >= 0) & (ny < n)
+        ncell = (nx * n + ny)[ok]
+        ncnt = np.broadcast_to(cnt[:, None], ok.shape)[ok]
+        # per-batch combiner before the exchange
+        uniq, inv = np.unique(ncell, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, ncnt)
+        return pa.table({"cell": pa.array(uniq), "s": pa.array(sums)})
+
+    from ..stages.util import coalesce_for_shuffle
+
+    fanned = coalesce_for_shuffle(
+        hist_ds.map_batches(fan, batch_format="pyarrow"), 0.25
+    )
+    return (
+        fanned.groupby("cell")
+        .sum("s")
+        .map_batches(
+            lambda b: b.rename_columns(["cell", "n_smooth"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def sql_kring_smooth(hist_cte: str, res: int, k: int = 1,
+                     count_col: str = "n_rows") -> str:
+    """DuckDB twin of :func:`kring_smooth` — ``hist_cte`` must yield
+    (cell, ``count_col``)."""
+    n = 1 << res
+    return f"""
+WITH h AS ({hist_cte}),
+o AS (SELECT dx.g AS dx, dy.g AS dy
+      FROM (SELECT unnest(generate_series(-{k}, {k})) AS g) dx
+      CROSS JOIN (SELECT unnest(generate_series(-{k}, {k})) AS g) dy),
+e AS (
+  SELECT (h.cell // {n} + o.dx) * {n} + (h.cell % {n} + o.dy) AS cell,
+         h.{count_col} AS s
+  FROM h CROSS JOIN o
+  WHERE h.cell // {n} + o.dx BETWEEN 0 AND {n - 1}
+    AND h.cell % {n} + o.dy BETWEEN 0 AND {n - 1}
+)
+SELECT cell, SUM(s) AS n_smooth FROM e GROUP BY 1
+"""
+
+
 def rasterize_boxes(ds, res: int, id_col: str):
     """vector → raster: explode each bbox geometry into the cells it covers
     (`polyfill`), emitting (id, cell) coverage rows."""
