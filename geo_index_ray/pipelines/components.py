@@ -22,6 +22,8 @@ graph stage; this is an engine-added operator for the LLM-data pipeline
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -258,7 +260,8 @@ def keep_list(docs_ds, clusters_ds, id_col: str = "doc_id"):
 
 def pagerank_int(edges, src_col: str, dst_col: str, iters: int = 3,
                  scale: int = 10**12, damp_num: int = 85,
-                 damp_den: int = 100):
+                 damp_den: int = 100, state: str = "memory",
+                 checkpoint_dir: str | None = None):
     """PageRank over an int64 edge list in EXACT integer arithmetic —
     ``iters`` synchronous power-iteration rounds of ``pr' = base +
     (damp_num * Σ_in floor(pr/outdeg)) // damp_den`` with ``base =
@@ -280,11 +283,57 @@ def pagerank_int(edges, src_col: str, dst_col: str, iters: int = 3,
       with no in-edges from the base term.
 
     Driver holds nothing; per-round state is the (node, pr) dataset.
-    O(iters) chained lazy stages — fine for the small fixed iteration
-    counts PageRank needs (10-20); checkpoint through parquet between
-    rounds if an engine restart mid-iteration matters.
+
+    ``state`` controls how the per-round state and the re-consumed
+    inputs are held between iterations.  Ray Data lineages are TREES:
+    a Dataset consumed by two downstream stages re-executes its whole
+    upstream derivation once per consumer, so a lazy iterative loop is
+    super-linear in ``iters`` (measured at sf0.1: 3.1 s for one
+    iteration but 20.5 s for three — each round was re-deriving the
+    edge list and re-running the degree groupby of every earlier
+    round).
+
+    - ``"memory"`` (default): ``materialize()`` the edge list and the
+      static degree table once and the (node, d, pr) state after every
+      round — each round then executes exactly one join + one groupby.
+      Pins one edge-list copy + one node-state copy in the object
+      store; right whenever the graph fits cluster memory (node state
+      is 24 B/node, edges 16 B/edge).
+    - ``"parquet"``: same shape, but each round's state is written to
+      ``checkpoint_dir/round_i`` and read back — nothing pinned, and a
+      killed job resumes from the last completed round (the 10^12-edge
+      path).
+    - ``"lazy"``: the original chained plan, zero pinning; only sane
+      for 1-2 iterations.
     """
     from .relational import hash_join
+
+    if state not in ("memory", "parquet", "lazy"):
+        raise ValueError(f"unknown state mode {state!r}")
+    if state == "parquet":
+        if checkpoint_dir is None:
+            raise ValueError("state='parquet' requires checkpoint_dir")
+        import ray.data as rd
+
+        def _persist(ds, label: str):
+            # resume: a round directory with a DONE marker is complete
+            # (the marker is written after write_parquet returns, so a
+            # killed mid-write round recomputes)
+            path = os.path.join(checkpoint_dir, label)
+            marker = os.path.join(path, "DONE")
+            if not os.path.exists(marker):
+                ds.write_parquet(path)
+                with open(marker, "w") as f:
+                    f.write("1\n")
+            return rd.read_parquet(
+                path, file_extensions=["parquet"]
+            )
+    elif state == "memory":
+        def _persist(ds, label: str):
+            return ds.materialize()
+    else:
+        def _persist(ds, label: str):
+            return ds
 
     base = scale * (damp_den - damp_num) // damp_den
 
@@ -309,11 +358,13 @@ def pagerank_int(edges, src_col: str, dst_col: str, iters: int = 3,
             }
         )
 
-    node_deg = (
+    edges = _persist(edges.select_columns([src_col, dst_col]), "edges")
+    node_deg = _persist(
         edges.map_batches(endpoint_rows, batch_format="pyarrow")
         .groupby("node")
         .sum("d")
-        .rename_columns({"sum(d)": "d"})
+        .rename_columns({"sum(d)": "d"}),
+        "deg",
     )
 
     def init_pr(batch: pa.Table) -> pa.Table:
@@ -345,9 +396,9 @@ def pagerank_int(edges, src_col: str, dst_col: str, iters: int = 3,
             }
         )
 
-    for _ in range(iters):
+    for _round in range(iters):
         contrib = hash_join(
-            edges.select_columns([src_col, dst_col]), pr, src_col, "node",
+            edges, pr, src_col, "node",
             [dst_col], ["pr", "d"],
         )
 
@@ -388,7 +439,11 @@ def pagerank_int(edges, src_col: str, dst_col: str, iters: int = 3,
         # groupby, so inference would otherwise execute it — or yield
         # None on an empty graph)
         pr = _with_schema(
-            merged.map_batches(refresh, batch_format="pyarrow"), _state_fields
+            _persist(
+                merged.map_batches(refresh, batch_format="pyarrow"),
+                f"round_{_round}",
+            ),
+            _state_fields,
         )
 
     return pr.select_columns(["node", "pr"])

@@ -65,6 +65,44 @@ class TestPagerankInt:
         }
         assert dict(out) == expect
 
+    def test_state_modes_agree_and_parquet_resumes(self, ray_session, tmp_path):
+        import ray.data
+
+        from geo_index_ray.pipelines.components import pagerank_int
+
+        rng = np.random.default_rng(41)
+        df = pd.DataFrame(
+            {
+                "src": rng.integers(0, 25, 150).astype(np.int64),
+                "dst": rng.integers(0, 25, 150).astype(np.int64),
+            }
+        )
+        ds = ray.data.from_pandas(df).repartition(3)
+
+        def run(**kw):
+            return (
+                pagerank_int(ds, "src", "dst", iters=3, **kw)
+                .to_pandas()
+                .sort_values("node")
+                .reset_index(drop=True)
+            )
+
+        mem = run()  # default state="memory"
+        lazy = run(state="lazy")
+        ck = str(tmp_path / "ck")
+        pq_run = run(state="parquet", checkpoint_dir=ck)
+        pd.testing.assert_frame_equal(mem, lazy)
+        pd.testing.assert_frame_equal(mem, pq_run)
+        # every persisted label carries a DONE marker
+        import os
+
+        labels = sorted(os.listdir(ck))
+        assert {"edges", "deg", "round_0", "round_1", "round_2"} <= set(labels)
+        # resume: rerun with the same dir reuses completed rounds and
+        # still returns the identical result
+        resumed = run(state="parquet", checkpoint_dir=ck)
+        pd.testing.assert_frame_equal(mem, resumed)
+
 
 class TestHeavyHittersPerGroup:
     def test_row_number_semantics(self, ray_session):
