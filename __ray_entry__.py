@@ -2351,6 +2351,64 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["revenue_by_nation"] = revenue_by_nation
 
+    def user_event_seq(sf_dir):
+        """Training-sequence construction: per user, the full event-type
+        stream concatenated in (ts, event_id) order — the event-log →
+        next-event-model text conversion (STRING_AGG ... ORDER BY).  One
+        lean hash(user) exchange, all keys per reducer built with a
+        single ListArray + binary_join (pipelines/events.event_sequences)."""
+        ds = tables.read_table(
+            sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]
+        )
+        return events_pipe.event_sequences(
+            ds, "user_id", "ts", "event_id", "event_type"
+        )
+
+    q["user_event_seq"] = user_event_seq
+
+    def _high_value_users(sf_dir, etype):
+        import pyarrow.compute as _pc
+
+        ds = tables.read_table(
+            sf_dir, "events", columns=["user_id", "event_type", "value"]
+        )
+
+        def gate(b: pa.Table) -> pa.Table:
+            keep = _pc.and_(
+                _pc.equal(b["event_type"], etype), _pc.greater(b["value"], 95.0)
+            )
+            return pa.table({"user_id": b.filter(keep)["user_id"]})
+
+        return ds.map_batches(gate, batch_format="pyarrow")
+
+    def purchasers_no_errors(sf_dir):
+        """Distinct set difference (SQL EXCEPT): users with a high-value
+        purchase who never had a high-value error — per-batch distinct
+        pre-aggregation, one coarse-key exchange, sorted setdiff per
+        reducer (pipelines/relational.set_op)."""
+        from geo_index_ray.pipelines import relational
+
+        return relational.set_op(
+            _high_value_users(sf_dir, "purchase"),
+            _high_value_users(sf_dir, "error"),
+            "user_id", "user_id", "except",
+        )
+
+    q["purchasers_no_errors"] = purchasers_no_errors
+
+    def purchasers_with_errors(sf_dir):
+        """Distinct set intersection (SQL INTERSECT) of the same two user
+        sets (pipelines/relational.set_op)."""
+        from geo_index_ray.pipelines import relational
+
+        return relational.set_op(
+            _high_value_users(sf_dir, "purchase"),
+            _high_value_users(sf_dir, "error"),
+            "user_id", "user_id", "intersect",
+        )
+
+    q["purchasers_with_errors"] = purchasers_with_errors
+
     # ------------------------------------------------------------------
     # registration order = driver sampling order.  The driver's
     # correctness harness checks the FIRST 50 registrations; rounds 2/3
@@ -3861,6 +3919,28 @@ def oracle_sql() -> dict[str, str]:
         JOIN customer c ON o.o_custkey = c.c_custkey
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         GROUP BY n.n_name
+    """
+
+    sql["user_event_seq"] = """
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+               STRING_AGG(event_type, ',' ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY user_id
+    """
+
+    sql["purchasers_no_errors"] = """
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'purchase' AND value > 95.0
+        EXCEPT
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'error' AND value > 95.0
+    """
+
+    sql["purchasers_with_errors"] = """
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'purchase' AND value > 95.0
+        INTERSECT
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'error' AND value > 95.0
     """
 
     return sql

@@ -1480,3 +1480,68 @@ SELECT {key_col}, CAST(SUM(cnt) AS BIGINT) AS n_intervals,
        CAST(SUM(len) AS BIGINT) AS covered
 FROM isl GROUP BY {key_col}
 """
+
+
+def event_sequences(ds, key_col: str, ts_col: str, id_col: str,
+                    val_col: str, out_col: str = "seq", sep: str = ","):
+    """Per-key ordered sequence construction — concatenate ``val_col``
+    in (ts, id) order per key, the STRING_AGG(... ORDER BY ts, id)
+    window.  THE conversion step that turns an event log into
+    next-event-model / recommender training sequences (one text row per
+    user).
+
+    Returns (key_col, n_events int64, out_col string), one row per key.
+
+    Scale shape: sequence building cannot pre-aggregate (order spans
+    blocks) but needs only KEY-LOCALITY: one lean hash(key) exchange of
+    (key, ts_us, id, val) rows, then each reducer lexsorts ALL of its
+    keys at once and materializes every sequence with ONE
+    ``pc.binary_join`` over a ListArray built from segment offsets —
+    rule 3, no per-key Python.  Skew ceiling: a single key's full event
+    list must fit one reducer — the same contract as SQL PARTITION BY
+    (and the repo's running_sum / sessionize reducers).
+    """
+    from ..stages.util import coalesce_for_shuffle, reducer_count, rkey_of
+
+    R = reducer_count()
+
+    def lean(batch: pa.Table) -> pa.Table:
+        key = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                key_col: pa.array(key),
+                "tus": pa.array(_ts_us(batch[ts_col])),
+                id_col: batch[id_col],
+                val_col: pc.cast(batch[val_col], pa.string()),
+                "rkey": pa.array(rkey_of(key, R)),
+            }
+        )
+
+    keyed = coalesce_for_shuffle(
+        ds.map_batches(lean, batch_format="pyarrow"), 0.25
+    )
+
+    def build(g: pa.Table) -> pa.Table:
+        key = g[key_col].to_numpy(zero_copy_only=False)
+        tus = g["tus"].to_numpy(zero_copy_only=False)
+        eid = g[id_col].to_numpy(zero_copy_only=False)
+        perm = np.lexsort((eid, tus, key))
+        ks = key[perm]
+        vals = g[val_col].combine_chunks().take(pa.array(perm, pa.int64()))
+        new = np.empty(len(ks), dtype=bool)
+        new[:1] = True
+        new[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(new)
+        offsets = np.append(starts, len(ks)).astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offsets), vals)
+        joined = pc.binary_join(lists, sep)
+        n = np.diff(offsets).astype(np.int64)
+        return pa.table(
+            {
+                key_col: pa.array(ks[starts]),
+                "n_events": pa.array(n),
+                out_col: joined,
+            }
+        )
+
+    return keyed.groupby("rkey").map_groups(build, batch_format="pyarrow")

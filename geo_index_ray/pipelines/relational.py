@@ -483,3 +483,64 @@ def band_join(left, right, left_val: str, right_val: str, delta: float,
         return pa.table(out)
 
     return unioned.groupby("rkey").map_groups(zip_band, batch_format="pyarrow")
+
+
+def set_op(left, right, left_key: str, right_key: str, op: str,
+           out_col: str | None = None):
+    """Distinct set operation between two int64 key columns —
+    ``EXCEPT`` / ``INTERSECT`` with SQL bag-to-set semantics (each side
+    deduplicated first, output has one row per surviving key).
+
+    Scale shape: per-batch ``np.unique`` pre-aggregation means the
+    exchange carries at most one (key, side, rkey) row per distinct key
+    per block — 24 B/row and sublinear in input rows when keys repeat
+    within blocks.  One coarse ``hash(key) % R`` exchange (rule 3), then
+    each reducer resolves ALL of its keys with one sorted
+    ``np.setdiff1d`` / ``np.intersect1d`` per side-pair — no per-key
+    Python.  Both sides of a key hash to the same reducer, so the
+    verdict is exact under any partitioning.
+
+    Reference scope note: engine-added relational operator (SURVEY.md
+    §2.4); the reference index library has no set-op layer.
+    """
+    if op not in ("except", "intersect"):
+        raise ValueError(f"op must be 'except' or 'intersect', got {op!r}")
+    out_col = out_col or left_key
+    R = reducer_count()
+
+    def lean(key_col: str, side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = np.unique(
+                batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            return pa.table(
+                {
+                    "k": pa.array(k),
+                    "side": pa.array(
+                        np.full(len(k), side, dtype=np.int8)
+                    ),
+                    "rkey": pa.array(_key_rkey(k, R)),
+                }
+            )
+
+        return fn
+
+    unioned = coalesce_for_shuffle(
+        left.map_batches(lean(left_key, 0), batch_format="pyarrow").union(
+            right.map_batches(lean(right_key, 1), batch_format="pyarrow")
+        ),
+        0.25,
+    )
+
+    def resolve(g: pa.Table) -> pa.Table:
+        k = g["k"].to_numpy(zero_copy_only=False)
+        side = g["side"].to_numpy(zero_copy_only=False)
+        a = np.unique(k[side == 0])
+        b = np.unique(k[side == 1])
+        if op == "except":
+            keep = np.setdiff1d(a, b, assume_unique=True)
+        else:
+            keep = np.intersect1d(a, b, assume_unique=True)
+        return pa.table({out_col: pa.array(keep, pa.int64())})
+
+    return unioned.groupby("rkey").map_groups(resolve, batch_format="pyarrow")

@@ -959,3 +959,48 @@ class TestGroupedCorr:
         )
         assert got["n"].tolist() == want["n"].tolist()
         assert got["corr"].tolist() == want["corr"].tolist()
+
+
+class TestEventSequences:
+    def test_matches_pandas_groupby_order(self, ray_session):
+        import ray
+
+        from geo_index_ray.pipelines import events as events_pipe
+
+        rng = np.random.default_rng(3)
+        n = 500
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(n, dtype=np.int64),
+                "user_id": rng.integers(0, 25, n).astype(np.int64),
+                "ts": pd.to_datetime(
+                    rng.integers(0, 10**6, n), unit="us"
+                ),
+                "event_type": rng.choice(["a", "b", "cc"], n),
+            }
+        )
+        want = (
+            df.sort_values(["user_id", "ts", "event_id"])
+            .groupby("user_id")["event_type"]
+            .agg(lambda s: ",".join(s))
+            .rename("seq")
+            .reset_index()
+        )
+        want["n_events"] = (
+            df.groupby("user_id").size().reindex(want["user_id"]).to_numpy()
+        )
+        for blocks in (1, 5):
+            got = (
+                events_pipe.event_sequences(
+                    ray.data.from_pandas(df).repartition(blocks),
+                    "user_id", "ts", "event_id", "event_type",
+                )
+                .to_pandas()
+                .sort_values("user_id")
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(
+                got[["user_id", "seq", "n_events"]],
+                want[["user_id", "seq", "n_events"]],
+                check_dtype=False,
+            )

@@ -421,3 +421,65 @@ class TestBandJoin:
         want = want[np.abs(want["lv"] - want["rv"]) <= 1.0]
         want = want[["lk", "rk"]].sort_values(["lk", "rk"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestSetOp:
+    def _sides(self, seed=7, n=400):
+        rng = np.random.default_rng(seed)
+        a = pd.DataFrame({"uid": rng.integers(0, 80, n).astype(np.int64)})
+        b = pd.DataFrame({"vid": rng.integers(40, 120, n).astype(np.int64)})
+        return a, b
+
+    def test_except_matches_numpy(self):
+        import ray
+
+        from geo_index_ray.pipelines import relational
+
+        a, b = self._sides()
+        want = np.setdiff1d(a["uid"].unique(), b["vid"].unique())
+        for blocks in (1, 6):
+            got = relational.set_op(
+                ray.data.from_pandas(a).repartition(blocks),
+                ray.data.from_pandas(b).repartition(blocks + 1),
+                "uid", "vid", "except",
+            ).to_pandas()["uid"].sort_values().to_numpy()
+            np.testing.assert_array_equal(got, np.sort(want))
+
+    def test_intersect_matches_numpy(self):
+        import ray
+
+        from geo_index_ray.pipelines import relational
+
+        a, b = self._sides(seed=11)
+        want = np.intersect1d(a["uid"].unique(), b["vid"].unique())
+        got = relational.set_op(
+            ray.data.from_pandas(a).repartition(4),
+            ray.data.from_pandas(b).repartition(3),
+            "uid", "vid", "intersect",
+        ).to_pandas()["uid"].sort_values().to_numpy()
+        np.testing.assert_array_equal(got, np.sort(want))
+
+    def test_empty_side(self):
+        import ray
+
+        from geo_index_ray.pipelines import relational
+
+        a = pd.DataFrame({"uid": np.array([1, 2, 3], np.int64)})
+        b = pd.DataFrame({"vid": np.array([], np.int64)})
+        got = relational.set_op(
+            ray.data.from_pandas(a), ray.data.from_pandas(b),
+            "uid", "vid", "except",
+        ).to_pandas()["uid"].sort_values().to_numpy()
+        np.testing.assert_array_equal(got, [1, 2, 3])
+
+    def test_bad_op_raises(self):
+        import ray
+
+        from geo_index_ray.pipelines import relational
+
+        a = pd.DataFrame({"uid": np.array([1], np.int64)})
+        with pytest.raises(ValueError):
+            relational.set_op(
+                ray.data.from_pandas(a), ray.data.from_pandas(a),
+                "uid", "uid", "union",
+            )
