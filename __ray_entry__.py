@@ -2409,6 +2409,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["purchasers_with_errors"] = purchasers_with_errors
 
+    def value_rolling_avg(sf_dir):
+        """Per-user rolling mean of the last 5 event values in (ts, id)
+        order — AVG OVER (PARTITION BY … ROWS 4 PRECEDING): exact
+        int64-cents window sums behind one lean hash(user) exchange,
+        all-keys-per-reducer cumsum windows
+        (pipelines/events.rolling_avg)."""
+        ds = tables.read_table(
+            sf_dir, "events", columns=["event_id", "user_id", "ts", "value"]
+        )
+        return events_pipe.rolling_avg(
+            ds, "user_id", "ts", "event_id", "value", k=5
+        )
+
+    q["value_rolling_avg"] = value_rolling_avg
+
+    def inter_event_gap(sf_dir):
+        """Per-row microseconds since the user's previous event —
+        ts - LAG(ts) OVER (PARTITION BY user ORDER BY ts, id); first
+        event per user = -1 sentinel on both sides
+        (pipelines/events.event_gaps)."""
+        ds = tables.read_table(
+            sf_dir, "events", columns=["event_id", "user_id", "ts"]
+        )
+        return events_pipe.event_gaps(ds, "user_id", "ts", "event_id")
+
+    q["inter_event_gap"] = inter_event_gap
+
     # ------------------------------------------------------------------
     # registration order = driver sampling order.  The driver's
     # correctness harness checks the FIRST 50 registrations; rounds 2/3
@@ -3941,6 +3968,26 @@ def oracle_sql() -> dict[str, str]:
         INTERSECT
         SELECT DISTINCT user_id FROM events
         WHERE event_type = 'error' AND value > 95.0
+    """
+
+    sql["value_rolling_avg"] = """
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                    OVER w AS DOUBLE)
+               / (100.0 * (COUNT(*) OVER w)) AS rolling_avg,
+               COUNT(*) OVER w AS n_window
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """
+
+    sql["inter_event_gap"] = """
+        SELECT event_id, user_id,
+               COALESCE(
+                   epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id),
+                   -1) AS gap_us
+        FROM events
     """
 
     return sql

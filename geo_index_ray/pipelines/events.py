@@ -1545,3 +1545,132 @@ def event_sequences(ds, key_col: str, ts_col: str, id_col: str,
         )
 
     return keyed.groupby("rkey").map_groups(build, batch_format="pyarrow")
+
+
+def rolling_avg(ds, key_col: str, ts_col: str, id_col: str, value_col: str,
+                k: int, out_col: str = "rolling_avg", scale: int = 100):
+    """Per-key rolling mean over the last ``k`` rows in (ts, id) order —
+    AVG(value) OVER (PARTITION BY key ORDER BY ts, id ROWS BETWEEN k-1
+    PRECEDING AND CURRENT ROW), the smoothing window behind
+    moving-average features and burst detection.
+
+    Returns (id_col, key_col, out_col float64, n_window int64), one row
+    per input row.  Values are scaled to int64 (caller contract:
+    ≤ log10(scale) decimals) so window sums are EXACT integers at any
+    distribution order; the finisher ``int64 → float64 / (scale * n)``
+    is the identical IEEE sequence as the SQL twin's
+    ``CAST(int_sum AS DOUBLE) / (scale * COUNT(*) OVER w)``.
+
+    Scale shape: same as running_sum — no pre-aggregation possible
+    (every row is an output) but only KEY-LOCALITY needed: one lean
+    32 B/row hash(key) exchange, then each reducer lexsorts ALL of its
+    keys once and computes every window with one np.cumsum + clipped
+    back-offset gather (rule 3: no per-key Python).  Skew ceiling: one
+    key's history per reducer — the SQL PARTITION BY contract.
+    """
+    from ..stages.util import coalesce_for_shuffle, reducer_count, rkey_of
+
+    R = reducer_count()
+
+    def lean(batch: pa.Table) -> pa.Table:
+        key = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        cents = np.round(v * scale).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                key_col: pa.array(key),
+                "tus": pa.array(_ts_us(batch[ts_col])),
+                "cents": pa.array(cents),
+                "rkey": pa.array(rkey_of(key, R)),
+            }
+        )
+
+    keyed = coalesce_for_shuffle(
+        ds.map_batches(lean, batch_format="pyarrow"), 0.25
+    )
+
+    def windows(g: pa.Table) -> pa.Table:
+        key = g[key_col].to_numpy(zero_copy_only=False)
+        tus = g["tus"].to_numpy(zero_copy_only=False)
+        eid = g[id_col].to_numpy(zero_copy_only=False)
+        cents = g["cents"].to_numpy(zero_copy_only=False)
+        perm = np.lexsort((eid, tus, key))
+        ks, cs = key[perm], cents[perm]
+        n = len(ks)
+        idx = np.arange(n, dtype=np.int64)
+        new = np.empty(n, dtype=bool)
+        new[:1] = True
+        new[1:] = ks[1:] != ks[:-1]
+        seg_start = np.maximum.accumulate(np.where(new, idx, 0))
+        back = np.minimum(idx - seg_start, k - 1)
+        start = idx - back
+        cum = np.cumsum(cs)
+        win = cum - (cum[start] - cs[start])
+        cnt = back + 1
+        avg = win.astype(np.float64) / (float(scale) * cnt)
+        return pa.table(
+            {
+                id_col: pa.array(eid[perm]),
+                key_col: pa.array(ks),
+                out_col: pa.array(avg),
+                "n_window": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    return keyed.groupby("rkey").map_groups(windows, batch_format="pyarrow")
+
+
+def event_gaps(ds, key_col: str, ts_col: str, id_col: str,
+               out_col: str = "gap_us", first_sentinel: int = -1):
+    """Per-row inter-arrival time: microseconds since the key's PREVIOUS
+    event in (ts, id) order — ``ts - LAG(ts) OVER (PARTITION BY key
+    ORDER BY ts, id)``, the feature behind session gaps, churn signals,
+    and burst detection.  The first event of each key gets
+    ``first_sentinel`` (SQL twin coalesces its NULL to the same value so
+    the hash gate stays exact — int64 nulls would otherwise widen to
+    float64 through the comparator's pandas leg).
+
+    Scale shape: identical to running_sum / rolling_avg — one lean
+    hash(key) exchange of (id, key, ts_us) at 24 B/row, all keys per
+    reducer lexsorted once, every gap from one shifted subtraction.
+    """
+    from ..stages.util import coalesce_for_shuffle, reducer_count, rkey_of
+
+    R = reducer_count()
+
+    def lean(batch: pa.Table) -> pa.Table:
+        key = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                key_col: pa.array(key),
+                "tus": pa.array(_ts_us(batch[ts_col])),
+                "rkey": pa.array(rkey_of(key, R)),
+            }
+        )
+
+    keyed = coalesce_for_shuffle(
+        ds.map_batches(lean, batch_format="pyarrow"), 0.25
+    )
+
+    def gaps(g: pa.Table) -> pa.Table:
+        key = g[key_col].to_numpy(zero_copy_only=False)
+        tus = g["tus"].to_numpy(zero_copy_only=False)
+        eid = g[id_col].to_numpy(zero_copy_only=False)
+        perm = np.lexsort((eid, tus, key))
+        ks, ts_s = key[perm], tus[perm]
+        gap = np.empty(len(ks), dtype=np.int64)
+        gap[:1] = first_sentinel
+        gap[1:] = np.where(
+            ks[1:] == ks[:-1], ts_s[1:] - ts_s[:-1], first_sentinel
+        )
+        return pa.table(
+            {
+                id_col: pa.array(eid[perm]),
+                key_col: pa.array(ks),
+                out_col: pa.array(gap),
+            }
+        )
+
+    return keyed.groupby("rkey").map_groups(gaps, batch_format="pyarrow")

@@ -1004,3 +1004,79 @@ class TestEventSequences:
                 want[["user_id", "seq", "n_events"]],
                 check_dtype=False,
             )
+
+
+class TestRollingAvgAndGaps:
+    def _events(self, seed=5, n=600, users=20):
+        rng = np.random.default_rng(seed)
+        return pd.DataFrame(
+            {
+                "event_id": np.arange(n, dtype=np.int64),
+                "user_id": rng.integers(0, users, n).astype(np.int64),
+                "ts": pd.to_datetime(rng.integers(0, 10**7, n), unit="us"),
+                "value": np.round(rng.uniform(0, 100, n), 2),
+            }
+        )
+
+    def test_rolling_avg_matches_pandas(self, ray_session):
+        import ray
+
+        from geo_index_ray.pipelines import events as events_pipe
+
+        df = self._events()
+        k = 5
+        s = df.sort_values(["user_id", "ts", "event_id"]).copy()
+        cents = np.round(s["value"].to_numpy() * 100).astype(np.int64)
+        s["cents"] = cents
+        roll = (
+            s.groupby("user_id")["cents"]
+            .rolling(k, min_periods=1)
+            .agg(["sum", "count"])
+            .reset_index(drop=True)
+        )
+        s["want"] = roll["sum"].to_numpy() / (100.0 * roll["count"].to_numpy())
+        s["want_n"] = roll["count"].to_numpy().astype(np.int64)
+        for blocks in (1, 4):
+            got = (
+                events_pipe.rolling_avg(
+                    ray.data.from_pandas(df).repartition(blocks),
+                    "user_id", "ts", "event_id", "value", k=k,
+                )
+                .to_pandas()
+                .sort_values("event_id")
+                .reset_index(drop=True)
+            )
+            want = s.sort_values("event_id").reset_index(drop=True)
+            np.testing.assert_allclose(
+                got["rolling_avg"].to_numpy(), want["want"].to_numpy(),
+                rtol=0, atol=0,
+            )
+            np.testing.assert_array_equal(
+                got["n_window"].to_numpy(), want["want_n"].to_numpy()
+            )
+
+    def test_event_gaps_matches_pandas_lag(self, ray_session):
+        import ray
+
+        from geo_index_ray.pipelines import events as events_pipe
+
+        df = self._events(seed=9)
+        s = df.sort_values(["user_id", "ts", "event_id"]).copy()
+        tus = s["ts"].astype("int64").to_numpy() // 1000  # ns → us
+        prev = np.roll(tus, 1)
+        same = s["user_id"].to_numpy() == np.roll(s["user_id"].to_numpy(), 1)
+        same[0] = False
+        s["want"] = np.where(same, tus - prev, -1)
+        got = (
+            events_pipe.event_gaps(
+                ray.data.from_pandas(df).repartition(3),
+                "user_id", "ts", "event_id",
+            )
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        want = s.sort_values("event_id").reset_index(drop=True)
+        np.testing.assert_array_equal(
+            got["gap_us"].to_numpy(), want["want"].to_numpy()
+        )
