@@ -2436,6 +2436,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["inter_event_gap"] = inter_event_gap
 
+    def dedup_keep_best(sf_dir):
+        """Keep-BEST near-dup dedup: one doc per minhash cluster, chosen
+        by max char length (ties → min id) instead of keep_list's min id
+        — the RefinedWeb-style representative choice
+        (pipelines/components.keep_best)."""
+        import pyarrow.compute as _pc
+
+        docs = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        pairs = dedup_pipe.minhash_dedup(docs, "doc_id", threshold=0.35)
+        clusters = comp_pipe.connected_components(pairs)
+
+        def with_len(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "len": _pc.cast(_pc.utf8_length(b["text"]), pa.int64()),
+                }
+            )
+
+        scored = docs.map_batches(with_len, batch_format="pyarrow")
+        return comp_pipe.keep_best(scored, clusters, "doc_id", "len")
+
+    q["dedup_keep_best"] = dedup_keep_best
+
     # ------------------------------------------------------------------
     # registration order = driver sampling order.  The driver's
     # correctness harness checks the FIRST 50 registrations; rounds 2/3
@@ -3988,6 +4012,25 @@ def oracle_sql() -> dict[str, str]:
                        (PARTITION BY user_id ORDER BY ts, event_id),
                    -1) AS gap_us
         FROM events
+    """
+
+    sql["dedup_keep_best"] = f"""
+        WITH clusters AS MATERIALIZED ({sql['dup_clusters']}),
+        scored AS (
+            SELECT c.node, c.component,
+                   CAST(length(d.text) AS BIGINT) AS score
+            FROM clusters c JOIN documents d ON d.doc_id = c.node
+        ),
+        winners AS (
+            SELECT node FROM (
+                SELECT node, ROW_NUMBER() OVER (
+                    PARTITION BY component ORDER BY score DESC, node
+                ) AS rn FROM scored
+            ) WHERE rn = 1
+        )
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT node FROM clusters)
+           OR doc_id IN (SELECT node FROM winners)
     """
 
     return sql

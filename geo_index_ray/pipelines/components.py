@@ -1017,3 +1017,115 @@ def sql_pagerank(edges_cte: str, iters: int = 2, r0_bits: int = 20,
     return (
         ",\n".join(parts) + f"\nSELECT node, rq AS rank_q FROM {prev}"
     )
+
+
+def keep_best(docs_ds, clusters_ds, id_col: str, score_col: str):
+    """Keep-BEST dedup list: every document except cluster members that
+    lose to a higher-scoring member (representative = the cluster's max
+    ``score_col``, ties → min id) — the RefinedWeb/C4-style "keep the
+    longest/highest-quality near-duplicate" refinement of
+    :func:`keep_list`'s keep-min-id rule.  Output: (id_col,) kept ids.
+
+    Scale shape, three lean exchanges and no broadcast:
+      1. attach scores to CLUSTER MEMBERS only — (id, score) rows from
+         the corpus union (node, component) rows, one hash(id) exchange,
+         per-reducer searchsorted gather (members ≪ corpus after LSH);
+      2. per-cluster argmax — per-batch partial argmax by
+         (score desc, id asc), final argmax under coarse
+         hash(component) keys (two-phase, like url_keep_latest);
+      3. drop list (members minus winners) resolved in the same
+         component-keyed reduce, then :func:`keep_list`'s 8 B/id
+         anti-join against the corpus — the drop set is never broadcast.
+
+    Caller contract: ``score_col`` is a non-negative int64 (length,
+    count, quantized quality — the argmax lexsort negates it), and every
+    cluster node exists in ``docs_ds`` (true by construction when
+    clusters come from pairs mined over the same corpus).
+    """
+    r = reducer_count()
+
+    # -- exchange 1: score lookup for cluster members -------------------
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        s = batch[score_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"id": pa.array(ids), "other": pa.array(s),
+                         "tag": pa.array(np.zeros(len(ids), np.int8)),
+                         "rkey": pa.array(_rkey(ids, r))})
+
+    def member_rows(batch: pa.Table) -> pa.Table:
+        node = batch["node"].to_numpy().astype(np.int64)
+        comp = batch["component"].to_numpy().astype(np.int64)
+        return pa.table({"id": pa.array(node), "other": pa.array(comp),
+                         "tag": pa.array(np.ones(len(node), np.int8)),
+                         "rkey": pa.array(_rkey(node, r))})
+
+    tagged = docs_ds.map_batches(doc_rows, batch_format="pyarrow").union(
+        clusters_ds.map_batches(member_rows, batch_format="pyarrow")
+    )
+
+    def attach(g: pa.Table) -> pa.Table:
+        ids = g["id"].to_numpy()
+        other = g["other"].to_numpy()
+        tag = g["tag"].to_numpy()
+        d_ids, d_score = ids[tag == 0], other[tag == 0]
+        m_ids, m_comp = ids[tag == 1], other[tag == 1]
+        order = np.argsort(d_ids)
+        pos = np.searchsorted(d_ids[order], m_ids)
+        return pa.table({
+            "node": pa.array(m_ids),
+            "component": pa.array(m_comp),
+            "score": pa.array(d_score[order][pos]),
+        })
+
+    scored = _with_schema(
+        tagged.groupby("rkey").map_groups(attach, batch_format="pyarrow"),
+        {"node": pa.int64(), "component": pa.int64(), "score": pa.int64()},
+    )
+
+    # -- exchange 2+3: per-component winner, then losers = drop list ----
+    def comp_keyed(batch: pa.Table) -> pa.Table:
+        comp = batch["component"].to_numpy()
+        return batch.append_column("rkey", pa.array(_rkey(comp, r)))
+
+    keyed = scored.map_batches(comp_keyed, batch_format="pyarrow")
+
+    def losers(g: pa.Table) -> pa.Table:
+        node = g["node"].to_numpy()
+        comp = g["component"].to_numpy()
+        score = g["score"].to_numpy()
+        # winner per component = max score, ties -> min node: lexsort
+        # ascending by (comp, -score, node); winner is each segment head
+        order = np.lexsort((node, -score, comp))
+        c_s, n_s = comp[order], node[order]
+        new = np.empty(len(c_s), dtype=bool)
+        new[:1] = True
+        new[1:] = c_s[1:] != c_s[:-1]
+        drop = n_s[~new]
+        return pa.table({"id": pa.array(drop),
+                         "tag": pa.array(np.ones(len(drop), np.int8)),
+                         "rkey": pa.array(_rkey(drop, r))})
+
+    drops = keyed.groupby("rkey").map_groups(losers, batch_format="pyarrow")
+
+    def keeps(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        return pa.table({"id": pa.array(ids),
+                         "tag": pa.array(np.zeros(len(ids), np.int8)),
+                         "rkey": pa.array(_rkey(ids, r))})
+
+    tagged2 = docs_ds.map_batches(keeps, batch_format="pyarrow").union(drops)
+
+    def anti(g: pa.Table) -> pa.Table:
+        ids = g["id"].to_numpy()
+        tag = g["tag"].to_numpy()
+        order = np.lexsort((tag, ids))
+        ids, tag = ids[order], tag[order]
+        starts = np.r_[0, np.flatnonzero(ids[1:] != ids[:-1]) + 1]
+        has_drop = np.maximum.reduceat(tag, starts) == 1
+        out = ids[starts][~has_drop]
+        return pa.table({id_col: pa.array(out)})
+
+    return _with_schema(
+        tagged2.groupby("rkey").map_groups(anti, batch_format="pyarrow"),
+        {id_col: pa.int64()},
+    )

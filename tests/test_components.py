@@ -223,3 +223,54 @@ class TestTriangleCounts:
         SELECT a.user_id src, b.user_id dst FROM rn a JOIN rn b
         ON a.k = b.k AND (b.rn - a.rn) IN (1, 2) ORDER BY 1, 2""").df()
         assert got.equals(want.astype(got.dtypes.to_dict()))
+
+
+class TestKeepBest:
+    def test_picks_max_score_min_id(self, ray_session):
+        from geo_index_ray.pipelines.components import keep_best
+
+        # clusters: {1,2,3} comp 1, {10,11} comp 10; 5, 7 unclustered
+        clusters = pd.DataFrame(
+            {
+                "node": np.array([1, 2, 3, 10, 11], np.int64),
+                "component": np.array([1, 1, 1, 10, 10], np.int64),
+            }
+        )
+        docs = pd.DataFrame(
+            {
+                "doc_id": np.array([1, 2, 3, 5, 7, 10, 11], np.int64),
+                # comp 1: node 2 wins on score; comp 10: tie -> min id 10
+                "len": np.array([4, 9, 9, 1, 1, 6, 6], np.int64),
+            }
+        )
+        got = (
+            keep_best(
+                rd.from_pandas(docs).repartition(3),
+                rd.from_pandas(clusters).repartition(2),
+                "doc_id", "len",
+            )
+            .to_pandas()["doc_id"].sort_values().tolist()
+        )
+        assert got == [2, 5, 7, 10]
+
+    def test_no_clusters_keeps_all(self, ray_session):
+        from geo_index_ray.pipelines.components import keep_best
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": np.array([3, 1, 2], np.int64),
+                "len": np.array([5, 5, 5], np.int64),
+            }
+        )
+        clusters = pd.DataFrame(
+            {
+                "node": np.array([], np.int64),
+                "component": np.array([], np.int64),
+            }
+        )
+        got = (
+            keep_best(rd.from_pandas(docs), rd.from_pandas(clusters),
+                      "doc_id", "len")
+            .to_pandas()["doc_id"].sort_values().tolist()
+        )
+        assert got == [1, 2, 3]
