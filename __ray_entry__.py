@@ -2460,6 +2460,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["dedup_keep_best"] = dedup_keep_best
 
+    def len_zscore(sf_dir):
+        """Per-language z-score of document char length — grouped
+        normalization from exact int64 moments (one group-bounded
+        groupby-sum + a broadcast map; the corpus never shuffles)
+        (pipelines/events.grouped_zscore)."""
+        import pyarrow.compute as _pc
+
+        ds = tables.read_table(
+            sf_dir, "documents", columns=["doc_id", "lang", "text"]
+        )
+
+        def with_len(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "lang": b["lang"],
+                    "len": _pc.cast(_pc.utf8_length(b["text"]), pa.int64()),
+                }
+            )
+
+        lens = ds.map_batches(with_len, batch_format="pyarrow")
+        return events_pipe.grouped_zscore(lens, "lang", "len", "doc_id")
+
+    q["len_zscore"] = len_zscore
+
     # ------------------------------------------------------------------
     # registration order = driver sampling order.  The driver's
     # correctness harness checks the FIRST 50 registrations; rounds 2/3
@@ -4031,6 +4056,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (SELECT node FROM clusters)
            OR doc_id IN (SELECT node FROM winners)
+    """
+
+    sql["len_zscore"] = """
+        WITH l AS (
+            SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS len
+            FROM documents
+        ),
+        m AS (
+            SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(len) AS DOUBLE) AS sx,
+                   CAST(SUM(len * len) AS DOUBLE) AS sxx
+            FROM l GROUP BY lang
+        )
+        SELECT l.doc_id, l.lang, l.len,
+               (CAST(l.len AS DOUBLE) - m.sx / m.n)
+               / sqrt((m.n * m.sxx - m.sx * m.sx) / (m.n * (m.n - 1.0)))
+               AS z
+        FROM l JOIN m ON l.lang = m.lang
     """
 
     return sql

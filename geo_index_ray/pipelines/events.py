@@ -1674,3 +1674,90 @@ def event_gaps(ds, key_col: str, ts_col: str, id_col: str,
         )
 
     return keyed.groupby("rkey").map_groups(gaps, batch_format="pyarrow")
+
+
+def grouped_zscore(ds, key_col: str, value_col: str, id_col: str,
+                   out_col: str = "z"):
+    """Per-group z-score normalization of an int64 column —
+    ``(v - AVG(v) OVER (PARTITION BY key)) / STDDEV_SAMP(v) OVER ...``,
+    the feature-scaling map behind per-language length filters and
+    per-source quality thresholds.
+
+    Returns one row per input row: (id_col, key_col, value_col,
+    out_col float64).
+
+    Hash-exactness: pass 1 reduces EXACT int64 moments (n, Σv, Σv²)
+    through one native groupby-sum (group-cardinality-bounded, not
+    corpus-bounded); the driver folds them to per-group (mean, std)
+    with the identical IEEE sequence as the SQL twin
+    (``sx/n``, ``sqrt((n·sxx − sx²)/(n·(n−1)))`` — Python-int moments,
+    so Σv² never wraps).  Pass 2 is a pure per-batch map against the
+    broadcast (mean, std) table — the corpus never shuffles.
+
+    Scale shape: the broadcast is one row per DISTINCT KEY (the bm25 df
+    trade) — fine for languages/sources/buckets; swap pass 2 for a
+    key-sheltered join when keys near 10⁸.  Groups with n < 2 or zero
+    variance emit NULL (SQL: division by NULL std).
+    """
+    import math
+
+    partial_cols = [key_col, "n", "sx", "sxx"]
+
+    def moments(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table(
+            {
+                key_col: batch[key_col],
+                "n": pa.array(np.ones(len(v), np.int64)),
+                "sx": pa.array(v),
+                "sxx": pa.array(v * v),
+            }
+        )
+        agg = t.group_by(key_col).aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sxx", "sum")]
+        )
+        return agg.rename_columns(partial_cols)
+
+    stats = (
+        ds.map_batches(moments, batch_format="pyarrow")
+        .groupby(key_col)
+        .sum(["n", "sx", "sxx"])
+        .to_pandas()
+    )
+    mean_of, std_of = {}, {}
+    for _, row in stats.iterrows():
+        # Python ints: Σv² exact at any magnitude (no int64 wrap)
+        n, sx, sxx = int(row["sum(n)"]), int(row["sum(sx)"]), int(row["sum(sxx)"])
+        k = row[key_col]
+        if n < 2:
+            mean_of[k], std_of[k] = float(sx) / float(n), None
+            continue
+        n_d, sx_d, sxx_d = float(n), float(sx), float(sxx)
+        var = (n_d * sxx_d - sx_d * sx_d) / (n_d * (n_d - 1.0))
+        mean_of[k] = sx_d / n_d
+        std_of[k] = math.sqrt(var) if var > 0.0 else None
+
+    keys = list(mean_of)
+    key_arr = pa.array(keys)
+    mean_arr = np.array([mean_of[k] for k in keys], np.float64)
+    std_arr = np.array(
+        [np.nan if std_of[k] is None else std_of[k] for k in keys], np.float64
+    )
+
+    def zmap(batch: pa.Table) -> pa.Table:
+        idx = pc.index_in(batch[key_col], key_arr).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(invalid="ignore"):
+            z = (v - mean_arr[idx]) / std_arr[idx]
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                key_col: batch[key_col],
+                value_col: batch[value_col],
+                out_col: pa.array(z, pa.float64(), from_pandas=True),
+            }
+        )
+
+    return ds.map_batches(zmap, batch_format="pyarrow")

@@ -1080,3 +1080,40 @@ class TestRollingAvgAndGaps:
         np.testing.assert_array_equal(
             got["gap_us"].to_numpy(), want["want"].to_numpy()
         )
+
+
+class TestGroupedZscore:
+    def test_matches_numpy_and_null_degenerates(self, ray_session):
+        import ray
+
+        from geo_index_ray.pipelines import events as events_pipe
+
+        rng = np.random.default_rng(13)
+        # group 0/1 normal; group 2 singleton; group 3 zero-variance
+        df = pd.DataFrame(
+            {
+                "id": np.arange(203, dtype=np.int64),
+                "g": np.r_[np.zeros(100), np.ones(100), [2], [3, 3]].astype(
+                    np.int64
+                ).astype(str),
+                "v": np.r_[
+                    rng.integers(0, 1000, 200), [42], [7, 7]
+                ].astype(np.int64),
+            }
+        )
+        got = (
+            events_pipe.grouped_zscore(
+                ray.data.from_pandas(df).repartition(4), "g", "v", "id"
+            )
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        for g in ("0", "1"):
+            sub = df[df["g"] == g]["v"].to_numpy().astype(np.float64)
+            want = (sub - sub.mean()) / sub.std(ddof=1)
+            np.testing.assert_allclose(
+                got[got["g"] == g]["z"].to_numpy(), want, rtol=1e-12
+            )
+        assert got[got["g"] == "2"]["z"].isna().all()   # n < 2
+        assert got[got["g"] == "3"]["z"].isna().all()   # zero variance
