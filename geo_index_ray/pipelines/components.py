@@ -1071,6 +1071,19 @@ def keep_best(docs_ds, clusters_ds, id_col: str, score_col: str):
         m_ids, m_comp = ids[tag == 1], other[tag == 1]
         order = np.argsort(d_ids)
         pos = np.searchsorted(d_ids[order], m_ids)
+        # fail loudly on a cluster node absent from docs_ds — a bare
+        # gather would silently read a NEIGHBORING doc's score (or walk
+        # off the array end) and crown the wrong cluster member
+        hit = pos < len(d_ids)
+        if not hit.all() or not np.array_equal(d_ids[order][pos[hit]],
+                                               m_ids[hit]):
+            missing = m_ids[~hit] if not hit.all() else m_ids[
+                hit][d_ids[order][pos[hit]] != m_ids[hit]]
+            raise ValueError(
+                f"keep_best: {missing.size} cluster node(s) missing from "
+                f"docs_ds (first: {missing[:3].tolist()}); clusters must "
+                "be mined over the same corpus"
+            )
         return pa.table({
             "node": pa.array(m_ids),
             "component": pa.array(m_comp),

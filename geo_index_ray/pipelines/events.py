@@ -1496,10 +1496,15 @@ def event_sequences(ds, key_col: str, ts_col: str, id_col: str,
     blocks) but needs only KEY-LOCALITY: one lean hash(key) exchange of
     (key, ts_us, id, val) rows, then each reducer lexsorts ALL of its
     keys at once and materializes every sequence with ONE
-    ``pc.binary_join`` over a ListArray built from segment offsets —
+    ``pc.binary_join`` over a LargeListArray built from int64 segment
+    offsets (64-bit offsets + large_string values, so a reducer is
+    bounded by its memory, not by 2³¹ rows / 2 GiB of joined text) —
     rule 3, no per-key Python.  Skew ceiling: a single key's full event
     list must fit one reducer — the same contract as SQL PARTITION BY
     (and the repo's running_sum / sessionize reducers).
+
+    Caller contract: ``val_col`` is non-null (``binary_join`` nulls the
+    whole sequence on one null element, where SQL STRING_AGG skips it).
     """
     from ..stages.util import coalesce_for_shuffle, reducer_count, rkey_of
 
@@ -1532,9 +1537,11 @@ def event_sequences(ds, key_col: str, ts_col: str, id_col: str,
         new[:1] = True
         new[1:] = ks[1:] != ks[:-1]
         starts = np.flatnonzero(new)
-        offsets = np.append(starts, len(ks)).astype(np.int32)
-        lists = pa.ListArray.from_arrays(pa.array(offsets), vals)
-        joined = pc.binary_join(lists, sep)
+        offsets = np.append(starts, len(ks)).astype(np.int64)
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offsets), vals.cast(pa.large_string())
+        )
+        joined = pc.binary_join(lists, pa.scalar(sep, pa.large_string()))
         n = np.diff(offsets).astype(np.int64)
         return pa.table(
             {
@@ -1690,9 +1697,17 @@ def grouped_zscore(ds, key_col: str, value_col: str, id_col: str,
     through one native groupby-sum (group-cardinality-bounded, not
     corpus-bounded); the driver folds them to per-group (mean, std)
     with the identical IEEE sequence as the SQL twin
-    (``sx/n``, ``sqrt((n·sxx − sx²)/(n·(n−1)))`` — Python-int moments,
-    so Σv² never wraps).  Pass 2 is a pure per-batch map against the
-    broadcast (mean, std) table — the corpus never shuffles.
+    (``sx/n``, ``sqrt((n·sxx − sx²)/(n·(n−1)))``).  Pass 2 is a pure
+    per-batch map against the broadcast (mean, std) table — the corpus
+    never shuffles.
+
+    Caller contract: |v| < 3.03e9 so v² fits int64 per element (lengths,
+    counts, quantized scores — NOT epoch timestamps); enforced with a
+    loud per-batch check.  The int64 Σv² partials can still wrap past
+    ~10¹⁸ rows per group at the contract maximum — at that scale split
+    the moments into (hi, lo) int64 pairs first.  Rows with a NULL key
+    are passed through with a NULL z (SQL's NULL group yields non-NULL
+    stats instead — keep keys non-null where the twin must hash-match).
 
     Scale shape: the broadcast is one row per DISTINCT KEY (the bm25 df
     trade) — fine for languages/sources/buckets; swap pass 2 for a
@@ -1705,6 +1720,12 @@ def grouped_zscore(ds, key_col: str, value_col: str, id_col: str,
 
     def moments(batch: pa.Table) -> pa.Table:
         v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(v) and np.abs(v).max() > 3_030_000_000:
+            raise ValueError(
+                "grouped_zscore: |value| must stay below 3.03e9 so v*v "
+                "fits int64 exactly (got max |v| = "
+                f"{int(np.abs(v).max())})"
+            )
         t = pa.table(
             {
                 key_col: batch[key_col],
@@ -1745,12 +1766,17 @@ def grouped_zscore(ds, key_col: str, value_col: str, id_col: str,
     )
 
     def zmap(batch: pa.Table) -> pa.Table:
-        idx = pc.index_in(batch[key_col], key_arr).to_numpy(
+        raw = pc.index_in(batch[key_col], key_arr).to_numpy(
             zero_copy_only=False
-        ).astype(np.int64)
+        )
+        # a NULL key has no stats row: index_in yields null -> NaN; gate
+        # it to a NULL z instead of an out-of-bounds int64 gather
+        ok = ~np.isnan(raw)
+        idx = np.where(ok, raw, 0).astype(np.int64)
         v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
         with np.errstate(invalid="ignore"):
             z = (v - mean_arr[idx]) / std_arr[idx]
+        z = np.where(ok, z, np.nan)
         return pa.table(
             {
                 id_col: batch[id_col],

@@ -543,4 +543,10 @@ def set_op(left, right, left_key: str, right_key: str, op: str,
             keep = np.intersect1d(a, b, assume_unique=True)
         return pa.table({out_col: pa.array(keep, pa.int64())})
 
-    return unioned.groupby("rkey").map_groups(resolve, batch_format="pyarrow")
+    out = unioned.groupby("rkey").map_groups(resolve, batch_format="pyarrow")
+    # typed zero-row block so a both-sides-empty result keeps its schema
+    # (an empty groupby otherwise yields a schema-less Dataset)
+    import ray.data as rd
+
+    empty = pa.table({out_col: pa.array([], pa.int64())})
+    return rd.from_arrow(empty).union(out)
