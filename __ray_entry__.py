@@ -2485,6 +2485,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["len_zscore"] = len_zscore
 
+    def order_window_lineitems(sf_dir):
+        """Temporal containment count-join: for each premium order
+        (totalprice > 490k), how many lineitems (any order's) shipped in
+        the 30 days from its order date — point-in-interval join with NO
+        pair enumeration: PBSM time bins + signed boundary ranks, one
+        lean 25 B/row exchange (pipelines/relational.interval_count_join)."""
+        import pyarrow.compute as _pc
+
+        from geo_index_ray.pipelines import relational
+
+        DAY_US = 86_400_000_000
+        li = tables.read_table(sf_dir, "lineitem", columns=["l_shipdate"])
+        orders = tables.read_table(
+            sf_dir, "orders",
+            columns=["o_orderkey", "o_orderdate", "o_totalprice"],
+        )
+
+        def windows(b: pa.Table) -> pa.Table:
+            keep = _pc.greater(b["o_totalprice"], 490_000.0)
+            b = b.filter(keep)
+            lo = _pc.cast(
+                _pc.cast(b["o_orderdate"], pa.timestamp("us")), pa.int64()
+            )
+            return pa.table(
+                {
+                    "o_orderkey": b["o_orderkey"],
+                    "lo": lo,
+                    "hi": _pc.add(lo, 30 * DAY_US),
+                }
+            )
+
+        ivs = orders.map_batches(windows, batch_format="pyarrow")
+        return relational.interval_count_join(
+            li, ivs, "l_shipdate", "o_orderkey", "lo", "hi",
+            bin_width=30 * DAY_US,
+        )
+
+    q["order_window_lineitems"] = order_window_lineitems
+
     # ------------------------------------------------------------------
     # registration order = driver sampling order.  The driver's
     # correctness harness checks the FIRST 50 registrations; rounds 2/3
@@ -4074,6 +4113,15 @@ def oracle_sql() -> dict[str, str]:
                / sqrt((m.n * m.sxx - m.sx * m.sx) / (m.n * (m.n - 1.0)))
                AS z
         FROM l JOIN m ON l.lang = m.lang
+    """
+
+    sql["order_window_lineitems"] = """
+        SELECT o.o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_pts
+        FROM orders o JOIN lineitem l
+          ON l.l_shipdate >= o.o_orderdate
+         AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+        WHERE o.o_totalprice > 490000.0
+        GROUP BY o.o_orderkey
     """
 
     return sql

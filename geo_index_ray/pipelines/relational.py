@@ -550,3 +550,137 @@ def set_op(left, right, left_key: str, right_key: str, op: str,
 
     empty = pa.table({out_col: pa.array([], pa.int64())})
     return rd.from_arrow(empty).union(out)
+
+
+def _t64(col) -> np.ndarray:
+    """int64/timestamp column → int64 numpy (epoch µs for timestamps)."""
+    t = col.type
+    if pa.types.is_timestamp(t) and t.unit != "us":
+        col = pc.cast(col, pa.timestamp("us", tz=t.tz), safe=False)
+    return pc.cast(col, pa.int64()).to_numpy()
+
+
+def interval_count_join(points, intervals, ts_col: str, ikey_col: str,
+                        start_col: str, end_col: str, bin_width: int,
+                        out_count: str = "n_pts"):
+    """Temporal containment count-join: per interval, how many points
+    fall in ``[start, end)`` — SQL ``JOIN ON p.ts >= i.start AND
+    p.ts < i.end GROUP BY i.key`` (inner semantics: zero-match intervals
+    drop) — with NO pair enumeration and NO all-pairs.
+
+    Shape (PBSM on time bins of ``bin_width``, boundary-rank trick):
+
+    - every point emits ONE row ``(rkey=hash(bin), t=ts, ikey=0,
+      sign=0)``;
+    - every interval emits TWO rows per bin it overlaps, the CLIPPED
+      bounds as signed boundaries: ``(hash(bin), hi_clip, ikey, +1)``
+      and ``(hash(bin), lo_clip, ikey, −1)``;
+    - one lean 25 B/row union exchange (all four columns shared by both
+      sides — none of hash_join's per-type null padding), then each
+      reducer sorts its point timestamps ONCE and resolves every
+      boundary with a single ``searchsorted``: the interval's count
+      contribution from a bin is ``rank(hi_clip) − rank(lo_clip)``.
+
+    Why clipping needs no per-bin masking: bins partition time, so a
+    foreign bin's point on the same reducer is either below ``bin_lo``
+    (counted by BOTH clipped bounds) or at/above ``bin_hi`` (counted by
+    neither) — the subtraction cancels it exactly.  Each (interval,
+    point) pair is counted in exactly one replica, the point's own bin.
+
+    Per-reducer partials ``(ikey, partial)`` then one tiny native
+    ``groupby(ikey).sum`` (rows bounded by intervals × bins-spanned, not
+    by points).  Replication factor is ``span / bin_width + 1`` — pick
+    ``bin_width`` near the typical interval span.  Skew ceiling: one
+    BIN's points must fit a reducer (same contract as the PBSM spatial
+    join); a hot bin splits by shrinking ``bin_width``.
+
+    Reference scope note: engine-added relational operator (SURVEY.md
+    §2.4); the reference index library has no temporal-join layer.
+    """
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
+    R = reducer_count()
+    bw = np.int64(bin_width)
+
+    def point_rows(batch: pa.Table) -> pa.Table:
+        t = _t64(batch[ts_col])
+        z64 = np.zeros(len(t), np.int64)
+        return pa.table(
+            {
+                "rkey": pa.array(_key_rkey(np.floor_divide(t, bw), R)),
+                "t": pa.array(t),
+                "ikey": pa.array(z64),
+                "sign": pa.array(z64.astype(np.int8)),
+            }
+        )
+
+    def boundary_rows(batch: pa.Table) -> pa.Table:
+        lo = _t64(batch[start_col])
+        hi = _t64(batch[end_col])
+        k = batch[ikey_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        live = hi > lo  # empty/inverted intervals match nothing
+        lo, hi, k = lo[live], hi[live], k[live]
+        b0 = np.floor_divide(lo, bw)
+        b1 = np.floor_divide(hi - 1, bw)  # last bin touched (end exclusive)
+        reps = b1 - b0 + 1
+        idx = np.repeat(np.arange(len(k), dtype=np.int64), reps)
+        offs = (
+            np.arange(int(reps.sum()), dtype=np.int64)
+            - np.repeat(np.cumsum(reps) - reps, reps)
+        )
+        bins = b0[idx] + offs
+        bin_lo = bins * bw
+        lo_c = np.maximum(lo[idx], bin_lo)
+        hi_c = np.minimum(hi[idx], bin_lo + bw)
+        rk = _key_rkey(bins, R)
+        n = len(idx)
+        sign = np.empty(2 * n, np.int8)
+        sign[:n], sign[n:] = 1, -1
+        return pa.table(
+            {
+                "rkey": pa.array(np.concatenate([rk, rk])),
+                "t": pa.array(np.concatenate([hi_c, lo_c])),
+                "ikey": pa.array(np.concatenate([k[idx], k[idx]])),
+                "sign": pa.array(sign),
+            }
+        )
+
+    unioned = coalesce_for_shuffle(
+        points.map_batches(point_rows, batch_format="pyarrow").union(
+            intervals.map_batches(boundary_rows, batch_format="pyarrow")
+        ),
+        0.5,
+    )
+
+    def rank_reducer(g: pa.Table) -> pa.Table:
+        sign = g["sign"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        pts = np.sort(t[sign == 0])
+        bmask = sign != 0
+        bt = t[bmask]
+        bk = g["ikey"].to_numpy(zero_copy_only=False)[bmask]
+        bs = sign[bmask].astype(np.int64)
+        contrib = bs * np.searchsorted(pts, bt, side="left")
+        keys, inv = np.unique(bk, return_inverse=True)
+        partial = np.zeros(len(keys), np.int64)
+        np.add.at(partial, inv, contrib)
+        return pa.table(
+            {"ikey": pa.array(keys), "partial": pa.array(partial)}
+        )
+
+    partials = unioned.groupby("rkey").map_groups(
+        rank_reducer, batch_format="pyarrow"
+    )
+    summed = partials.groupby("ikey").sum("partial")
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["sum(partial)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = n > 0
+        return pa.table(
+            {
+                ikey_col: b["ikey"].filter(pa.array(keep)),
+                out_count: pa.array(n[keep]),
+            }
+        )
+
+    return summed.map_batches(finish, batch_format="pyarrow")

@@ -483,3 +483,81 @@ class TestSetOp:
                 ray.data.from_pandas(a), ray.data.from_pandas(a),
                 "uid", "uid", "union",
             )
+
+
+class TestIntervalCountJoin:
+    def _run(self, ts, ikey, lo, hi, bin_width):
+        import ray.data as rd
+
+        from geo_index_ray.pipelines.relational import interval_count_join
+
+        pts = rd.from_arrow(pa.table({"ts": pa.array(ts, pa.int64())}))
+        ivs = rd.from_arrow(
+            pa.table(
+                {
+                    "ikey": pa.array(ikey, pa.int64()),
+                    "lo": pa.array(lo, pa.int64()),
+                    "hi": pa.array(hi, pa.int64()),
+                }
+            )
+        )
+        got = (
+            interval_count_join(pts, ivs, "ts", "ikey", "lo", "hi", bin_width)
+            .to_pandas()
+            .sort_values("ikey")
+            .reset_index(drop=True)
+        )
+        t = np.asarray(ts, np.int64)
+        rows = [
+            (k, int(((t >= a) & (t < b)).sum()))
+            for k, a, b in zip(ikey, lo, hi)
+        ]
+        want = (
+            pd.DataFrame(rows, columns=["ikey", "n_pts"])
+            .query("n_pts > 0")
+            .sort_values("ikey")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got.astype({"ikey": np.int64, "n_pts": np.int64}), want
+        )
+
+    def test_random_multi_bin_intervals_match_bruteforce(self):
+        rng = np.random.default_rng(7)
+        ts = rng.integers(0, 10_000, size=3_000)
+        lo = rng.integers(-500, 9_500, size=200)
+        span = rng.integers(1, 2_500, size=200)  # spans many 256-wide bins
+        self._run(ts, np.arange(200), lo, lo + span, bin_width=256)
+
+    def test_boundaries_start_inclusive_end_exclusive(self):
+        # points exactly at lo count; points exactly at hi don't
+        self._run([100, 200], [1, 2, 3], [100, 200, 150],
+                  [200, 300, 150], bin_width=64)
+
+    def test_empty_and_inverted_intervals_drop(self):
+        self._run([10, 20, 30], [1, 2, 3], [5, 50, 40],
+                  [35, 50, 20], bin_width=8)
+
+    def test_timestamp_points(self):
+        import ray.data as rd
+
+        from geo_index_ray.pipelines.relational import interval_count_join
+
+        base = np.datetime64("2020-01-01T00:00:00", "us").astype(np.int64)
+        ts = pa.array(base + np.array([0, 10, 25], np.int64)).cast(
+            pa.timestamp("us")
+        )
+        pts = rd.from_arrow(pa.table({"ts": ts}))
+        ivs = rd.from_arrow(
+            pa.table(
+                {
+                    "ikey": pa.array([7], pa.int64()),
+                    "lo": pa.array([base + 5], pa.int64()),
+                    "hi": pa.array([base + 25], pa.int64()),
+                }
+            )
+        )
+        got = interval_count_join(
+            pts, ivs, "ts", "ikey", "lo", "hi", bin_width=16
+        ).to_pandas()
+        assert got.to_dict("records") == [{"ikey": 7, "n_pts": 1}]
