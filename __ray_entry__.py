@@ -2524,6 +2524,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["order_window_lineitems"] = order_window_lineitems
 
+    def value_winsorized(sf_dir):
+        """Per-event-type winsorization: clip value to the group's exact
+        [p05, p95] continuous percentiles — outlier taming via the
+        distinct-value percentile combiner + a broadcast clip map; the
+        corpus never shuffles (pipelines/events.winsorize)."""
+        ds = tables.read_table(
+            sf_dir, "events", columns=["event_id", "event_type", "value"]
+        )
+        return events_pipe.winsorize(
+            ds, "event_type", "value", "event_id", 0.05, 0.95
+        )
+
+    q["value_winsorized"] = value_winsorized
+
     # ------------------------------------------------------------------
     # registration order = driver sampling order.  The driver's
     # correctness harness checks the FIRST 50 registrations; rounds 2/3
@@ -4122,6 +4136,18 @@ def oracle_sql() -> dict[str, str]:
          AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
         WHERE o.o_totalprice > 490000.0
         GROUP BY o.o_orderkey
+    """
+
+    sql["value_winsorized"] = """
+        WITH p AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.05) AS lo,
+                   quantile_cont(value, 0.95) AS hi
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_id, e.event_type, e.value,
+               LEAST(GREATEST(e.value, p.lo), p.hi) AS clipped
+        FROM events e JOIN p USING (event_type)
     """
 
     return sql

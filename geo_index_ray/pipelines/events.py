@@ -1787,3 +1787,47 @@ def grouped_zscore(ds, key_col: str, value_col: str, id_col: str,
         )
 
     return ds.map_batches(zmap, batch_format="pyarrow")
+
+
+def winsorize(ds, key_col: str, value_col: str, id_col: str,
+              q_lo: float = 0.05, q_hi: float = 0.95,
+              out_col: str = "clipped"):
+    """Per-group winsorization — clip each row's value to its group's
+    exact [q_lo, q_hi] continuous percentiles (the standard outlier-
+    taming step before model training / feature scaling).
+
+    Pass 1 reuses :func:`grouped_percentiles` (distinct-value count
+    combiner, ``quantile_cont``-identical interpolation — bit-exact vs
+    the SQL twin); the resulting (key, lo, hi) table is driver-collected
+    and broadcast — one row per DISTINCT KEY, the bm25 df trade (fine
+    for event types / languages / buckets; swap pass 2 for a hash_join
+    at 10⁸+ keys).  Pass 2 is a pure per-batch ``LEAST(GREATEST(v, lo),
+    hi)`` map — the corpus never shuffles.  Rows whose key has no stats
+    row (NULL key) pass through with a NULL clip.
+    """
+    pct = grouped_percentiles(
+        ds, key_col, value_col, qs=(q_lo, q_hi), names=("lo", "hi")
+    ).to_pandas()
+    key_arr = pa.array(pct[key_col].tolist())
+    lo_arr = pct["lo"].to_numpy(np.float64)
+    hi_arr = pct["hi"].to_numpy(np.float64)
+
+    def clip(batch: pa.Table) -> pa.Table:
+        raw = pc.index_in(batch[key_col], key_arr).to_numpy(
+            zero_copy_only=False
+        )
+        ok = ~np.isnan(raw)
+        idx = np.where(ok, raw, 0).astype(np.int64)
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        c = np.minimum(np.maximum(v, lo_arr[idx]), hi_arr[idx])
+        c = np.where(ok, c, np.nan)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                key_col: batch[key_col],
+                value_col: batch[value_col],
+                out_col: pa.array(c, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(clip, batch_format="pyarrow")

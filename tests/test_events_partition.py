@@ -1117,3 +1117,42 @@ class TestGroupedZscore:
             )
         assert got[got["g"] == "2"]["z"].isna().all()   # n < 2
         assert got[got["g"] == "3"]["z"].isna().all()   # zero variance
+
+
+class TestWinsorize:
+    def test_matches_pandas_groupwise_clip(self, ray_session):
+        import ray.data as rd
+
+        from geo_index_ray.pipelines.events import winsorize
+
+        rng = np.random.default_rng(11)
+        n = 2_000
+        key = rng.integers(0, 5, n)
+        val = rng.normal(0, 100, n)
+        ids = np.arange(n, dtype=np.int64)
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "id": pa.array(ids),
+                    "k": pa.array(key.astype(np.int64)),
+                    "v": pa.array(val),
+                }
+            )
+        ).repartition(7)
+        got = (
+            winsorize(ds, "k", "v", "id", 0.1, 0.9)
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        df = pd.DataFrame({"id": ids, "k": key, "v": val})
+        lo = df.groupby("k")["v"].transform(
+            lambda s: np.quantile(s, 0.1, method="linear")
+        )
+        hi = df.groupby("k")["v"].transform(
+            lambda s: np.quantile(s, 0.9, method="linear")
+        )
+        want = np.clip(df["v"].to_numpy(), lo, hi)
+        np.testing.assert_allclose(got["clipped"].to_numpy(), want, rtol=1e-12)
+        # interior values untouched, outliers clipped to the bounds
+        assert (got["clipped"].to_numpy() != got["v"].to_numpy()).any()
