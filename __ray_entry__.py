@@ -2538,6 +2538,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["value_winsorized"] = value_winsorized
 
+    def token_budget_mix(sf_dir):
+        """Deterministic per-source data mixing: downsample each source
+        to ≈1300 whitespace tokens via golden-hash acceptance at rate
+        min(1, budget/total) — one tiny totals groupby + a map-only
+        filter; pure function of (doc_id, totals), resumable
+        (pipelines/webtext.token_budget_mix)."""
+        import pyarrow.compute as _pc
+
+        ds = tables.read_table(
+            sf_dir, "documents", columns=["doc_id", "source", "text"]
+        )
+
+        def with_tok(batch: pa.Table) -> pa.Table:
+            n = _pc.count_substring_regex(batch["text"], r"\S+")
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "source": batch["source"],
+                    "n_tokens": n.cast(pa.int64()),
+                }
+            )
+
+        wds = ds.map_batches(with_tok, batch_format="pyarrow")
+        return webtext_pipe.token_budget_mix(
+            wds, "doc_id", "source", "n_tokens", 1300
+        )
+
+    q["token_budget_mix"] = token_budget_mix
+
     # ------------------------------------------------------------------
     # registration order = driver sampling order.  The driver's
     # correctness harness checks the FIRST 50 registrations; rounds 2/3
@@ -4148,6 +4177,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT e.event_id, e.event_type, e.value,
                LEAST(GREATEST(e.value, p.lo), p.hi) AS clipped
         FROM events e JOIN p USING (event_type)
+    """
+
+    sql["token_budget_mix"] = rf"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   CAST(len(list_filter(string_split_regex(text, '\s+'),
+                            x -> x <> '')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        s AS (SELECT source, SUM(n_tokens) AS tot FROM t GROUP BY source)
+        SELECT t.doc_id, t.source, t.n_tokens
+        FROM t JOIN s USING (source)
+        WHERE {webtext_pipe.sql_hash_unit('t.doc_id')}
+              < LEAST(1.0, CAST(1300 AS DOUBLE) / CAST(s.tot AS DOUBLE))
     """
 
     return sql

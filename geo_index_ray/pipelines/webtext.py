@@ -1151,3 +1151,52 @@ SELECT d.{id_col},
        CAST(COALESCE(sc.n_hits, 0) > 0 AS BIGINT) AS contaminated
 FROM {table} d LEFT JOIN sc USING ({id_col})
 """
+
+
+def token_budget_mix(ds, id_col: str, group_col: str, token_col: str,
+                     budget: int):
+    """Deterministic per-source data mixing to a token budget — the
+    corpus-assembly step that downsamples each source to ≈ ``budget``
+    tokens (never upsamples): a row survives iff
+    ``hash_unit(id) < min(1, budget / group_total_tokens)``.
+
+    Pass 1: per-batch (group, tokens) partial sums → one tiny native
+    ``groupby(group).sum`` — the shuffle carries ≤ one row per group per
+    block, and the driver reads ≤ #groups rows (the bm25 df trade; swap
+    the broadcast for a hash_join at 10⁸+ groups).  Pass 2 is map-only:
+    the same golden-hash acceptance as :func:`weighted_sample`, so the
+    kept subset is a pure function of (id, group totals) — identical
+    under any partitioning, retry, cluster size, and resumable re-runs.
+
+    Rate arithmetic is one exact int→double conversion per side and one
+    IEEE divide (``budget / tot``), bit-identical to the SQL twin's
+    ``LEAST(1.0, CAST(b AS DOUBLE) / CAST(tot AS DOUBLE))``.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {group_col: batch[group_col], token_col: batch[token_col]}
+        )
+        agg = t.group_by(group_col).aggregate([(token_col, "sum")])
+        return agg.rename_columns([group_col, "tok"])
+
+    totals = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .sum("tok")
+        .to_pandas()
+    )
+    key_arr = pa.array(totals[group_col].tolist())
+    tots = totals["sum(tok)"].to_numpy(np.int64)
+    rate_arr = np.minimum(1.0, float(budget) / tots.astype(np.float64))
+
+    def accept(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy().astype(np.int64).view(np.uint64)
+        with np.errstate(over="ignore"):
+            u = (ids * _GOLDEN).astype(np.float64) / 2.0**64
+        idx = pc.index_in(batch[group_col], key_arr).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)  # every group has a totals row by construction
+        return batch.filter(pa.array(u < rate_arr[idx]))
+
+    return ds.map_batches(accept, batch_format="pyarrow")

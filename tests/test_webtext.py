@@ -806,3 +806,47 @@ class TestWeightedSample:
             ).fetchdf()["doc_id"]
         )
         assert mine == ora
+
+
+class TestTokenBudgetMix:
+    def test_matches_hash_rule_and_caps_tokens(self, ray_session):
+        import ray.data as rd
+
+        from geo_index_ray.pipelines.webtext import _GOLDEN, token_budget_mix
+
+        rng = np.random.default_rng(3)
+        n = 1_000
+        ids = np.arange(n, dtype=np.int64)
+        grp = np.array([f"s{g}" for g in rng.integers(0, 4, n)], object)
+        tok = rng.integers(1, 50, n).astype(np.int64)
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids),
+                    "source": pa.array(grp.tolist()),
+                    "n_tokens": pa.array(tok),
+                }
+            )
+        ).repartition(5)
+        budget = 2_000
+        got = (
+            token_budget_mix(ds, "doc_id", "source", "n_tokens", budget)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        df = pd.DataFrame({"doc_id": ids, "source": grp, "n_tokens": tok})
+        tot = df.groupby("source")["n_tokens"].transform("sum").to_numpy()
+        rate = np.minimum(1.0, budget / tot.astype(np.float64))
+        with np.errstate(over="ignore"):
+            u = (ids.view(np.uint64) * _GOLDEN).astype(np.float64) / 2.0**64
+        want = df[u < rate].reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+        # sampled groups land near budget; whole groups stay whole
+        kept = got.groupby("source")["n_tokens"].sum()
+        full = df.groupby("source")["n_tokens"].sum()
+        for s in full.index:
+            if full[s] <= budget:
+                assert kept.get(s, 0) == full[s]
+            else:
+                assert kept.get(s, 0) < full[s]
