@@ -2567,6 +2567,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["token_budget_mix"] = token_budget_mix
 
+    def eval_holdout_sample(sf_dir):
+        """Deterministic global uniform k-sample: the 40 docs with the
+        smallest golden-hash values (ORDER BY hash, id LIMIT 40) — per-
+        block pre-trim, ≤ k rows per block exchanged, no global sort
+        (pipelines/ranking.uniform_sample_k)."""
+        ds = tables.read_table(sf_dir, "documents", columns=["doc_id"])
+        return rank_pipe.uniform_sample_k(ds, "doc_id", 40)
+
+    q["eval_holdout_sample"] = eval_holdout_sample
+
     # ------------------------------------------------------------------
     # registration order = driver sampling order.  The driver's
     # correctness harness checks the FIRST 50 registrations; rounds 2/3
@@ -4191,6 +4201,15 @@ def oracle_sql() -> dict[str, str]:
         FROM t JOIN s USING (source)
         WHERE {webtext_pipe.sql_hash_unit('t.doc_id')}
               < LEAST(1.0, CAST(1300 AS DOUBLE) / CAST(s.tot AS DOUBLE))
+    """
+
+    sql["eval_holdout_sample"] = f"""
+        SELECT doc_id, u,
+               CAST(ROW_NUMBER() OVER (ORDER BY u, doc_id) AS BIGINT) AS rank
+        FROM (SELECT doc_id,
+                     {webtext_pipe.sql_hash_unit('doc_id')} AS u
+              FROM documents)
+        ORDER BY u, doc_id LIMIT 40
     """
 
     return sql

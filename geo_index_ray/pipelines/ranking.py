@@ -571,3 +571,40 @@ def sql_rank_in_group(table: str, key_col: str, value_col: str,
                  AS {rank_col}
         FROM {table}
     """
+
+
+def uniform_sample_k(ds, id_col: str, k: int):
+    """Deterministic global uniform k-sample — the k rows with the
+    smallest golden-hash unit values, i.e. ``ORDER BY hash_unit(id), id
+    LIMIT k`` (held-out eval-set selection that is a pure function of
+    the ids: stable under partitioning, retries, cluster size, and
+    corpus append-order).
+
+    No global sort: each block pre-trims to its own k smallest under
+    the total order (u, id) — a row ranked > k inside its own block
+    cannot be in the global k — so the exchange carries ≤ k rows per
+    block, then one single-group coarse-key merge
+    (:func:`stages.util.topk_per_group`) ranks the candidates.  Output
+    ``(id, u, rank)`` with rank = 1-based ROW_NUMBER.
+    """
+    from ..stages.util import topk_per_group
+
+    def pretrim(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        with np.errstate(over="ignore"):
+            u = (ids.view(np.uint64) * _GOLDEN).astype(np.float64) / 2.0**64
+        sel = np.lexsort((ids, u))[:k]
+        return pa.table(
+            {
+                id_col: pa.array(ids[sel]),
+                "u": pa.array(u[sel], pa.float64()),
+                "g": pa.array(np.zeros(len(sel), np.int64)),
+            }
+        )
+
+    cands = ds.map_batches(pretrim, batch_format="pyarrow")
+    return topk_per_group(
+        cands, "g", k,
+        sort_cols=["u", id_col], sort_desc=[False, False],
+        keep_cols=[id_col, "u"], rank_col="rank",
+    )

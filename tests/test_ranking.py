@@ -447,3 +447,36 @@ class TestModelScore:
         assert w.dtype.name == "int64"
         assert (w == scorer_weights(1024)).all()
         assert abs(w).max() <= 500001
+
+
+class TestUniformSampleK:
+    def test_matches_global_hash_order(self, ray_session):
+        import ray.data as rd
+
+        from geo_index_ray.pipelines.ranking import _GOLDEN, uniform_sample_k
+
+        ids = np.arange(1, 501, dtype=np.int64)
+        ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids)})).repartition(9)
+        k = 37
+        got = (
+            uniform_sample_k(ds, "doc_id", k)
+            .to_pandas()
+            .sort_values("rank")
+            .reset_index(drop=True)
+        )
+        with np.errstate(over="ignore"):
+            u = (ids.view(np.uint64) * _GOLDEN).astype(np.float64) / 2.0**64
+        order = np.lexsort((ids, u))[:k]
+        assert got["doc_id"].tolist() == ids[order].tolist()
+        assert got["rank"].tolist() == list(range(1, k + 1))
+        np.testing.assert_array_equal(got["u"].to_numpy(), u[order])
+
+    def test_k_larger_than_corpus_returns_all(self, ray_session):
+        import ray.data as rd
+
+        from geo_index_ray.pipelines.ranking import uniform_sample_k
+
+        ids = np.arange(5, dtype=np.int64)
+        ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids)}))
+        got = uniform_sample_k(ds, "doc_id", 50).to_pandas()
+        assert sorted(got["doc_id"].tolist()) == ids.tolist()
