@@ -2577,6 +2577,64 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["eval_holdout_sample"] = eval_holdout_sample
 
+    def tpch_q6(sf_dir):
+        """TPC-H Q6 forecast-revenue-change: ALL three predicates pushed
+        into the parquet scan (`read_parquet(filter=...)` — row groups
+        whose min/max stats miss the window never leave storage), then a
+        per-batch exact int64 cents×basis-points partial with the q1
+        hi/lo 2^32 split (safe past 10^12 rows), ONE scalar reduce."""
+        import numpy as _np
+
+        import ray.data as _rd
+        import pyarrow.dataset as _pds
+
+        lo = np.datetime64("1996-01-01T00:00:00", "us")
+        hi = np.datetime64("1997-01-01T00:00:00", "us")
+        expr = (
+            (_pds.field("l_shipdate") >= lo)
+            & (_pds.field("l_shipdate") < hi)
+            & (_pds.field("l_discount") >= 0.05)
+            & (_pds.field("l_discount") <= 0.07)
+            & (_pds.field("l_quantity") < 24.0)
+        )
+        ds = _rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_shipdate", "l_discount", "l_quantity",
+                     "l_extendedprice"],
+            filter=expr,
+        )
+        SPLIT = _np.int64(1) << _np.int64(32)
+
+        def partials(b: pa.Table) -> pa.Table:
+            c = _np.round(
+                b["l_extendedprice"].to_numpy() * 100
+            ).astype(_np.int64)
+            d = _np.round(b["l_discount"].to_numpy() * 10000).astype(
+                _np.int64
+            )
+            s = int((c * d).sum())
+            return pa.table(
+                {
+                    "rev_hi": pa.array([s // int(SPLIT)], pa.int64()),
+                    "rev_lo": pa.array([s % int(SPLIT)], pa.int64()),
+                    "n": pa.array([len(c)], pa.int64()),
+                }
+            )
+
+        agg = ds.map_batches(partials, batch_format="pyarrow")
+        tot = agg.sum(["rev_hi", "rev_lo", "n"])
+        rev = float(
+            int(tot["sum(rev_hi)"]) * int(SPLIT) + int(tot["sum(rev_lo)"])
+        )
+        return pa.table(
+            {
+                "revenue": pa.array([rev / 1_000_000.0], pa.float64()),
+                "n_rows": pa.array([int(tot["sum(n)"])], pa.int64()),
+            }
+        )
+
+    q["tpch_q6"] = tpch_q6
+
     # ------------------------------------------------------------------
     # registration order = driver sampling order.  The driver's
     # correctness harness checks the FIRST 50 registrations; rounds 2/3
@@ -4210,6 +4268,18 @@ def oracle_sql() -> dict[str, str]:
                      {webtext_pipe.sql_hash_unit('doc_id')} AS u
               FROM documents)
         ORDER BY u, doc_id LIMIT 40
+    """
+
+    sql["tpch_q6"] = """
+        SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * CAST(round(l_discount * 10000) AS BIGINT))
+                    AS DOUBLE) / 1000000.0 AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24.0
     """
 
     return sql
