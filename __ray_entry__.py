@@ -2635,6 +2635,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["tpch_q6"] = tpch_q6
 
+    def k_anonymity_filter(sf_dir):
+        """k-anonymity suppression over the (lang, source) quasi-
+        identifier: drop every document whose group has < 4 members —
+        the privacy gate before corpus release.  Pure composition of
+        existing operators: per-batch count partials → one tiny native
+        groupby(qid).sum → SEMI hash_join back (each doc emitted at most
+        once; nothing corpus-sized broadcast, so the qualifying-key side
+        may be half the corpus) (pipelines/relational.hash_join)."""
+        from geo_index_ray.pipelines import relational
+
+        import pyarrow.compute as _pc
+
+        docs = tables.read_table(
+            sf_dir, "documents", columns=["doc_id", "lang", "source"]
+        )
+
+        def with_qid(b: pa.Table) -> pa.Table:
+            qid = _pc.binary_join_element_wise(
+                b["lang"], b["source"], "|"
+            )
+            return b.append_column("qid", qid)
+
+        dq = docs.map_batches(with_qid, batch_format="pyarrow")
+
+        def count_partial(b: pa.Table) -> pa.Table:
+            t = pa.table({"qid": b["qid"]})
+            agg = (
+                t.append_column("n", pa.array(np.ones(len(t), np.int64)))
+                .group_by("qid")
+                .aggregate([("n", "sum")])
+            )
+            return agg.rename_columns(["qid", "n"])
+
+        counts = (
+            dq.map_batches(count_partial, batch_format="pyarrow")
+            .groupby("qid")
+            .sum("n")
+        )
+
+        def qualify(b: pa.Table) -> pa.Table:
+            keep = _pc.greater_equal(b["sum(n)"], 4)
+            return pa.table({"qid": b["qid"].filter(keep)})
+
+        qual = counts.map_batches(qualify, batch_format="pyarrow")
+        return relational.hash_join(
+            dq, qual, "qid", "qid",
+            left_cols=["doc_id", "lang", "source"], right_cols=[],
+            how="semi",
+        )
+
+    q["k_anonymity_filter"] = k_anonymity_filter
+
     # ------------------------------------------------------------------
     # registration order = driver sampling order.  The driver's
     # correctness harness checks the FIRST 50 registrations; rounds 2/3
@@ -4280,6 +4332,14 @@ def oracle_sql() -> dict[str, str]:
           AND l_shipdate < TIMESTAMP '1997-01-01'
           AND l_discount >= 0.05 AND l_discount <= 0.07
           AND l_quantity < 24.0
+    """
+
+    sql["k_anonymity_filter"] = """
+        SELECT doc_id, lang, source FROM documents
+        WHERE (lang, source) IN (
+            SELECT (lang, source) FROM documents
+            GROUP BY lang, source HAVING COUNT(*) >= 4
+        )
     """
 
     return sql
