@@ -2687,6 +2687,62 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["k_anonymity_filter"] = k_anonymity_filter
 
+    def knn_label_vote(sf_dir):
+        """kNN classification: predict each query vector's label as the
+        majority label of its 5 nearest OTHER vectors (cosine; vote ties
+        → smallest label) — exact brute top-k + hash-join label attach +
+        the mode_per_key reducer; every stage an existing operator
+        (pipelines/ann.ann_topk, relational.hash_join,
+        ranking.mode_per_key)."""
+        import pyarrow.compute as _pc
+
+        from geo_index_ray.pipelines import relational
+
+        mat, qids = _read_queries_for_ann(sf_dir)
+        ds = tables.read_table(
+            sf_dir, "embeddings", columns=["vec_id", "embedding"]
+        )
+        # k+1 then drop self: self (sim 1.0) always sits in the top-6,
+        # so the survivors are exactly the 5 nearest others, in order
+        top = ann_pipe.ann_topk(ds, mat, qids, 6, id_col="vec_id")
+
+        def drop_self(b: pa.Table) -> pa.Table:
+            return b.filter(
+                _pc.not_equal(b["neighbor_id"], b["query_id"])
+            )
+
+        noself = top.map_batches(drop_self, batch_format="pyarrow")
+        from geo_index_ray.stages.util import topk_per_group
+
+        five = topk_per_group(
+            noself, "query_id", 5, ["rank"], [False],
+            ["query_id", "neighbor_id"], rank_col="nn_rank",
+        )
+        labels = tables.read_table(
+            sf_dir, "embeddings", columns=["vec_id", "label"]
+        )
+        joined = relational.hash_join(
+            five, labels, "neighbor_id", "vec_id",
+            left_cols=["query_id"], right_cols=["label"], how="inner",
+        )
+        voted = rank_pipe.mode_per_key(
+            joined, "query_id", "label",
+            out_val="pred_label", out_cnt="votes",
+        )
+
+        def cast64(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "query_id": b["query_id"],
+                    "pred_label": b["pred_label"].cast(pa.int64()),
+                    "votes": b["votes"].cast(pa.int64()),
+                }
+            )
+
+        return voted.map_batches(cast64, batch_format="pyarrow")
+
+    q["knn_label_vote"] = knn_label_vote
+
     # ------------------------------------------------------------------
     # registration order = driver sampling order.  The driver's
     # correctness harness checks the FIRST 50 registrations; rounds 2/3
@@ -4340,6 +4396,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT (lang, source) FROM documents
             GROUP BY lang, source HAVING COUNT(*) >= 4
         )
+    """
+
+    sql["knn_label_vote"] = """
+        WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+                   WHERE vec_id % 97 = 0),
+        nn AS (
+          SELECT query_id, label FROM (
+            SELECT q.query_id, t.label,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                     ORDER BY list_cosine_similarity(t.embedding,
+                                                     q.embedding) DESC,
+                              t.vec_id) AS rn
+            FROM q CROSS JOIN embeddings t
+            WHERE t.vec_id <> q.query_id
+          ) WHERE rn <= 5
+        )
+        SELECT query_id, CAST(label AS BIGINT) AS pred_label,
+               votes FROM (
+          SELECT query_id, label, CAST(COUNT(*) AS BIGINT) AS votes,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY COUNT(*) DESC, label) AS rn
+          FROM nn GROUP BY query_id, label
+        ) WHERE rn = 1
     """
 
     return sql
