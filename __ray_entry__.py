@@ -2743,6 +2743,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["knn_label_vote"] = knn_label_vote
 
+    def len_decile(sf_dir):
+        """Per-language NTILE(10) decile of document length — equal-
+        frequency bucketing under the total order (n_chars, doc_id):
+        one lean hash(lang) exchange, per-reducer segmented row numbers,
+        SQL's exact fat-tile split (pipelines/ranking.ntile_in_group)."""
+        ds = tables.read_table(
+            sf_dir, "documents", columns=["doc_id", "lang", "n_chars"]
+        )
+        return rank_pipe.ntile_in_group(ds, "lang", "n_chars", "doc_id", 10)
+
+    q["len_decile"] = len_decile
+
     # ------------------------------------------------------------------
     # registration order = driver sampling order.  The driver's
     # correctness harness checks the FIRST 50 registrations; rounds 2/3
@@ -4419,6 +4431,14 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY COUNT(*) DESC, label) AS rn
           FROM nn GROUP BY query_id, label
         ) WHERE rn = 1
+    """
+
+    sql["len_decile"] = """
+        SELECT doc_id, lang, n_chars,
+               CAST(NTILE(10) OVER (PARTITION BY lang
+                                    ORDER BY n_chars, doc_id) AS BIGINT)
+                 AS tile
+        FROM documents
     """
 
     return sql

@@ -608,3 +608,75 @@ def uniform_sample_k(ds, id_col: str, k: int):
         sort_cols=["u", id_col], sort_desc=[False, False],
         keep_cols=[id_col, "u"], rank_col="rank",
     )
+
+
+def ntile_in_group(ds, key_col: str, value_col: str, id_col: str,
+                   n_tiles: int, out_col: str = "tile"):
+    """Distributed ``NTILE(t) OVER (PARTITION BY key ORDER BY value,
+    id)`` — equal-frequency bucketing (decile features, balanced split
+    assignment), one output row per input row.
+
+    Unlike :func:`rank_in_group`'s broadcast histogram, NTILE needs a
+    per-row ROW_NUMBER under a total order, so this is the key-locality
+    shape (running_sum / rate_limit contract): ONE lean hash(key)
+    exchange of (rkey, key, v, id), then each reducer lexsorts ALL of
+    its keys at once, computes segmented row numbers, and applies SQL's
+    tile split exactly — the first ``n % t`` tiles get ``n // t + 1``
+    rows, the rest ``n // t``.  Skew ceiling: one key's rows must fit a
+    reducer (the PARTITION BY contract).
+    """
+    from ..stages.util import coalesce_for_shuffle, reducer_count, rkey_of
+
+    R = reducer_count()
+    t = int(n_tiles)
+    if t < 1:
+        raise ValueError(f"n_tiles must be >= 1, got {n_tiles}")
+
+    def lean(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "rkey": pa.array(rkey_of(batch[key_col], R)),
+                key_col: batch[key_col],
+                "v": batch[value_col],
+                id_col: batch[id_col],
+            }
+        )
+
+    keyed = coalesce_for_shuffle(
+        ds.map_batches(lean, batch_format="pyarrow"), 0.5
+    )
+
+    def tile_reducer(g: pa.Table) -> pa.Table:
+        kcol = g[key_col]
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        codes = pc.dictionary_encode(kcol).indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        perm = np.lexsort((ids, v, codes))
+        cs = codes[perm]
+        first = np.searchsorted(cs, cs, side="left")
+        last = np.searchsorted(cs, cs, side="right")
+        rn = np.arange(len(cs)) - first          # 0-based row number
+        n = last - first                          # segment (key) size
+        q, r = n // t, n % t
+        cut = r * (q + 1)
+        big = rn < cut                            # rows in the fat tiles
+        safe_q = np.maximum(q, 1)                 # q=0 only when big is True
+        tile = np.where(big, rn // (q + 1), r + (rn - cut) // safe_q) + 1
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(len(perm))
+        return pa.table(
+            {
+                id_col: g[id_col],
+                key_col: g[key_col],
+                value_col: g["v"],
+                out_col: pa.array(tile[inv].astype(np.int64)),
+            }
+        )
+
+    return keyed.groupby("rkey").map_groups(
+        tile_reducer, batch_format="pyarrow"
+    )

@@ -480,3 +480,56 @@ class TestUniformSampleK:
         ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids)}))
         got = uniform_sample_k(ds, "doc_id", 50).to_pandas()
         assert sorted(got["doc_id"].tolist()) == ids.tolist()
+
+
+class TestNtileInGroup:
+    def test_matches_duckdb_ntile(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from geo_index_ray.pipelines.ranking import ntile_in_group
+
+        rng = np.random.default_rng(5)
+        n = 1_200
+        key = np.array([f"k{g}" for g in rng.integers(0, 7, n)], object)
+        val = rng.integers(0, 40, n).astype(np.int64)  # heavy ties
+        ids = np.arange(n, dtype=np.int64)
+        df = pd.DataFrame({"id": ids, "k": key, "v": val})
+        ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(6)
+        got = (
+            ntile_in_group(ds, "k", "v", "id", 10)
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        want = duckdb.sql(
+            """
+            SELECT id, k, v,
+                   CAST(NTILE(10) OVER (PARTITION BY k ORDER BY v, id)
+                        AS BIGINT) AS tile
+            FROM df ORDER BY id
+            """
+        ).df()
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_group_smaller_than_tiles(self, ray_session):
+        import ray.data as rd
+
+        from geo_index_ray.pipelines.ranking import ntile_in_group
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "id": pa.array([1, 2, 3], pa.int64()),
+                    "k": pa.array(["a"] * 3),
+                    "v": pa.array([30, 10, 20], pa.int64()),
+                }
+            )
+        )
+        got = (
+            ntile_in_group(ds, "k", "v", "id", 10)
+            .to_pandas()
+            .sort_values("id")
+        )
+        # n=3 < t=10: tiles are 1,2,3 in (v, id) order
+        assert got.set_index("id")["tile"].to_dict() == {2: 1, 3: 2, 1: 3}
