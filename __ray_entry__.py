@@ -2755,6 +2755,63 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["len_decile"] = len_decile
 
+    def rrf_hybrid_search(sf_dir):
+        """Hybrid retrieval via reciprocal-rank fusion: BM25 keyword
+        top-20 + cosine top-50 around one query vector, fused with
+        score = Σ 1/(60 + rank) and re-ranked — both rankings computed
+        by existing distributed operators; the fusion itself merges two
+        k-sized lists on the driver (≤ 70 rows)
+        (pipelines/text.bm25_topk + ann.ann_topk)."""
+        import pyarrow.parquet as _pq
+
+        b = (
+            text_pipe.bm25_topk(
+                tables.read_table(
+                    sf_dir, "documents", columns=["doc_id", "text"]
+                ),
+                "doc_id", _BM25_TERMS, k=20,
+            )
+            .to_pandas()
+        )
+        b["rb"] = np.arange(1, len(b) + 1, dtype=np.int64)
+
+        t = _pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        vid = t["vec_id"].to_numpy().astype(np.int64)
+        qrow = int(np.flatnonzero(vid == 0)[0])
+        mat = np.asarray(
+            t["embedding"].combine_chunks()[qrow].as_py(), np.float64
+        )[None, :]
+        ds = tables.read_table(
+            sf_dir, "embeddings", columns=["vec_id", "embedding"]
+        )
+        v = (
+            ann_pipe.ann_topk(ds, mat, np.array([0], np.int64), 50,
+                              id_col="vec_id")
+            .to_pandas()
+            .rename(columns={"neighbor_id": "doc_id", "rank": "rv"})
+            [["doc_id", "rv"]]
+        )
+        m = b[["doc_id", "rb"]].merge(v, on="doc_id", how="outer")
+        sb = np.where(
+            np.isnan(m["rb"]), 0.0, 1.0 / (60.0 + m["rb"].to_numpy())
+        )
+        sv = np.where(
+            np.isnan(m["rv"]), 0.0, 1.0 / (60.0 + m["rv"].to_numpy())
+        )
+        rrf = sb + sv
+        ids = m["doc_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((ids, -rrf))[:20]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order]),
+                "rrf": pa.array(rrf[order], pa.float64()),
+            }
+        )
+
+    q["rrf_hybrid_search"] = rrf_hybrid_search
+
     # ------------------------------------------------------------------
     # registration order = driver sampling order.  The driver's
     # correctness harness checks the FIRST 50 registrations; rounds 2/3
@@ -4439,6 +4496,33 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY n_chars, doc_id) AS BIGINT)
                  AS tile
         FROM documents
+    """
+
+    bm25_inner = text_pipe.sql_bm25_topk("documents", "doc_id",
+                                         _BM25_TERMS, k=20)
+    sql["rrf_hybrid_search"] = f"""
+        WITH b AS (
+          SELECT doc_id,
+                 ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rb
+          FROM ({bm25_inner})
+        ),
+        v AS (
+          SELECT doc_id, rv FROM (
+            SELECT t.vec_id AS doc_id,
+                   ROW_NUMBER() OVER (
+                     ORDER BY list_cosine_similarity(
+                       t.embedding, q.embedding) DESC, t.vec_id) AS rv
+            FROM embeddings t,
+                 (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+          ) WHERE rv <= 50
+        ),
+        u AS (
+          SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
+                 COALESCE(1.0 / (60.0 + rb), 0.0)
+                 + COALESCE(1.0 / (60.0 + rv), 0.0) AS rrf
+          FROM b FULL OUTER JOIN v ON b.doc_id = v.doc_id
+        )
+        SELECT doc_id, rrf FROM u ORDER BY rrf DESC, doc_id LIMIT 20
     """
 
     return sql
