@@ -2812,6 +2812,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["rrf_hybrid_search"] = rrf_hybrid_search
 
+    def image_size_gate(sf_dir):
+        """LAION-style image size gating off the REAL header decode:
+        keep only payloads whose parsed dimensions satisfy min(w, h) ≥
+        64 AND 0.5 ≤ w/h ≤ 2, with the megapixel class appended — the
+        standard pre-training image filter, running decode → filter →
+        feature entirely on the actor-pool metadata stage's output
+        (pipelines/multimodal.decode_metadata)."""
+        import pyarrow.compute as _pc
+
+        ds = tables.read_table(sf_dir, "documents", columns=["doc_id"])
+
+        def to_payload(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy().astype(np.int64)
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "payload": mm_pipe.synth_image_payloads(ids),
+                }
+            )
+
+        binary_ds = ds.repartition(4).map_batches(
+            to_payload, batch_format="pyarrow"
+        )
+        meta = mm_pipe.decode_metadata(
+            binary_ds, "doc_id", "payload", decode="header"
+        )
+
+        def gate(b: pa.Table) -> pa.Table:
+            w = b["width"].to_numpy().astype(np.float64)
+            h = b["height"].to_numpy().astype(np.float64)
+            ar = w / h
+            keep = (np.minimum(w, h) >= 64) & (ar >= 0.5) & (ar <= 2.0)
+            b = b.filter(pa.array(keep))
+            px = (
+                b["width"].to_numpy().astype(np.int64)
+                * b["height"].to_numpy().astype(np.int64)
+            )
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "format": b["format"],
+                    "width": b["width"],
+                    "height": b["height"],
+                    "px_class": pa.array(px // 16_384),
+                }
+            )
+
+        return meta.map_batches(gate, batch_format="pyarrow")
+
+    q["image_size_gate"] = image_size_gate
+
     # ------------------------------------------------------------------
     # registration order = driver sampling order.  The driver's
     # correctness harness checks the FIRST 50 registrations; rounds 2/3
@@ -4523,6 +4574,23 @@ def oracle_sql() -> dict[str, str]:
           FROM b FULL OUTER JOIN v ON b.doc_id = v.doc_id
         )
         SELECT doc_id, rrf FROM u ORDER BY rrf DESC, doc_id LIMIT 20
+    """
+
+    sql["image_size_gate"] = """
+        WITH m AS (
+          SELECT doc_id,
+                 CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                      ELSE 'jpeg' END AS format,
+                 CAST(doc_id % 509 + 1 AS BIGINT) AS width,
+                 CAST(doc_id % 251 + 1 AS BIGINT) AS height
+          FROM documents
+        )
+        SELECT doc_id, format, width, height,
+               (width * height) // 16384 AS px_class
+        FROM m
+        WHERE LEAST(width, height) >= 64
+          AND CAST(width AS DOUBLE) / CAST(height AS DOUBLE) >= 0.5
+          AND CAST(width AS DOUBLE) / CAST(height AS DOUBLE) <= 2.0
     """
 
     return sql
