@@ -2863,6 +2863,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["image_size_gate"] = image_size_gate
 
+    def next_purchase_after_click(sf_dir):
+        """FORWARD as-of join: for each click, the same user's next
+        purchase at-or-after it (time-to-conversion lookup) — the
+        backward asof's mirror: one tagged-union key shuffle, reversed-
+        cummin next-right reducer, equal-ts ties → smallest purchase id
+        (pipelines/events.asof_join direction='forward')."""
+        import pyarrow.compute as _pc
+
+        ds = tables.read_table(
+            sf_dir, "events",
+            columns=["event_id", "ts", "user_id", "event_type"],
+        )
+
+        def only(kind, id_name):
+            def fn(b: pa.Table) -> pa.Table:
+                f = b.filter(_pc.equal(b["event_type"], kind))
+                return pa.table(
+                    {
+                        id_name: f["event_id"],
+                        "ts": f["ts"],
+                        "user_id": f["user_id"],
+                    }
+                )
+
+            return fn
+
+        clicks = ds.map_batches(
+            only("click", "click_id"), batch_format="pyarrow"
+        )
+        purchases = ds.map_batches(
+            only("purchase", "purchase_id"), batch_format="pyarrow"
+        )
+        return events_pipe.asof_join(
+            clicks, purchases, key_col="user_id",
+            left_id="click_id", right_id="purchase_id",
+            direction="forward",
+        )
+
+    q["next_purchase_after_click"] = next_purchase_after_click
+
     # ------------------------------------------------------------------
     # registration order = driver sampling order.  The driver's
     # correctness harness checks the FIRST 50 registrations; rounds 2/3
@@ -4591,6 +4631,17 @@ def oracle_sql() -> dict[str, str]:
         WHERE LEAST(width, height) >= 64
           AND CAST(width AS DOUBLE) / CAST(height AS DOUBLE) >= 0.5
           AND CAST(width AS DOUBLE) / CAST(height AS DOUBLE) <= 2.0
+    """
+
+    sql["next_purchase_after_click"] = """
+        SELECT click_id, right_id AS purchase_id FROM (
+          SELECT c.event_id AS click_id, p.event_id AS right_id,
+                 ROW_NUMBER() OVER (PARTITION BY c.event_id
+                                    ORDER BY p.ts, p.event_id) AS rn
+          FROM (SELECT * FROM events WHERE event_type = 'click') c
+          JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+            ON c.user_id = p.user_id AND p.ts >= c.ts
+        ) WHERE rn = 1
     """
 
     return sql

@@ -150,14 +150,24 @@ def sessionize(ds, gap_us: int, user_col: str = "user_id",
 
 
 def asof_join(left_ds, right_ds, key_col: str = "user_id", ts_col: str = "ts",
-              left_id: str = "left_id", right_id: str = "right_id"):
+              left_id: str = "left_id", right_id: str = "right_id",
+              direction: str = "backward"):
     """As-of join: for each left row, the right row with the greatest
     ``ts <= left.ts`` sharing ``key_col`` (inner — unmatched left rows are
     dropped), matching DuckDB ``ASOF JOIN … ON l.key = r.key AND l.ts >= r.ts``.
 
+    ``direction="forward"`` mirrors it: the right row with the SMALLEST
+    ``ts >= left.ts`` (the next-event lookup — time-to-conversion
+    features), right-side ties at equal ts broken by smallest right id
+    (``ROW_NUMBER() OVER (… ORDER BY r.ts, r.id) = 1`` semantics).
+
     Single hash shuffle on the key (tagged union → ``groupby(key)``), then
     per-key sorted ``searchsorted`` — no sort-merge over the full stream.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be 'backward' or 'forward', got {direction!r}"
+        )
 
     from ..stages.util import coalesce_for_shuffle, reducer_count
 
@@ -221,7 +231,39 @@ def asof_join(left_ds, right_ds, key_col: str = "user_id", ts_col: str = "ts",
             }
         )
 
-    return unioned.groupby("rkey").map_groups(asof_reducer, batch_format="pyarrow")
+    # forward mirror: lefts BEFORE rights at equal ts (an equal-ts right
+    # matches), each left's match is the next right position at/after it
+    # via one reversed cummin; rid ascending in the sort keeps equal-ts
+    # right ties at the smallest id — no per-key Python.
+    def asof_forward_reducer(g: pa.Table) -> pa.Table:
+        key = g[key_col].to_numpy().astype(np.int64)
+        tus = g["tus"].to_numpy()
+        rid = g["rid"].to_numpy()
+        side = g["side"].to_numpy()  # right=0, left=1
+        lmask = side == 1
+        if not lmask.any() or lmask.all():
+            return _empty
+        order = np.lexsort((rid, 1 - side, tus, key))
+        k_s = key[order]
+        s_s = side[order]
+        r_s = rid[order]
+        n = len(order)
+        pos = np.arange(n)
+        rp = np.where(s_s == 0, pos, n)
+        next_right = np.minimum.accumulate(rp[::-1])[::-1]
+        is_left = s_s == 1
+        nr = next_right[is_left]
+        safe = np.minimum(nr, n - 1)
+        valid = (nr < n) & (k_s[safe] == k_s[is_left])
+        return pa.table(
+            {
+                left_id: pa.array(r_s[is_left][valid].astype(np.int64)),
+                right_id: pa.array(r_s[safe][valid].astype(np.int64)),
+            }
+        )
+
+    reducer = asof_reducer if direction == "backward" else asof_forward_reducer
+    return unioned.groupby("rkey").map_groups(reducer, batch_format="pyarrow")
 
 
 def window_count_join(left_ds, right_ds, window_us: int,

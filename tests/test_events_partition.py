@@ -1156,3 +1156,64 @@ class TestWinsorize:
         np.testing.assert_allclose(got["clipped"].to_numpy(), want, rtol=1e-12)
         # interior values untouched, outliers clipped to the bounds
         assert (got["clipped"].to_numpy() != got["v"].to_numpy()).any()
+
+
+class TestAsofForward:
+    def test_matches_bruteforce_next_event(self, ray_session):
+        import ray.data as rd
+
+        from geo_index_ray.pipelines.events import asof_join
+
+        rng = np.random.default_rng(13)
+        nl, nr = 400, 300
+        base = np.datetime64("2024-01-01", "us").astype(np.int64)
+
+        def mk(n, id0):
+            return pd.DataFrame(
+                {
+                    "eid": np.arange(id0, id0 + n, dtype=np.int64),
+                    "user_id": rng.integers(0, 25, n),
+                    "ts": base + rng.integers(0, 10_000, n),
+                }
+            )
+
+        L, Rt = mk(nl, 0), mk(nr, 10_000)
+        # plant equal-ts collisions to pin tie semantics
+        Rt.loc[0, ["user_id", "ts"]] = [L.loc[0, "user_id"], L.loc[0, "ts"]]
+        Rt.loc[1, ["user_id", "ts"]] = [L.loc[0, "user_id"], L.loc[0, "ts"]]
+
+        def to_ds(df, idn):
+            t = pa.table(
+                {
+                    idn: pa.array(df["eid"].to_numpy()),
+                    "user_id": pa.array(df["user_id"].to_numpy()),
+                    "ts": pa.array(df["ts"].to_numpy()).cast(
+                        pa.timestamp("us")
+                    ),
+                }
+            )
+            return rd.from_arrow(t).repartition(4)
+
+        got = (
+            asof_join(
+                to_ds(L, "left_id"), to_ds(Rt, "right_id"),
+                key_col="user_id", left_id="left_id",
+                right_id="right_id", direction="forward",
+            )
+            .to_pandas()
+            .sort_values("left_id")
+            .reset_index(drop=True)
+        )
+        rows = []
+        for _, l in L.iterrows():
+            cand = Rt[(Rt.user_id == l.user_id) & (Rt.ts >= l.ts)]
+            if len(cand):
+                cand = cand.sort_values(["ts", "eid"]).iloc[0]
+                rows.append((l.eid, cand.eid))
+        want = (
+            pd.DataFrame(rows, columns=["left_id", "right_id"])
+            .astype(np.int64)
+            .sort_values("left_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
