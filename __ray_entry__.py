@@ -2903,6 +2903,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["next_purchase_after_click"] = next_purchase_after_click
 
+    def lang_holdout_sample(sf_dir):
+        """Balanced per-language eval holdout: the 5 docs with the
+        smallest golden-hash units within EACH language — per-block
+        per-group pre-trim, ≤ k rows per (group, block) exchanged, one
+        coarse-key ranked merge (pipelines/ranking.group_holdout_k)."""
+        ds = tables.read_table(
+            sf_dir, "documents", columns=["doc_id", "lang"]
+        )
+        return rank_pipe.group_holdout_k(ds, "doc_id", "lang", 5)
+
+    q["lang_holdout_sample"] = lang_holdout_sample
+
     # ------------------------------------------------------------------
     # registration order = driver sampling order.  The driver's
     # correctness harness checks the FIRST 50 registrations; rounds 2/3
@@ -4642,6 +4654,18 @@ def oracle_sql() -> dict[str, str]:
           JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
             ON c.user_id = p.user_id AND p.ts >= c.ts
         ) WHERE rn = 1
+    """
+
+    sql["lang_holdout_sample"] = f"""
+        SELECT doc_id, lang, u, rank FROM (
+          SELECT doc_id, lang, u,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                         ORDER BY u, doc_id) AS BIGINT)
+                   AS rank
+          FROM (SELECT doc_id, lang,
+                       {webtext_pipe.sql_hash_unit('doc_id')} AS u
+                FROM documents)
+        ) WHERE rank <= 5
     """
 
     return sql

@@ -680,3 +680,67 @@ def ntile_in_group(ds, key_col: str, value_col: str, id_col: str,
     return keyed.groupby("rkey").map_groups(
         tile_reducer, batch_format="pyarrow"
     )
+
+
+def group_holdout_k(ds, id_col: str, group_col: str, k: int):
+    """Deterministic per-group uniform k-sample — the k rows with the
+    smallest golden-hash units WITHIN each group (``ROW_NUMBER() OVER
+    (PARTITION BY group ORDER BY hash_unit(id), id) <= k``): balanced
+    per-language / per-source eval sets that are a pure function of the
+    ids.
+
+    Same two-phase shape as :func:`uniform_sample_k` but grouped and
+    string-key-safe: each block pre-trims to its own k per group (a row
+    ranked > k inside its block can't be in the group's global k), then
+    ONE coarse ``hash(group) % R`` exchange (``rkey_of`` — rule 3) and a
+    single lexsort + first-occurrence rank per reducer across ALL of its
+    groups.  Exchange ≤ k rows per (group, block).
+    """
+    from ..stages.util import coalesce_for_shuffle, reducer_count, rkey_of
+
+    R = reducer_count()
+
+    def pretrim(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        with np.errstate(over="ignore"):
+            u = (ids.view(np.uint64) * _GOLDEN).astype(np.float64) / 2.0**64
+        gcol = batch[group_col]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        codes = pc.dictionary_encode(gcol).indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        perm = np.lexsort((ids, u, codes))
+        cs = codes[perm]
+        first = np.searchsorted(cs, cs, side="left")
+        sel = perm[(np.arange(len(cs)) - first) < k]
+        t = batch.select([id_col, group_col]).take(pa.array(sel))
+        t = t.append_column("u", pa.array(u[sel], pa.float64()))
+        return t.append_column(
+            "rkey", pa.array(rkey_of(t[group_col], R))
+        )
+
+    keyed = coalesce_for_shuffle(
+        ds.map_batches(pretrim, batch_format="pyarrow"), 0.25
+    )
+
+    def merge(g: pa.Table) -> pa.Table:
+        gcol = g[group_col]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        codes = pc.dictionary_encode(gcol).indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        u = g["u"].to_numpy(zero_copy_only=False)
+        perm = np.lexsort((ids, u, codes))
+        cs = codes[perm]
+        first = np.searchsorted(cs, cs, side="left")
+        rank = np.arange(len(cs)) - first
+        sel = rank < k
+        out = g.select([id_col, group_col, "u"]).take(pa.array(perm[sel]))
+        return out.append_column(
+            "rank", pa.array((rank[sel] + 1).astype(np.int64))
+        )
+
+    return keyed.groupby("rkey").map_groups(merge, batch_format="pyarrow")

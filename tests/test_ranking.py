@@ -533,3 +533,38 @@ class TestNtileInGroup:
         )
         # n=3 < t=10: tiles are 1,2,3 in (v, id) order
         assert got.set_index("id")["tile"].to_dict() == {2: 1, 3: 2, 1: 3}
+
+
+class TestGroupHoldoutK:
+    def test_matches_per_group_hash_order(self, ray_session):
+        import ray.data as rd
+
+        from geo_index_ray.pipelines.ranking import _GOLDEN, group_holdout_k
+
+        rng = np.random.default_rng(17)
+        n = 900
+        ids = np.arange(1, n + 1, dtype=np.int64)
+        grp = np.array([f"g{x}" for x in rng.integers(0, 6, n)], object)
+        ds = rd.from_arrow(
+            pa.table({"doc_id": pa.array(ids), "lang": pa.array(grp.tolist())})
+        ).repartition(8)
+        k = 12
+        got = (
+            group_holdout_k(ds, "doc_id", "lang", k)
+            .to_pandas()
+            .sort_values(["lang", "rank"])
+            .reset_index(drop=True)
+        )
+        with np.errstate(over="ignore"):
+            u = (ids.view(np.uint64) * _GOLDEN).astype(np.float64) / 2.0**64
+        df = pd.DataFrame({"doc_id": ids, "lang": grp, "u": u})
+        df["rank"] = (
+            df.sort_values(["u", "doc_id"]).groupby("lang").cumcount() + 1
+        )
+        want = (
+            df[df["rank"] <= k]
+            .sort_values(["lang", "rank"])
+            .reset_index(drop=True)
+            .astype({"rank": np.int64})
+        )
+        pd.testing.assert_frame_equal(got, want[got.columns.tolist()])
