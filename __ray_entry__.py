@@ -2915,6 +2915,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["lang_holdout_sample"] = lang_holdout_sample
 
+    def cluster_envelopes(sf_dir):
+        """Grid-cluster dissolve: per DBSCAN-style density cluster, the
+        exact integer bounding cell rectangle + cell/point counts — the
+        cluster → region step; per-cell labels feed integer min/max/sum
+        combiners through one cluster-keyed groupby, the corpus is read
+        once (pipelines/geoanalytics.cluster_envelopes)."""
+        from geo_index_ray.pipelines import geoanalytics as ga
+
+        ds = tables.points_ds(sf_dir, "orders", "o_orderkey")
+        return ga.cluster_envelopes(ds, CLUSTER_RES, CLUSTER_MIN_PTS)
+
+    q["cluster_envelopes"] = cluster_envelopes
+
     # ------------------------------------------------------------------
     # registration order = driver sampling order.  The driver's
     # correctness harness checks the FIRST 50 registrations; rounds 2/3
@@ -4666,6 +4679,45 @@ def oracle_sql() -> dict[str, str]:
                        {webtext_pipe.sql_hash_unit('doc_id')} AS u
                 FROM documents)
         ) WHERE rank <= 5
+    """
+
+    ncl2 = 1 << CLUSTER_RES
+    sql["cluster_envelopes"] = f"""
+        WITH h AS (
+          SELECT {geocode.sql_flat_cell('x', 'y', CLUSTER_RES)} AS cell,
+                 COUNT(*) AS n
+          FROM (SELECT {pt('o_orderkey')} FROM orders)
+          GROUP BY 1
+        ),
+        core AS (SELECT cell, n FROM h WHERE n >= {CLUSTER_MIN_PTS}),
+        e0 AS (
+          SELECT a.cell AS u, b.cell AS v FROM core a JOIN core b
+          ON b.cell > a.cell
+             AND abs(a.cell // {ncl2} - b.cell // {ncl2}) <= 1
+             AND abs(a.cell % {ncl2} - b.cell % {ncl2}) <= 1
+        ),
+        edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+        comp AS (
+          SELECT node, component FROM (
+            WITH RECURSIVE reach(node, label) AS (
+                SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+                UNION
+                SELECT e.v, r.label
+                FROM reach r JOIN edges e ON e.u = r.node
+                WHERE r.label < e.v
+            )
+            SELECT node, MIN(label) AS component FROM reach GROUP BY node
+          )
+        )
+        SELECT COALESCE(c.component, core.cell) AS cluster,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(SUM(core.n) AS BIGINT) AS n_points,
+               MIN(core.cell // {ncl2}) AS min_ix,
+               MAX(core.cell // {ncl2}) AS max_ix,
+               MIN(core.cell % {ncl2}) AS min_iy,
+               MAX(core.cell % {ncl2}) AS max_iy
+        FROM core LEFT JOIN comp c ON c.node = core.cell
+        GROUP BY 1
     """
 
     return sql

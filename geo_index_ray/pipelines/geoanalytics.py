@@ -109,12 +109,15 @@ def cell_hotspots(ds, res: int, x_col: str = "x", y_col: str = "y"):
     return hist.map_batches(zmap, batch_format="pyarrow")
 
 
-def grid_cluster(ds, res: int, min_pts: int, x_col: str = "x", y_col: str = "y"):
+def grid_cluster(ds, res: int, min_pts: int, x_col: str = "x", y_col: str = "y",
+                 return_cells: bool = False):
     """DBSCAN-style density clustering on the cell grid: cells holding at
     least ``min_pts`` points are "core"; clusters are 8-connected
     components of core cells, labelled by their minimum flat cell id.
 
-    Returns one row per cluster: (cluster, n_cells, n_points).
+    Returns one row per cluster: (cluster, n_cells, n_points) — or, with
+    ``return_cells``, the per-cell labelling (cell, n_rows, cluster)
+    before aggregation (feeds :func:`cluster_envelopes`).
 
     Scale shape: one corpus pass builds the (cell-bounded, materialized —
     it feeds both the adjacency exchange and the final join) core-cell
@@ -204,12 +207,85 @@ def grid_cluster(ds, res: int, min_pts: int, x_col: str = "x", y_col: str = "y")
             }
         )
 
+    if return_cells:
+        def label_cells(batch: pa.Table) -> pa.Table:
+            cluster = pa.compute.coalesce(
+                pa.compute.cast(batch["component"], pa.int64()),
+                batch["cell"],
+            )
+            return pa.table(
+                {
+                    "cell": batch["cell"],
+                    "n_rows": batch["n_rows"],
+                    "cluster": cluster,
+                }
+            )
+
+        return joined.map_batches(label_cells, batch_format="pyarrow")
+
     agg = (
         joined.map_batches(to_partials, batch_format="pyarrow")
         .groupby("cluster")
         .sum(["n_cells", "n_points"])
     )
     return _rename(agg, ["cluster", "n_cells", "n_points"])
+
+
+def cluster_envelopes(ds, res: int, min_pts: int,
+                      x_col: str = "x", y_col: str = "y"):
+    """Dissolve the grid clusters into per-cluster envelopes: for every
+    DBSCAN-style cluster (see :func:`grid_cluster`), the bounding cell
+    rectangle [min_ix, max_ix] × [min_iy, max_iy] in exact integer cell
+    coordinates plus cell/point counts — the cluster → region polygon
+    step of a density-map product.
+
+    Scale shape: the per-cell labelled output of ``grid_cluster`` (cell-
+    bounded) feeds per-batch integer min/max/sum combiners and ONE
+    cluster-keyed native groupby — the corpus is read once by the
+    histogram and never reshuffled here.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    cells = grid_cluster(
+        ds, res, min_pts, x_col=x_col, y_col=y_col, return_cells=True
+    )
+    n = np.int64(1 << res)
+
+    def coords(batch: pa.Table) -> pa.Table:
+        f = batch["cell"].to_numpy()
+        return pa.table(
+            {
+                "cluster": batch["cluster"],
+                "ix": pa.array(f // n),
+                "iy": pa.array(f % n),
+                "n_cells": pa.array(np.ones(len(f), np.int64)),
+                "n_points": batch["n_rows"],
+            }
+        )
+
+    agg = (
+        cells.map_batches(coords, batch_format="pyarrow")
+        .groupby("cluster")
+        .aggregate(
+            Sum("n_cells"), Sum("n_points"),
+            Min("ix"), Max("ix"), Min("iy"), Max("iy"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cluster": b["cluster"],
+                "n_cells": b["sum(n_cells)"],
+                "n_points": b["sum(n_points)"],
+                "min_ix": b["min(ix)"],
+                "max_ix": b["max(ix)"],
+                "min_iy": b["min(iy)"],
+                "max_iy": b["max(iy)"],
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def idw_fill(ds, res: int, x_col: str = "x", y_col: str = "y"):
