@@ -2928,6 +2928,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["cluster_envelopes"] = cluster_envelopes
 
+    def tile_pyramid(sf_dir):
+        """Web-map tile pyramid: per-tile counts at EVERY zoom level
+        0..6 from one corpus pass — finest histogram once, ancestors by
+        exact integer bit-shifts of the child ids (no re-tiling, no
+        float re-quantization), one (level, cell) groupby
+        (pipelines/tiling.tile_pyramid)."""
+        ds = tables.points_ds(sf_dir, "orders", "o_orderkey")
+        return tiling.tile_pyramid(ds, 6)
+
+    q["tile_pyramid"] = tile_pyramid
+
     # ------------------------------------------------------------------
     # registration order = driver sampling order.  The driver's
     # correctness harness checks the FIRST 50 registrations; rounds 2/3
@@ -4718,6 +4729,22 @@ def oracle_sql() -> dict[str, str]:
                MAX(core.cell % {ncl2}) AS max_iy
         FROM core LEFT JOIN comp c ON c.node = core.cell
         GROUP BY 1
+    """
+
+    npyr = 1 << 6
+    sql["tile_pyramid"] = f"""
+        WITH f AS (
+          SELECT {geocode.sql_flat_cell('x', 'y', 6)} AS cell
+          FROM (SELECT {pt('o_orderkey')} FROM orders)
+        ),
+        xy AS (SELECT cell // {npyr} AS ix, cell % {npyr} AS iy FROM f),
+        lv AS (SELECT UNNEST(range(0, 7)) AS r)
+        SELECT CAST(lv.r AS BIGINT) AS level,
+               (xy.ix // (1 << (6 - lv.r))) * (1 << lv.r)
+               + (xy.iy // (1 << (6 - lv.r))) AS cell,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM xy CROSS JOIN lv
+        GROUP BY 1, 2
     """
 
     return sql

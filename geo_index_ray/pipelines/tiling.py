@@ -150,3 +150,50 @@ def rasterize_boxes(ds, res: int, id_col: str):
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def tile_pyramid(ds, max_res: int, x_col: str = "x", y_col: str = "y"):
+    """Counts at EVERY resolution 0..max_res — the web-map tile pyramid
+    (each zoom level's per-tile density) from ONE corpus pass.
+
+    The corpus is tiled once at the finest level (per-batch combiner →
+    cell-bounded histogram); each finest cell then fans out one row per
+    ancestor level by integer bit-shifts of its (ix, iy) — exact floor-
+    grid nesting, the cell_rollup invariant, so parents are derived from
+    the CHILD ids and never re-tile the points (no float re-quantization
+    at coarser levels, no second corpus read).  One final native
+    groupby((level, cell)).sum bounded by Σ_r 4^r cells, not by rows.
+
+    Output: (level, cell, n_rows) with flat ids ``ix * 2^level + iy``.
+    """
+    hist = cell_histogram(ds, max_res, x_col=x_col, y_col=y_col)
+    L = int(max_res)
+    nL = np.int64(1 << L)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        f = batch["cell"].to_numpy()
+        cnt = batch["n_rows"].to_numpy()
+        ix, iy = f // nL, f % nL
+        levels, cells, cnts = [], [], []
+        for r in range(L + 1):
+            s = np.int64(L - r)
+            levels.append(np.full(len(f), r, np.int64))
+            cells.append((ix >> s) * np.int64(1 << r) + (iy >> s))
+            cnts.append(cnt)
+        return pa.table(
+            {
+                "level": pa.array(np.concatenate(levels)),
+                "cell": pa.array(np.concatenate(cells)),
+                "n": pa.array(np.concatenate(cnts)),
+            }
+        )
+
+    agg = (
+        hist.map_batches(expand, batch_format="pyarrow")
+        .groupby(["level", "cell"])
+        .sum("n")
+    )
+    return agg.map_batches(
+        lambda b: b.rename_columns(["level", "cell", "n_rows"]),
+        batch_format="pyarrow",
+    )
