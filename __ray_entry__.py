@@ -2939,6 +2939,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["tile_pyramid"] = tile_pyramid
 
+    def seed_hop_distance(sf_dir):
+        """Multi-source BFS over the user↔props-k bipartite graph:
+        minimum hop distance (≤ 3) from the seed users (user_id % 101 ==
+        0) — the link-distance-from-trusted-set curation signal; driver-
+        coordinated rounds of frontier⋈edges + distinct + anti-join, the
+        visited set never leaves the cluster
+        (pipelines/components.bfs_hops)."""
+        ds = tables.read_table(sf_dir, "events", columns=["user_id", "props"])
+        e = comp_pipe.events_bipartite_edges(ds)
+
+        def seed_rows(b: pa.Table) -> pa.Table:
+            u = b["user_id"].to_numpy().astype(np.int64)
+            s = u[u % 101 == 0]
+            return pa.table({"node": pa.array(s * 2)})
+
+        seeds = ds.map_batches(seed_rows, batch_format="pyarrow")
+        return comp_pipe.bfs_hops(e, seeds, 3)
+
+    q["seed_hop_distance"] = seed_hop_distance
+
     # ------------------------------------------------------------------
     # registration order = driver sampling order.  The driver's
     # correctness harness checks the FIRST 50 registrations; rounds 2/3
@@ -4745,6 +4765,28 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(*) AS BIGINT) AS n_rows
         FROM xy CROSS JOIN lv
         GROUP BY 1, 2
+    """
+
+    sql["seed_hop_distance"] = r"""
+        WITH RECURSIVE ed AS (
+          SELECT user_id * 2 AS u,
+                 TRY_CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1)
+                          AS BIGINT) * 2 + 1 AS v
+          FROM events
+          WHERE regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) <> ''
+        ),
+        e AS (SELECT u, v FROM ed UNION SELECT v, u FROM ed),
+        s AS (SELECT DISTINCT user_id * 2 AS node FROM events
+              WHERE user_id % 101 = 0),
+        walk(node, hops) AS (
+            SELECT node, 0 FROM s
+            UNION
+            SELECT e.v, w.hops + 1
+            FROM walk w JOIN e ON e.u = w.node
+            WHERE w.hops < 3
+        )
+        SELECT node, CAST(MIN(hops) AS BIGINT) AS hops
+        FROM walk GROUP BY node
     """
 
     return sql

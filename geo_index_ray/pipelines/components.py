@@ -1142,3 +1142,85 @@ def keep_best(docs_ds, clusters_ds, id_col: str, score_col: str):
         tagged2.groupby("rkey").map_groups(anti, batch_format="pyarrow"),
         {id_col: pa.int64()},
     )
+
+
+def bfs_hops(edges, seeds, max_hops: int,
+             src_col: str = "src", dst_col: str = "dst",
+             node_col: str = "node", hop_col: str = "hops"):
+    """Multi-source BFS hop labelling: the minimum undirected hop
+    distance from any seed, for every node within ``max_hops`` — the
+    link-distance-from-trusted-set signal (spam distance / seed-domain
+    proximity) of web-graph curation.
+
+    Driver-coordinated rounds (≤ max_hops, the connected-components
+    round pattern): each round is one frontier ⋈ edges hash join →
+    native distinct → ANTI join against the visited set → the new
+    frontier.  The visited set and frontier stay DISTRIBUTED Datasets
+    throughout (never broadcast, never driver-collected — the driver
+    reads one count per round for the early exit).  The symmetrized
+    edge list is materialized once and re-read every round (the CC
+    trade: object-store resident, spills under pressure).  Frontier
+    monotonically shrinks to the unvisited boundary, so total join work
+    is O(edges × rounds) worst-case and O(edges) on expander-like
+    graphs.
+    """
+    from . import relational
+
+    def sym(batch: pa.Table) -> pa.Table:
+        s = batch[src_col].to_numpy().astype(np.int64)
+        d = batch[dst_col].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([s, d])),
+                "v": pa.array(np.concatenate([d, s])),
+            }
+        )
+
+    e = edges.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def labelled(nodes_ds, h: int):
+        def fn(b: pa.Table, _h=h) -> pa.Table:
+            return pa.table(
+                {
+                    node_col: b[node_col],
+                    hop_col: pa.array(
+                        np.full(b.num_rows, _h, np.int64)
+                    ),
+                }
+            )
+
+        return nodes_ds.map_batches(fn, batch_format="pyarrow")
+
+    def distinct_nodes(ds, col: str):
+        import ray.data as rd
+
+        counted = ds.groupby(col).count()
+        out = counted.map_batches(
+            lambda b: pa.table({node_col: b[col]}), batch_format="pyarrow"
+        )
+        # typed zero-row block: an all-empty groupby yields a schema-less
+        # Dataset, which the downstream hash_join cannot plan against
+        empty = rd.from_arrow(
+            pa.table({node_col: pa.array([], pa.int64())})
+        )
+        return empty.union(out)
+
+    frontier = distinct_nodes(seeds, node_col).materialize()
+    visited = labelled(frontier, 0).materialize()
+
+    for h in range(1, int(max_hops) + 1):
+        cand = relational.hash_join(
+            frontier, e, node_col, "u",
+            left_cols=[], right_cols=["v"], how="inner",
+        )
+        cand_nodes = distinct_nodes(cand, "v")
+        new = relational.hash_join(
+            cand_nodes, visited, node_col, node_col,
+            left_cols=[node_col], right_cols=[], how="anti",
+        ).materialize()
+        if new.count() == 0:
+            break
+        visited = visited.union(labelled(new, h)).materialize()
+        frontier = new
+
+    return visited

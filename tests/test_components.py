@@ -274,3 +274,61 @@ class TestKeepBest:
             .to_pandas()["doc_id"].sort_values().tolist()
         )
         assert got == [1, 2, 3]
+
+
+class TestBfsHops:
+    def test_matches_bruteforce_bfs(self, ray_session):
+        import ray.data as rd
+
+        from geo_index_ray.pipelines.components import bfs_hops
+
+        rng = np.random.default_rng(23)
+        n_nodes, n_edges = 120, 260
+        src = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+        dst = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+        seeds = np.array([0, 7, 55], np.int64)
+        edges = rd.from_arrow(
+            pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+        ).repartition(4)
+        seeds_ds = rd.from_arrow(pa.table({"node": pa.array(seeds)}))
+        got = (
+            bfs_hops(edges, seeds_ds, 3)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        # brute BFS
+        adj = {}
+        for a, b in zip(src, dst):
+            adj.setdefault(int(a), set()).add(int(b))
+            adj.setdefault(int(b), set()).add(int(a))
+        dist = {int(s): 0 for s in seeds}
+        frontier = set(dist)
+        for h in range(1, 4):
+            nxt = set()
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = h
+                        nxt.add(v)
+            frontier = nxt
+        want = (
+            pd.DataFrame(sorted(dist.items()), columns=["node", "hops"])
+            .astype(np.int64)
+        )
+        pd.testing.assert_frame_equal(got.astype(np.int64), want)
+
+    def test_isolated_seed_keeps_hop_zero(self, ray_session):
+        import ray.data as rd
+
+        from geo_index_ray.pipelines.components import bfs_hops
+
+        edges = rd.from_arrow(
+            pa.table(
+                {"src": pa.array([1], pa.int64()),
+                 "dst": pa.array([2], pa.int64())}
+            )
+        )
+        seeds = rd.from_arrow(pa.table({"node": pa.array([99], pa.int64())}))
+        got = bfs_hops(edges, seeds, 2).to_pandas()
+        assert got.to_dict("records") == [{"node": 99, "hops": 0}]
