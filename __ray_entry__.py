@@ -2959,6 +2959,95 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["seed_hop_distance"] = seed_hop_distance
 
+    def epoch_upsample(sf_dir):
+        """Deterministic repetition upsampling: longer docs repeat up to
+        3× in the training mix (integer token thresholds — no float
+        edge), each copy tagged with its epoch ordinal; vectorized
+        np.repeat flat-expansion, map-only, bounded amplification
+        (pipelines/webtext.upsample_repeat)."""
+        import pyarrow.compute as _pc
+
+        ds = tables.read_table(
+            sf_dir, "documents", columns=["doc_id", "text"]
+        )
+
+        def with_epochs(batch: pa.Table) -> pa.Table:
+            n = _pc.count_substring_regex(batch["text"], r"\S+").to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            e = 1 + (n >= 50).astype(np.int64) + (n >= 100).astype(np.int64)
+            return pa.table(
+                {"doc_id": batch["doc_id"], "epochs": pa.array(e)}
+            )
+
+        wds = ds.map_batches(with_epochs, batch_format="pyarrow")
+        return webtext_pipe.upsample_repeat(wds, "doc_id", "epochs")
+
+    q["epoch_upsample"] = epoch_upsample
+
+    def ivf_recall_at_k(sf_dir):
+        """ANN quality evaluation: per-query recall@k of the IVF probe
+        against the exact brute-force top-k (the accept/reject metric
+        for an approximate index rollout).  Both rankings are existing
+        distributed operators; the final per-query set intersection is
+        a groupby over the QUERY-SET-bounded candidate rows (≤ 2k rows
+        per query, queries broadcast-bounded by construction)
+        (pipelines/ann.ann_topk vs ann.ivf_topk)."""
+        mat, qids = _read_queries_for_ann(sf_dir)
+        ds = tables.read_table(
+            sf_dir, "embeddings", columns=["vec_id", "embedding"]
+        )
+        ex = ann_pipe.ann_topk(ds, mat, qids, ANN_K, id_col="vec_id")
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+        vid = t["vec_id"].to_numpy().astype(np.int64)
+        cid = vid[vid % IVF_CENT_MOD == 0]
+        iv = ann_pipe.ivf_topk(
+            ds, mat, qids, ANN_K, id_col="vec_id",
+            nprobe=IVF_NPROBE, centroid_ids=cid,
+        )
+
+        def tag(side):
+            def fn(b: pa.Table, _s=side) -> pa.Table:
+                return pa.table(
+                    {
+                        "query_id": b["query_id"],
+                        "neighbor_id": b["neighbor_id"],
+                        "side": pa.array(
+                            np.full(b.num_rows, _s, np.int8)
+                        ),
+                    }
+                )
+
+            return fn
+
+        unioned = ex.map_batches(tag(0), batch_format="pyarrow").union(
+            iv.map_batches(tag(1), batch_format="pyarrow")
+        )
+
+        def recall(g: pa.Table) -> pa.Table:
+            s = g["side"].to_numpy()
+            nb = g["neighbor_id"].to_numpy()
+            exact = np.unique(nb[s == 0])
+            approx = np.unique(nb[s == 1])
+            hit = np.intersect1d(exact, approx, assume_unique=True)
+            k = np.int64(len(exact))
+            return pa.table(
+                {
+                    "query_id": g["query_id"][:1],
+                    "n_hit": pa.array([np.int64(len(hit))]),
+                    "k": pa.array([k]),
+                    "recall": pa.array(
+                        [float(len(hit)) / float(k)], pa.float64()
+                    ),
+                }
+            )
+
+        return unioned.groupby("query_id").map_groups(
+            recall, batch_format="pyarrow"
+        )
+
+    q["ivf_recall_at_k"] = ivf_recall_at_k
+
     # ------------------------------------------------------------------
     # registration order = driver sampling order.  The driver's
     # correctness harness checks the FIRST 50 registrations; rounds 2/3
@@ -4787,6 +4876,42 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT node, CAST(MIN(hops) AS BIGINT) AS hops
         FROM walk GROUP BY node
+    """
+
+    sql["epoch_upsample"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split_regex(text, '\s+'),
+                          x -> x <> '')) AS BIGINT) AS n
+          FROM documents
+        ),
+        e AS (SELECT doc_id,
+                     1 + CAST(n >= 50 AS BIGINT) + CAST(n >= 100 AS BIGINT)
+                       AS epochs
+              FROM t)
+        SELECT doc_id, CAST(r AS BIGINT) AS epoch
+        FROM e CROSS JOIN (SELECT UNNEST(range(0, 3)) AS r)
+        WHERE r < epochs
+    """
+
+    sql["ivf_recall_at_k"] = f"""
+        WITH ex AS (
+          SELECT query_id, neighbor_id FROM ({sql['ann_topk']})
+        ),
+        iv AS (
+          SELECT query_id, neighbor_id FROM ({sql['ann_ivf']})
+        )
+        SELECT ex.query_id,
+               CAST(SUM(CASE WHEN iv.neighbor_id IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(CASE WHEN iv.neighbor_id IS NOT NULL
+                        THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS recall
+        FROM ex LEFT JOIN iv
+          ON ex.query_id = iv.query_id
+         AND ex.neighbor_id = iv.neighbor_id
+        GROUP BY ex.query_id
     """
 
     return sql

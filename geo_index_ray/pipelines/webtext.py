@@ -1200,3 +1200,31 @@ def token_budget_mix(ds, id_col: str, group_col: str, token_col: str,
         return batch.filter(pa.array(u < rate_arr[idx]))
 
     return ds.map_batches(accept, batch_format="pyarrow")
+
+
+def upsample_repeat(ds, id_col: str, epochs_col: str, out_col: str = "epoch"):
+    """Deterministic repetition upsampling — the UP half of data-mixture
+    weighting (:func:`token_budget_mix` is the down half): emit each row
+    ``epochs`` times with an epoch ordinal 0..epochs−1, so high-quality
+    sources can be repeated a bounded number of times in the training
+    mix (the Doremi/data-mixing repeat trick, never more than the
+    caller's per-row cap).
+
+    Map-only and shuffle-free: the expansion is one vectorized
+    ``np.repeat`` gather per batch (a flat_map shape with Arrow ``take``
+    — no Python per row); amplification is bounded by max(epochs), so a
+    block's output stays proportional to its input.  Rows with epochs
+    ≤ 0 drop out.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        e = batch[epochs_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = np.maximum(e, 0)
+        idx = np.repeat(np.arange(len(e), dtype=np.int64), e)
+        offs = np.arange(len(idx), dtype=np.int64) - np.repeat(
+            np.cumsum(e) - e, e
+        )
+        out = batch.select([id_col]).take(pa.array(idx))
+        return out.append_column(out_col, pa.array(offs))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

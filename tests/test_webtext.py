@@ -850,3 +850,27 @@ class TestTokenBudgetMix:
                 assert kept.get(s, 0) == full[s]
             else:
                 assert kept.get(s, 0) < full[s]
+
+
+class TestUpsampleRepeat:
+    def test_repeats_rows_with_epoch_ordinals(self, ray_session):
+        import ray.data as rd
+
+        from geo_index_ray.pipelines.webtext import upsample_repeat
+
+        ids = np.array([10, 20, 30, 40], np.int64)
+        eps = np.array([1, 3, 0, 2], np.int64)
+        ds = rd.from_arrow(
+            pa.table({"doc_id": pa.array(ids), "epochs": pa.array(eps)})
+        ).repartition(2)
+        got = (
+            upsample_repeat(ds, "doc_id", "epochs")
+            .to_pandas()
+            .sort_values(["doc_id", "epoch"])
+            .reset_index(drop=True)
+        )
+        want = pd.DataFrame(
+            [(10, 0), (20, 0), (20, 1), (20, 2), (40, 0), (40, 1)],
+            columns=["doc_id", "epoch"],
+        ).astype(np.int64)
+        pd.testing.assert_frame_equal(got, want)
