@@ -91,7 +91,8 @@ def plan_slots(types: dict[str, pa.DataType], left_cols: list[str],
 
 def hash_join(left, right, left_key: str, right_key: str,
               left_cols: list[str], right_cols: list[str],
-              how: str = "inner"):
+              how: str = "inner", salt_hot_keys: int | None = None,
+              salt_threshold: int = 1_000_000):
     """Equi-join of two Datasets on an int64 or string key (``how`` =
     "inner", "left", "right", "full", "semi", or "anti").
 
@@ -104,6 +105,23 @@ def hash_join(left, right, left_key: str, right_key: str,
     exchange carries only (rkey, jk, side) + the shared slot columns (see
     module docstring); reducers zip both sides with one argsort + two
     searchsorteds — no per-key Python, no pandas dtype round-trips.
+
+    Skew ceiling and the escape hatch: ``rkey = hash(key) % R`` sends ALL
+    of a key's rows to one reducer, so a web-scale hot key (the empty
+    string, a null-sentinel id, one viral URL) serializes the join.
+    ``salt_hot_keys=S`` splits every detected hot key across S
+    sub-reducers: LEFT rows of a hot key are salted round-robin (each
+    left row lands in exactly one shard — so semi/anti/left-outer
+    emit-at-most-once stays exact), RIGHT rows of a hot key are
+    REPLICATED to all S shards (every shard sees the key's full right
+    side — so each (l, r) pair meets exactly once and inner many-to-many
+    stays exact).  Supported for inner/left/semi/anti (the salted side
+    must be the probe side; use the mirrored call for a hot right
+    stream).  Detection is a per-block count pre-filter (a key enters
+    the candidate exchange only if one block already shows ≥
+    threshold / shuffle-block-count occurrences) — one lean candidate
+    groupby, never a full key-cardinality collect; a marginally-hot key
+    spread too thin to detect costs only balance, never correctness.
     """
     if how not in ("inner", "left", "right", "full", "semi", "anti"):
         raise ValueError(
@@ -112,6 +130,12 @@ def hash_join(left, right, left_key: str, right_key: str,
         )
     if how in ("semi", "anti") and right_cols:
         raise ValueError(f"hash_join: right_cols must be empty for how={how!r}")
+    if salt_hot_keys is not None and how in ("right", "full"):
+        raise ValueError(
+            "hash_join: salt_hot_keys supports inner/left/semi/anti only "
+            "(salting replicates the right side, which would duplicate "
+            "right/full outer null-emission)"
+        )
     R = reducer_count()
 
     def _pa_type(t):
@@ -139,23 +163,82 @@ def hash_join(left, right, left_key: str, right_key: str,
     all_slots = sorted(slot_types)
     jk_type = pa.string() if str_key else pa.int64()
 
+    def _key_h(kc):
+        """int64 routing value and the jk exchange column for a key col."""
+        if str_key:
+            # the key itself rides the exchange (exact — the hash only
+            # routes); reducers group by dictionary codes of the strings
+            from ..sources.pages import url_hash64
+
+            return url_hash64(kc).view(np.int64), kc.cast(jk_type)
+        k = kc.to_numpy(zero_copy_only=False).astype(np.int64)
+        return k, pa.array(k)
+
+    hot_arr = None
+    S = int(salt_hot_keys) if salt_hot_keys else 1
+    if S > 1:
+        from ..stages.util import shuffle_block_count
+
+        blk_thresh = max(2, int(salt_threshold) // shuffle_block_count())
+
+        def cand(key_col: str):
+            def fn(batch: pa.Table) -> pa.Table:
+                kc = batch[key_col]
+                if isinstance(kc, pa.ChunkedArray):
+                    kc = kc.combine_chunks()
+                h, _ = _key_h(kc)
+                u, c = np.unique(h, return_counts=True)
+                return pa.table({"hk": pa.array(u[c >= blk_thresh])})
+
+            return fn
+
+        cands = left.map_batches(cand(left_key), batch_format="pyarrow").union(
+            right.map_batches(cand(right_key), batch_format="pyarrow")
+        ).to_pandas()
+        if len(cands):
+            hot_arr = np.unique(cands["hk"].to_numpy().astype(np.int64))
+
+    _SALT_MIX = np.uint64(2654435761)
+
     def tag(key_col: str, slots: dict[str, str], side: int):
         inv = {s: c for c, s in slots.items()}
+        replicate = side == 1  # right side fans hot keys out to all shards
 
         def fn(batch: pa.Table) -> pa.Table:
             kc = batch[key_col]
             if isinstance(kc, pa.ChunkedArray):
                 kc = kc.combine_chunks()
-            if str_key:
-                # the key itself rides the exchange (exact — the hash only
-                # routes); reducers group by dictionary codes of the strings
-                from ..sources.pages import url_hash64
-
-                h = url_hash64(kc).view(np.int64)
-                rk, jk = _key_rkey(h, R), kc.cast(jk_type)
+            h, jk = _key_h(kc)
+            if hot_arr is not None:
+                pos = np.searchsorted(hot_arr, h)
+                hot = (pos < len(hot_arr)) & (
+                    hot_arr[np.minimum(pos, len(hot_arr) - 1)] == h
+                )
+                if replicate and hot.any():
+                    reps = np.where(hot, S, 1).astype(np.int64)
+                    idx = np.repeat(
+                        np.arange(len(h), dtype=np.int64), reps
+                    )
+                    salt = np.arange(len(idx), dtype=np.int64) - np.repeat(
+                        np.cumsum(reps) - reps, reps
+                    )
+                    take = pa.array(idx)
+                    batch = batch.take(take)
+                    h = h[idx]
+                    jk = jk.take(take) if str_key else pa.array(h)
+                elif not replicate:
+                    salt = np.where(
+                        hot, np.arange(len(h), dtype=np.int64) % S, 0
+                    )
+                else:
+                    salt = np.zeros(len(h), np.int64)
             else:
-                k = kc.to_numpy(zero_copy_only=False).astype(np.int64)
-                rk, jk = _key_rkey(k, R), pa.array(k)
+                salt = None
+            with np.errstate(over="ignore"):
+                base = (h.view(np.uint64) * _GOLDEN) >> np.uint64(33)
+                if salt is not None:
+                    base = base + salt.view(np.uint64) * _SALT_MIX
+            rk = (base % np.uint64(R)).astype(np.int64)
             out = {
                 "rkey": pa.array(rk),
                 "jk": jk,

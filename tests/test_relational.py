@@ -561,3 +561,58 @@ class TestIntervalCountJoin:
             pts, ivs, "ts", "ikey", "lo", "hi", bin_width=16
         ).to_pandas()
         assert got.to_dict("records") == [{"ikey": 7, "n_pts": 1}]
+
+
+class TestHashJoinSalting:
+    def _data(self):
+        rng = np.random.default_rng(31)
+        # key 7 is pathologically hot on the left; several hot right rows
+        lk = np.concatenate(
+            [np.full(3_000, 7, np.int64), rng.integers(100, 200, 500)]
+        )
+        lv = np.arange(len(lk), dtype=np.int64)
+        rk = np.concatenate(
+            [np.full(12, 7, np.int64), rng.integers(100, 260, 400)]
+        )
+        rv = np.arange(len(rk), dtype=np.int64) + 10_000
+        return lk, lv, rk, rv
+
+    def _join(self, how, salt):
+        import ray.data as rd
+
+        from geo_index_ray.pipelines.relational import hash_join
+
+        lk, lv, rk, rv = self._data()
+        left = rd.from_arrow(
+            pa.table({"k": pa.array(lk), "lval": pa.array(lv)})
+        ).repartition(6)
+        right = rd.from_arrow(
+            pa.table({"k": pa.array(rk), "rval": pa.array(rv)})
+        ).repartition(5)
+        cols = (["k", "lval"], []) if how in ("semi", "anti") else (
+            ["k", "lval"], ["rval"]
+        )
+        out = hash_join(
+            left, right, "k", "k", cols[0], cols[1], how=how,
+            salt_hot_keys=salt, salt_threshold=600,
+        ).to_pandas()
+        sort_cols = [c for c in ("k", "lval", "rval") if c in out.columns]
+        return out.sort_values(sort_cols).reset_index(drop=True)
+
+    @pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+    def test_salted_matches_unsalted(self, ray_session, how):
+        base = self._join(how, None)
+        salted = self._join(how, 4)
+        pd.testing.assert_frame_equal(salted, base)
+
+    def test_right_full_reject_salting(self, ray_session):
+        import ray.data as rd
+
+        from geo_index_ray.pipelines.relational import hash_join
+
+        ds = rd.from_arrow(
+            pa.table({"k": pa.array([1], pa.int64())})
+        )
+        with pytest.raises(ValueError, match="salt_hot_keys"):
+            hash_join(ds, ds, "k", "k", ["k"], [], how="full",
+                      salt_hot_keys=4)
