@@ -3106,6 +3106,65 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["user_knn"] = user_knn
 
+    def error_rate_wilson(sf_dir):
+        """Per-hour-of-day error-rate monitoring with the Wilson-score
+        95% lower bound (the production data-quality gate that doesn't
+        overreact to small samples): exact int64 (n, errors) partials →
+        one 24-key groupby → a per-row IEEE finisher mirrored operation-
+        for-operation by the SQL twin."""
+        import pyarrow.compute as _pc
+
+        ds = tables.read_table(
+            sf_dir, "events", columns=["ts", "event_type"]
+        )
+
+        def partials(b: pa.Table) -> pa.Table:
+            hour = (events_pipe._ts_us(b["ts"]) // 3_600_000_000) % 24
+            err = (
+                _pc.equal(b["event_type"], "error")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            t = pa.table(
+                {
+                    "hour": pa.array(hour),
+                    "n": pa.array(np.ones(len(err), np.int64)),
+                    "x": pa.array(err),
+                }
+            )
+            agg = t.group_by("hour").aggregate([("n", "sum"), ("x", "sum")])
+            return agg.rename_columns(["hour", "n", "x"])
+
+        agg = (
+            ds.map_batches(partials, batch_format="pyarrow")
+            .groupby("hour")
+            .sum(["n", "x"])
+        )
+
+        def finish(b: pa.Table) -> pa.Table:
+            n = b["sum(n)"].to_numpy().astype(np.float64)
+            x = b["sum(x)"].to_numpy().astype(np.float64)
+            pf = x / n
+            z = 1.96
+            z2 = z * z
+            num = pf + z2 / (2.0 * n) - z * np.sqrt(
+                (pf * (1.0 - pf) + z2 / (4.0 * n)) / n
+            )
+            lb = num / (1.0 + z2 / n)
+            return pa.table(
+                {
+                    "hour": b["hour"],
+                    "n_events": b["sum(n)"],
+                    "n_errors": b["sum(x)"],
+                    "err_rate": pa.array(pf, pa.float64()),
+                    "wilson_lb": pa.array(lb, pa.float64()),
+                }
+            )
+
+        return agg.map_batches(finish, batch_format="pyarrow")
+
+    q["error_rate_wilson"] = error_rate_wilson
+
     # ------------------------------------------------------------------
     # registration order = driver sampling order.  The driver's
     # correctness harness checks the FIRST 50 registrations; rounds 2/3
@@ -4999,6 +5058,28 @@ def oracle_sql() -> dict[str, str]:
           FROM q CROSS JOIN v t
           WHERE t.user_id <> q.query_id
         ) WHERE nn_rank <= 5
+    """
+
+    sql["error_rate_wilson"] = """
+        WITH h AS (
+          SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+                 CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS e
+          FROM events
+        ),
+        a AS (SELECT hour, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(e) AS BIGINT) AS x
+              FROM h GROUP BY hour)
+        SELECT hour, n AS n_events, x AS n_errors,
+               CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS err_rate,
+               (CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+                + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE))
+                - 1.96 * sqrt(
+                    ((CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                     + (1.96 * 1.96) / (4.0 * CAST(n AS DOUBLE)))
+                    / CAST(n AS DOUBLE)))
+               / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)) AS wilson_lb
+        FROM a
     """
 
     return sql
