@@ -3165,6 +3165,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["error_rate_wilson"] = error_rate_wilson
 
+    def median_gap_per_user(sf_dir):
+        """Churn/burst feature: each user's EXACT median inter-event
+        gap — the LAG window operator feeding the distinct-value median
+        combiner (first events drop; two lean key exchanges total)
+        (pipelines/events.event_gaps + grouped_median)."""
+        ds = tables.read_table(
+            sf_dir, "events", columns=["event_id", "user_id", "ts"]
+        )
+        gaps = events_pipe.event_gaps(ds, "user_id", "ts", "event_id")
+
+        def drop_first(b: pa.Table) -> pa.Table:
+            g = b["gap_us"].to_numpy()
+            return b.filter(pa.array(g >= 0))
+
+        real = gaps.map_batches(drop_first, batch_format="pyarrow")
+        return events_pipe.grouped_median(real, "user_id", "gap_us")
+
+    q["median_gap_per_user"] = median_gap_per_user
+
     # ------------------------------------------------------------------
     # registration order = driver sampling order.  The driver's
     # correctness harness checks the FIRST 50 registrations; rounds 2/3
@@ -5080,6 +5099,19 @@ def oracle_sql() -> dict[str, str]:
                     / CAST(n AS DOUBLE)))
                / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)) AS wilson_lb
         FROM a
+    """
+
+    sql["median_gap_per_user"] = """
+        WITH g AS (
+          SELECT user_id,
+                 epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+          FROM events
+        )
+        SELECT user_id, quantile_cont(gap_us, 0.5) AS median_value,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM g WHERE gap_us IS NOT NULL
+        GROUP BY user_id
     """
 
     return sql
