@@ -3184,6 +3184,100 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["median_gap_per_user"] = median_gap_per_user
 
+    def host_link_graph(sf_dir):
+        """Host-level web graph (the CC webgraph product): three
+        deterministic outlinks embedded per page envelope, extracted
+        back with the all-Arrow href splitter, source host from the
+        canonicalized URL, one (src_host, dst_host) grouped count —
+        extraction is REAL RE2 work, the oracle re-extracts from the
+        same html (pipelines/webtext.extract_outlinks)."""
+        import pyarrow.compute as _pc
+
+        ds = tables.read_table(
+            sf_dir, "documents", columns=["doc_id", "source"]
+        )
+        pages = webtext_pipe.derive_pages(ds, "doc_id", "source")
+
+        def with_html(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy().astype(np.int64)
+            path = _pc.cast(pa.array(ids % 211), pa.string())
+            pieces = [pa.array(["<html><body>"] * len(ids))]
+            for j in range(3):
+                host = _pc.cast(
+                    pa.array((ids * 7 + 13 * j + 1) % 20), pa.string()
+                )
+                pieces += [
+                    pa.array(['<a href="https://src'] * len(ids)),
+                    host,
+                    pa.array([".example.com/l/"] * len(ids)),
+                    path,
+                    pa.array(['">x</a>'] * len(ids)),
+                ]
+            pieces.append(pa.array(["</body></html>"] * len(ids)))
+            html = _pc.binary_join_element_wise(*pieces, "")
+            return pa.table({"doc_id": b["doc_id"], "html": html})
+
+        htmls = ds.map_batches(with_html, batch_format="pyarrow")
+        links = webtext_pipe.extract_outlinks(htmls, "doc_id", "html")
+
+        from geo_index_ray.pipelines import relational
+
+        def src_of(b: pa.Table) -> pa.Table:
+            low = _pc.utf8_lower(b["url"])
+            ex = _pc.extract_regex(low, "^https://(?P<h>[^/]+)")
+            if isinstance(ex, pa.ChunkedArray):
+                ex = ex.combine_chunks()
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "src_host": _pc.struct_field(ex, "h"),
+                }
+            )
+
+        srcs = pages.map_batches(src_of, batch_format="pyarrow")
+
+        def dst_of(b: pa.Table) -> pa.Table:
+            ex = _pc.extract_regex(b["href"], '^https://(?P<h>[^/"]+)')
+            if isinstance(ex, pa.ChunkedArray):
+                ex = ex.combine_chunks()
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "dst_host": _pc.struct_field(ex, "h"),
+                }
+            )
+
+        dsts = links.map_batches(dst_of, batch_format="pyarrow")
+        edges = relational.hash_join(
+            dsts, srcs, "doc_id", "doc_id",
+            left_cols=["dst_host"], right_cols=["src_host"], how="inner",
+        )
+
+        def count_partial(b: pa.Table) -> pa.Table:
+            t = pa.table(
+                {"src_host": b["src_host"], "dst_host": b["dst_host"]}
+            )
+            agg = (
+                t.append_column(
+                    "n", pa.array(np.ones(len(t), np.int64))
+                )
+                .group_by(["src_host", "dst_host"])
+                .aggregate([("n", "sum")])
+            )
+            return agg.rename_columns(["src_host", "dst_host", "n"])
+
+        agg = (
+            edges.map_batches(count_partial, batch_format="pyarrow")
+            .groupby(["src_host", "dst_host"])
+            .sum("n")
+        )
+        return agg.map_batches(
+            lambda b: b.rename_columns(["src_host", "dst_host", "n_links"]),
+            batch_format="pyarrow",
+        )
+
+    q["host_link_graph"] = host_link_graph
+
     # ------------------------------------------------------------------
     # registration order = driver sampling order.  The driver's
     # correctness harness checks the FIRST 50 registrations; rounds 2/3
@@ -5112,6 +5206,37 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(*) AS BIGINT) AS n_events
         FROM g WHERE gap_us IS NOT NULL
         GROUP BY user_id
+    """
+
+    link = (
+        "'<a href=\"https://src' || CAST((doc_id * 7 + 13 * {j} + 1) % 20 "
+        "AS VARCHAR) || '.example.com/l/' || CAST(doc_id % 211 AS VARCHAR) "
+        "|| '\">x</a>'"
+    )
+    sql["host_link_graph"] = f"""
+        WITH pages AS (
+          {webtext_pipe.sql_derive_pages('documents', 'doc_id', 'source')}
+        ),
+        h AS (
+          SELECT doc_id,
+                 '<html><body>' || {link.format(j=0)} || {link.format(j=1)}
+                 || {link.format(j=2)} || '</body></html>' AS html
+          FROM documents
+        ),
+        links AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(html, 'href="([^"]*)"', 1))
+                   AS href
+          FROM h
+        ),
+        e AS (
+          SELECT regexp_extract(lower(p.url), '^https://([^/]+)', 1)
+                   AS src_host,
+                 regexp_extract(l.href, '^https://([^/"]+)', 1) AS dst_host
+          FROM links l JOIN pages p USING (doc_id)
+        )
+        SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
+        FROM e GROUP BY 1, 2
     """
 
     return sql

@@ -874,3 +874,39 @@ class TestUpsampleRepeat:
             columns=["doc_id", "epoch"],
         ).astype(np.int64)
         pd.testing.assert_frame_equal(got, want)
+
+
+class TestExtractOutlinks:
+    def test_extracts_all_links_in_order(self, ray_session):
+        import ray.data as rd
+
+        from geo_index_ray.pipelines.webtext import extract_outlinks
+
+        html = [
+            '<a href="https://a.com/1">x</a><p><a href="https://b.com/2">y</a>',
+            "no links here",
+            '<a href="https://c.com/3">z</a>',
+            '<a href="broken-no-close',  # unterminated: drops
+        ]
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                    "html": pa.array(html),
+                }
+            )
+        ).repartition(2)
+        got = (
+            extract_outlinks(ds, "doc_id", "html")
+            .to_pandas()
+            .sort_values(["doc_id", "href"])
+            .reset_index(drop=True)
+        )
+        want = pd.DataFrame(
+            {
+                "doc_id": np.array([1, 1, 3], np.int64),
+                "href": ["https://a.com/1", "https://b.com/2",
+                         "https://c.com/3"],
+            }
+        )
+        pd.testing.assert_frame_equal(got, want)
