@@ -3278,6 +3278,76 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["host_link_graph"] = host_link_graph
 
+    def host_pagerank(sf_dir):
+        """Integer-exact PageRank over the EXTRACTED host link graph —
+        the CC host-rank product end-to-end: embed → extract hrefs →
+        parse host indices → 3 exact integer iterations; graph nodes
+        are the 20 host indices, edges come from the real RE2
+        extraction, not the generator formulas
+        (webtext.extract_outlinks → components.pagerank_int)."""
+        import pyarrow.compute as _pc
+
+        ds = tables.read_table(
+            sf_dir, "documents", columns=["doc_id", "source"]
+        )
+
+        def with_html(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy().astype(np.int64)
+            path = _pc.cast(pa.array(ids % 211), pa.string())
+            pieces = [pa.array(["<html><body>"] * len(ids))]
+            for j in range(3):
+                host = _pc.cast(
+                    pa.array((ids * 7 + 13 * j + 1) % 20), pa.string()
+                )
+                pieces += [
+                    pa.array(['<a href="https://src'] * len(ids)),
+                    host,
+                    pa.array([".example.com/l/"] * len(ids)),
+                    path,
+                    pa.array(['">x</a>'] * len(ids)),
+                ]
+            pieces.append(pa.array(["</body></html>"] * len(ids)))
+            html = _pc.binary_join_element_wise(*pieces, "")
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "source": b["source"],
+                    "html": html,
+                }
+            )
+
+        htmls = ds.map_batches(with_html, batch_format="pyarrow")
+        links = webtext_pipe.extract_outlinks(htmls, "doc_id", "html")
+
+        def dst_idx(b: pa.Table) -> pa.Table:
+            ex = _pc.extract_regex(
+                b["href"], r"^https://src(?P<n>\d+)\."
+            )
+            if isinstance(ex, pa.ChunkedArray):
+                ex = ex.combine_chunks()
+            n = _pc.cast(_pc.struct_field(ex, "n"), pa.int64())
+            return pa.table({"doc_id": b["doc_id"], "dst": n})
+
+        dsts = links.map_batches(dst_idx, batch_format="pyarrow")
+
+        def src_idx(b: pa.Table) -> pa.Table:
+            ex = _pc.extract_regex(b["source"], r"^src(?P<n>\d+)$")
+            if isinstance(ex, pa.ChunkedArray):
+                ex = ex.combine_chunks()
+            n = _pc.cast(_pc.struct_field(ex, "n"), pa.int64())
+            return pa.table({"doc_id": b["doc_id"], "src": n})
+
+        from geo_index_ray.pipelines import relational
+
+        srcs = ds.map_batches(src_idx, batch_format="pyarrow")
+        edges = relational.hash_join(
+            dsts, srcs, "doc_id", "doc_id",
+            left_cols=["dst"], right_cols=["src"], how="inner",
+        )
+        return comp_pipe.pagerank_int(edges, "src", "dst", iters=3)
+
+    q["host_pagerank"] = host_pagerank
+
     # ------------------------------------------------------------------
     # registration order = driver sampling order.  The driver's
     # correctness harness checks the FIRST 50 registrations; rounds 2/3
@@ -5238,5 +5308,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
         FROM e GROUP BY 1, 2
     """
+
+    host_edges = f"""
+        SELECT CAST(regexp_extract(source, '^src(\\d+)$', 1) AS BIGINT)
+                 AS src,
+               CAST(regexp_extract(href, '^https://src(\\d+)\\.', 1)
+                    AS BIGINT) AS dst
+        FROM (
+          SELECT d.source,
+                 unnest(regexp_extract_all(h.html, 'href="([^"]*)"', 1))
+                   AS href
+          FROM documents d JOIN (
+            SELECT doc_id,
+                   '<html><body>' || {link.format(j=0)}
+                   || {link.format(j=1)} || {link.format(j=2)}
+                   || '</body></html>' AS html
+            FROM documents
+          ) h USING (doc_id)
+        )
+    """
+    sql["host_pagerank"] = comp_pipe.sql_pagerank_int(host_edges, iters=3)
 
     return sql
