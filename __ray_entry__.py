@@ -3348,6 +3348,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["host_pagerank"] = host_pagerank
 
+    def len_percent_rank(sf_dir):
+        """PERCENT_RANK of document length within each language — the
+        third window-function variant (RANK ties, (r−1)/(n−1), n=1 →
+        0.0); broadcast histogram, the corpus never shuffles
+        (pipelines/ranking.percent_rank_in_group)."""
+        ds = tables.read_table(
+            sf_dir, "documents", columns=["doc_id", "lang", "n_chars"]
+        )
+        return rank_pipe.percent_rank_in_group(
+            ds, "lang", "n_chars", "doc_id"
+        )
+
+    q["len_percent_rank"] = len_percent_rank
+
     # ------------------------------------------------------------------
     # registration order = driver sampling order.  The driver's
     # correctness harness checks the FIRST 50 registrations; rounds 2/3
@@ -5328,5 +5342,12 @@ def oracle_sql() -> dict[str, str]:
         )
     """
     sql["host_pagerank"] = comp_pipe.sql_pagerank_int(host_edges, iters=3)
+
+    sql["len_percent_rank"] = """
+        SELECT doc_id, lang, n_chars,
+               PERCENT_RANK() OVER (PARTITION BY lang ORDER BY n_chars)
+                 AS pct_rank
+        FROM documents
+    """
 
     return sql

@@ -744,3 +744,61 @@ def group_holdout_k(ds, id_col: str, group_col: str, k: int):
         )
 
     return keyed.groupby("rkey").map_groups(merge, batch_format="pyarrow")
+
+
+def percent_rank_in_group(ds, key_col: str, value_col: str, id_col: str,
+                          out_col: str = "pct_rank"):
+    """Distributed ``PERCENT_RANK() OVER (PARTITION BY key ORDER BY
+    value)`` — ``(rank − 1) / (n − 1)`` with SQL RANK tie semantics
+    (single-row groups → 0.0): the normalized-score feature behind
+    cross-group comparability.
+
+    Same two-pass no-corpus-shuffle shape as :func:`rank_in_group`: the
+    (key, value) count histogram reduces through one native groupby and
+    broadcasts with per-key exclusive prefix counts AND totals; pass 2
+    maps every row to its rank and one IEEE divide.  The broadcast holds
+    one row per DISTINCT (key, value) — the documented bm25-df trade.
+    """
+    import ray
+
+    hist = (
+        ds.map_batches(
+            lambda b: pa.table({key_col: b[key_col], "v": b[value_col]}),
+            batch_format="pyarrow",
+        )
+        .groupby([key_col, "v"])
+        .count()
+        .to_pandas()
+    )
+    cnt_col = [c for c in hist.columns if c not in (key_col, "v")][0]
+    hist = hist.sort_values([key_col, "v"], kind="mergesort")
+    lut = {}
+    for key, sub in hist.groupby(key_col, sort=False):
+        vals = sub["v"].to_numpy()
+        cnts = sub[cnt_col].to_numpy().astype(np.int64)
+        prefix = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+        lut[key] = (vals, prefix, int(cnts.sum()))
+    lut_ref = ray.put(lut)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        table = ray.get(lut_ref)
+        kcol = batch[key_col]
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        dic = pc.dictionary_encode(kcol)
+        codes = dic.indices.to_numpy(zero_copy_only=False)
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        pr = np.empty(len(v), dtype=np.float64)
+        for ki, key in enumerate(dic.dictionary.to_pylist()):
+            sel = codes == ki
+            vals, prefix, n = table[key]
+            rnk = prefix[np.searchsorted(vals, v[sel])]  # rank - 1
+            pr[sel] = (
+                rnk.astype(np.float64) / float(n - 1) if n > 1
+                else np.zeros(int(sel.sum()))
+            )
+        return batch.select([id_col, key_col, value_col]).append_column(
+            out_col, pa.array(pr, pa.float64())
+        )
+
+    return ds.map_batches(stage, batch_format="pyarrow")

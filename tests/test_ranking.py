@@ -568,3 +568,36 @@ class TestGroupHoldoutK:
             .astype({"rank": np.int64})
         )
         pd.testing.assert_frame_equal(got, want[got.columns.tolist()])
+
+
+class TestPercentRankInGroup:
+    def test_matches_duckdb_percent_rank(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from geo_index_ray.pipelines.ranking import percent_rank_in_group
+
+        rng = np.random.default_rng(41)
+        n = 800
+        key = np.array([f"k{g}" for g in rng.integers(0, 6, n)], object)
+        val = rng.integers(0, 30, n).astype(np.int64)  # heavy ties
+        ids = np.arange(n, dtype=np.int64)
+        df = pd.DataFrame({"id": ids, "k": key, "v": val})
+        # one singleton group: PERCENT_RANK must emit 0.0, not NaN
+        df.loc[0, "k"] = "solo"
+        ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(5)
+        got = (
+            percent_rank_in_group(ds, "k", "v", "id")
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        want = duckdb.sql(
+            """
+            SELECT id, k, v,
+                   PERCENT_RANK() OVER (PARTITION BY k ORDER BY v)
+                     AS pct_rank
+            FROM df ORDER BY id
+            """
+        ).df()
+        pd.testing.assert_frame_equal(got, want)
