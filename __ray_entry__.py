@@ -3362,6 +3362,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["len_percent_rank"] = len_percent_rank
 
+    def source_vocab_overlap(sf_dir):
+        """Corpus-diversity matrix: pairwise Jaccard of every source
+        pair's DISTINCT token sets — token-partitioned global dedup,
+        vectorized per-token pair expansion, sources²-bounded output
+        (pipelines/webtext.group_vocab_jaccard)."""
+        ds = tables.read_table(
+            sf_dir, "documents", columns=["source", "text"]
+        )
+        return webtext_pipe.group_vocab_jaccard(ds, "source")
+
+    q["source_vocab_overlap"] = source_vocab_overlap
+
     # ------------------------------------------------------------------
     # registration order = driver sampling order.  The driver's
     # correctness harness checks the FIRST 50 registrations; rounds 2/3
@@ -5348,6 +5360,31 @@ def oracle_sql() -> dict[str, str]:
                PERCENT_RANK() OVER (PARTITION BY lang ORDER BY n_chars)
                  AS pct_rank
         FROM documents
+    """
+
+    sql["source_vocab_overlap"] = r"""
+        WITH w AS (
+          SELECT DISTINCT source, token FROM (
+            SELECT source,
+                   unnest(string_split_regex(lower(text), '\s+')) AS token
+            FROM documents
+          ) WHERE token <> ''
+        ),
+        n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nv
+              FROM w GROUP BY 1),
+        i AS (
+          SELECT a.source AS a_source, b.source AS b_source,
+                 CAST(COUNT(*) AS BIGINT) AS n_common
+          FROM w a JOIN w b
+            ON a.token = b.token AND a.source < b.source
+          GROUP BY 1, 2
+        )
+        SELECT i.a_source, i.b_source, i.n_common,
+               CAST(i.n_common AS DOUBLE)
+               / CAST(na.nv + nb.nv - i.n_common AS DOUBLE) AS jaccard
+        FROM i
+        JOIN n na ON na.source = i.a_source
+        JOIN n nb ON nb.source = i.b_source
     """
 
     return sql

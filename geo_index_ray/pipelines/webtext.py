@@ -1270,3 +1270,115 @@ def extract_outlinks(ds, id_col: str, html_col: str, out_col: str = "href"):
         return pa.table({id_col: ids, out_col: href.filter(pa.array(ok))})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def group_vocab_jaccard(ds, group_col: str, text_col: str = "text"):
+    """Pairwise vocabulary overlap between groups — Jaccard of the
+    DISTINCT lowercased-whitespace-token sets of every (source a,
+    source b) pair: the corpus-diversity / source-redundancy matrix a
+    mixture designer reads before weighting sources.
+
+    Scale shape: output and broadcast are GROUPS²-bounded by definition
+    (sources/languages — metadata scale).  The distinct (group, token)
+    pairs reduce under coarse ``hash(token)`` keys, so every copy of a
+    token lands on one reducer and reducer-level dedup IS global dedup;
+    each reducer then expands its tokens' source sets into pair codes
+    (≤ groups²/2 per token, vectorized repeat/offset — no Python per
+    token) and bincounts them into (pair_code, cnt) partials.  One tiny
+    final groupby; per-group vocabulary sizes ride the same exchange.
+    Exchange rows are bounded by block-vocabulary × groups-per-block,
+    sublinear in corpus rows.
+    """
+    import ray.data  # noqa: F401  (Dataset ops on ds)
+
+    from ..stages.util import coalesce_for_shuffle, reducer_count, rkey_of
+
+    groups = sorted(
+        ds.groupby(group_col).count().to_pandas()[group_col].tolist()
+    )
+    garr = pa.array(groups)
+    K = len(groups)
+    R = reducer_count()
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch[text_col]), r"\s+"
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        parents = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        parents = parents.filter(keep)
+        gcol = batch[group_col].take(parents)
+        gi = pc.index_in(gcol, garr).cast(pa.int64())
+        t = pa.table({"token": flat, "g": gi})
+        dedup = t.group_by(["token", "g"]).aggregate([])
+        return dedup.append_column(
+            "rkey", pa.array(rkey_of(dedup["token"], R))
+        )
+
+    keyed = coalesce_for_shuffle(
+        ds.map_batches(distinct_pairs, batch_format="pyarrow"), 0.25
+    )
+
+    def pair_partials(g: pa.Table) -> pa.Table:
+        tok = g["token"]
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        tcode = pc.dictionary_encode(tok).indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        gi = g["g"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # reducer-level dedup == global dedup (token-partitioned)
+        m = np.unique(tcode * np.int64(K) + gi)
+        tc, gc = m // K, m % K
+        # vocabulary-size partials (one distinct (token, group) each)
+        vocab = np.bincount(gc, minlength=K).astype(np.int64)
+        # all (a < b) source pairs within each token's segment
+        first = np.searchsorted(tc, tc, side="left")
+        last = np.searchsorted(tc, tc, side="right")
+        reps = last - (np.arange(len(tc)) + 1)   # partners after each row
+        la = np.repeat(gc, reps)
+        offs = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(reps) - reps, reps
+        )
+        rb = gc[np.repeat(np.arange(len(tc)), reps) + 1 + offs]
+        code = la * np.int64(K) + rb          # gc ascending per token → a < b
+        cnt = np.bincount(code, minlength=K * K).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        out_code = np.concatenate([nz, -(np.arange(K) + 1)])
+        out_cnt = np.concatenate([cnt[nz], vocab])
+        return pa.table(
+            {"code": pa.array(out_code), "cnt": pa.array(out_cnt)}
+        )
+
+    agg = (
+        keyed.groupby("rkey")
+        .map_groups(pair_partials, batch_format="pyarrow")
+        .groupby("code")
+        .sum("cnt")
+        .to_pandas()
+    )
+    cnt_of = dict(zip(agg["code"].astype(np.int64),
+                      agg["sum(cnt)"].astype(np.int64)))
+    nv = np.array([cnt_of.get(-(i + 1), 0) for i in range(K)], np.int64)
+    rows_a, rows_b, inter, jac = [], [], [], []
+    for a in range(K):
+        for b in range(a + 1, K):
+            c = int(cnt_of.get(a * K + b, 0))
+            if c == 0:
+                continue
+            rows_a.append(groups[a])
+            rows_b.append(groups[b])
+            inter.append(c)
+            jac.append(float(c) / float(int(nv[a]) + int(nv[b]) - c))
+    return pa.table(
+        {
+            "a_source": pa.array(rows_a, pa.string()),
+            "b_source": pa.array(rows_b, pa.string()),
+            "n_common": pa.array(inter, pa.int64()),
+            "jaccard": pa.array(jac, pa.float64()),
+        }
+    )

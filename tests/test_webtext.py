@@ -910,3 +910,44 @@ class TestExtractOutlinks:
             }
         )
         pd.testing.assert_frame_equal(got, want)
+
+
+class TestGroupVocabJaccard:
+    def test_matches_bruteforce_sets(self, ray_session):
+        import ray.data as rd
+
+        from geo_index_ray.pipelines.webtext import group_vocab_jaccard
+
+        rng = np.random.default_rng(43)
+        vocab = [f"w{i}" for i in range(40)]
+        rows = []
+        for i in range(200):
+            src = f"s{i % 4}"
+            words = rng.choice(vocab, size=rng.integers(3, 9))
+            rows.append((i, src, " ".join(words.tolist())))
+        df = pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+        ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(5)
+        got = (
+            group_vocab_jaccard(ds, "source")
+            .to_pandas()
+            .sort_values(["a_source", "b_source"])
+            .reset_index(drop=True)
+        )
+        sets = {
+            s: set(" ".join(sub["text"]).split())
+            for s, sub in df.groupby("source")
+        }
+        names = sorted(sets)
+        want_rows = []
+        for i, a in enumerate(names):
+            for b in names[i + 1:]:
+                c = len(sets[a] & sets[b])
+                if c:
+                    want_rows.append(
+                        (a, b, c, c / len(sets[a] | sets[b]))
+                    )
+        want = pd.DataFrame(
+            want_rows,
+            columns=["a_source", "b_source", "n_common", "jaccard"],
+        )
+        pd.testing.assert_frame_equal(got, want)
