@@ -1042,10 +1042,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["cosine_pairs_exact"] = cosine_exact
 
     def ngram_jaccard(sf_dir):
+        """shingle_k=20: the synthetic corpus has a tiny character
+        vocabulary, so 5-gram space collapses (2 041 distinct shingles
+        for 5 000 docs at sf0.1 — median df 291, all-pairs candidates,
+        measured 70 GB of spill; 12-grams still emit 84M candidate
+        rows).  20-grams make the shingle space sparse enough that the
+        prefix filter prunes to ~2M emissions — see the operator's
+        degenerate-shingle-space note."""
         ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
-        return dedup_pipe.ngram_jaccard_dedup(ds, "doc_id", threshold=0.3).select_columns(
-            ["a_id", "b_id"]
-        )
+        return dedup_pipe.ngram_jaccard_dedup(
+            ds, "doc_id", threshold=0.3, shingle_k=20
+        ).select_columns(["a_id", "b_id"])
 
     q["ngram_jaccard_pairs"] = ngram_jaccard
 
@@ -4121,7 +4128,7 @@ def oracle_sql() -> dict[str, str]:
     )
 
     sql["ngram_jaccard_pairs"] = sqltext.sql_ngram_jaccard_pairs(
-        "documents", "doc_id", threshold=0.3
+        "documents", "doc_id", threshold=0.3, k=20
     )
 
     sql["similarity_join"] = sqltext.sql_ngram_similarity_join(

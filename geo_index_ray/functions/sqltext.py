@@ -64,12 +64,28 @@ def sql_shingle_hash(k: int = 5, pos: str = "i", text: str = "text") -> str:
 
 
 def sql_shingle_cte(table: str, id_col: str, k: int = 5) -> str:
-    """Distinct (id, shingle-hash) rows for every k-gram of ``text``."""
-    return f"""
-  SELECT DISTINCT {id_col}, {sql_shingle_hash(k)} AS h
-  FROM {table}, UNNEST(generate_series(1,
-       CAST(GREATEST(length(text) - {k - 1}, 1) AS BIGINT))) AS t(i)
-"""
+    """Distinct (id, shingle-hash) rows for every k-gram of ``text``.
+
+    The FNV steps chain through nested-SELECT COLUMNS instead of one
+    inlined expression: ``fnv_step`` references its ``h`` argument three
+    times, so textual unrolling is 3^k in size (k=12 → ~5·10⁵ copies of
+    the innermost term — DuckDB spent minutes just parsing it); the
+    column chain is linear in k with bit-identical arithmetic.
+    """
+    q = (
+        f"(SELECT {id_col}, i, text FROM {table}, "
+        f"UNNEST(generate_series(1, CAST(GREATEST(length(text) - {k - 1},"
+        f" 1) AS BIGINT))) AS t(i))"
+    )
+    h = str(FNV_OFFSET)
+    for j in range(k):
+        c = f"COALESCE(unicode(nullif(substr(text, i + {j}, 1), '')), 0)"
+        q = (
+            f"(SELECT {id_col}, i, text, {fnv_step(h, c)} AS h{j} "
+            f"FROM {q})"
+        )
+        h = f"h{j}"
+    return f"SELECT DISTINCT {id_col}, {h} AS h FROM {q}"
 
 
 def sql_simhash_select(table: str, id_col: str) -> str:

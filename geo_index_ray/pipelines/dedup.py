@@ -829,6 +829,18 @@ def ngram_jaccard_dedup(
        ONE lexsort over (pair, value) across all of a reducer's pairs.
 
     Returns (a_id, b_id, jaccard), each qualifying pair exactly once.
+
+    Degenerate-shingle-space hazard (measured): prefix filtering only
+    prunes when the shingle df distribution is long-tailed.  On a corpus
+    whose ``shingle_k``-gram space is tiny relative to the doc count
+    (5 000 synthetic docs × 5-gram → 2 041 distinct shingles, median df
+    291), EVERY doc pair shares prefix shingles, candidates go
+    quadratic and the exchange spilled 70 GB for a true answer of
+    ~1 700 pairs.  The fix is choosing ``shingle_k`` so distinct
+    shingles ≫ docs (12-gram on the same corpus: 131 198 distinct,
+    median df 7, Σdf² ÷13.5 — candidates collapse back to near the true
+    pair count).  Rule of thumb: grow ``shingle_k`` until the sampled
+    median df is O(expected duplicate-cluster size).
     """
     from ..stages.pairjoin import verify_pairs
     from ..stages.util import coalesce_for_shuffle, reducer_count
