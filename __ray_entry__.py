@@ -1059,10 +1059,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def similarity_join(sf_dir):
         """Cross-split exact-Jaccard similarity join: eval-side docs
         (doc_id % 37 == 0, the contamination split) against the train
-        side — dedup.ngram_jaccard_dedup(side_of=...)."""
+        side — dedup.ngram_jaccard_dedup(side_of=...).  shingle_k=12:
+        the cross-side keep condition thins candidates ~20×, but the
+        degenerate 5-gram space (see ngram_jaccard_pairs) would still
+        explode at the next scale step."""
         ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
         return dedup_pipe.ngram_jaccard_dedup(
-            ds, "doc_id", threshold=0.3,
+            ds, "doc_id", threshold=0.3, shingle_k=12,
             side_of=lambda ids: (np.asarray(ids) % 37) == 0,
         )
 
@@ -4132,7 +4135,7 @@ def oracle_sql() -> dict[str, str]:
     )
 
     sql["similarity_join"] = sqltext.sql_ngram_similarity_join(
-        "documents", "doc_id", side_pred="doc_id % 37 = 0", threshold=0.3
+        "documents", "doc_id", side_pred="doc_id % 37 = 0", threshold=0.3, k=12
     )
 
     sql["inverted_index"] = text_pipe.sql_inverted_index(
