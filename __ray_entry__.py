@@ -3384,6 +3384,103 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["source_vocab_overlap"] = source_vocab_overlap
 
+    def rfm_segments(sf_dir):
+        """RFM customer segmentation: per customer (recency = last
+        order µs, frequency = order count, monetary = exact total
+        cents), bucketed 1–4 by the EXACT global quartiles of each
+        dimension (threshold buckets — ties share a bucket, so no
+        global row-number is needed and every stage stays distributed:
+        int64 partials → native groupby → quantile_cont-identical
+        percentile thresholds broadcast → map)."""
+        import pyarrow.compute as _pc
+
+        orders = tables.read_table(
+            sf_dir, "orders",
+            columns=["o_custkey", "o_orderdate", "o_totalprice"],
+        )
+
+        def partials(b: pa.Table) -> pa.Table:
+            t = pa.table(
+                {
+                    "o_custkey": b["o_custkey"],
+                    "r": _pc.cast(
+                        _pc.cast(b["o_orderdate"], pa.timestamp("us")),
+                        pa.int64(),
+                    ),
+                    "f": pa.array(np.ones(b.num_rows, np.int64)),
+                    "m": pa.array(
+                        np.round(
+                            b["o_totalprice"].to_numpy() * 100
+                        ).astype(np.int64)
+                    ),
+                }
+            )
+            agg = t.group_by("o_custkey").aggregate(
+                [("r", "max"), ("f", "sum"), ("m", "sum")]
+            )
+            return agg.rename_columns(["o_custkey", "r", "f", "m"])
+
+        from ray.data.aggregate import Max, Sum
+
+        per_cust = (
+            orders.map_batches(partials, batch_format="pyarrow")
+            .groupby("o_custkey")
+            .aggregate(Max("r"), Sum("f"), Sum("m"))
+        )
+
+        def clean(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "o_custkey": b["o_custkey"],
+                    "r": b["max(r)"],
+                    "f": b["sum(f)"],
+                    "m": b["sum(m)"],
+                }
+            )
+
+        cust = per_cust.map_batches(clean, batch_format="pyarrow")
+
+        qs = {}
+        for col in ("r", "f", "m"):
+            with_g = cust.map_batches(
+                lambda b, _c=col: pa.table(
+                    {"g": pa.array(np.zeros(b.num_rows, np.int64)),
+                     _c: b[_c]}
+                ),
+                batch_format="pyarrow",
+            )
+            pct = events_pipe.grouped_percentiles(
+                with_g, "g", col, qs=(0.25, 0.5, 0.75),
+                names=("q1", "q2", "q3"),
+            ).to_pandas()
+            qs[col] = (
+                float(pct["q1"][0]), float(pct["q2"][0]),
+                float(pct["q3"][0]),
+            )
+
+        def bucketize(b: pa.Table) -> pa.Table:
+            out = {"o_custkey": b["o_custkey"]}
+            bs = {}
+            for col in ("r", "f", "m"):
+                v = b[col].to_numpy().astype(np.float64)
+                t1, t2, t3 = qs[col]
+                bk = (
+                    1
+                    + (v > t1).astype(np.int64)
+                    + (v > t2).astype(np.int64)
+                    + (v > t3).astype(np.int64)
+                )
+                bs[col] = bk
+                out[f"{col}_b"] = pa.array(bk)
+            out["segment"] = pa.array(
+                bs["r"] * 100 + bs["f"] * 10 + bs["m"]
+            )
+            return pa.table(out)
+
+        return cust.map_batches(bucketize, batch_format="pyarrow")
+
+    q["rfm_segments"] = rfm_segments
+
     # ------------------------------------------------------------------
     # registration order = driver sampling order.  The driver's
     # correctness harness checks the FIRST 50 registrations; rounds 2/3
@@ -5395,6 +5492,39 @@ def oracle_sql() -> dict[str, str]:
         FROM i
         JOIN n na ON na.source = i.a_source
         JOIN n nb ON nb.source = i.b_source
+    """
+
+    sql["rfm_segments"] = """
+        WITH c AS (
+          SELECT o_custkey,
+                 MAX(epoch_us(o_orderdate)) AS r,
+                 CAST(COUNT(*) AS BIGINT) AS f,
+                 SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS m
+          FROM orders GROUP BY 1
+        ),
+        t AS (
+          SELECT quantile_cont(r, 0.25) AS r1, quantile_cont(r, 0.5) AS r2,
+                 quantile_cont(r, 0.75) AS r3,
+                 quantile_cont(f, 0.25) AS f1, quantile_cont(f, 0.5) AS f2,
+                 quantile_cont(f, 0.75) AS f3,
+                 quantile_cont(m, 0.25) AS m1, quantile_cont(m, 0.5) AS m2,
+                 quantile_cont(m, 0.75) AS m3
+          FROM c
+        )
+        SELECT o_custkey,
+               1 + CAST(r > r1 AS BIGINT) + CAST(r > r2 AS BIGINT)
+                 + CAST(r > r3 AS BIGINT) AS r_b,
+               1 + CAST(f > f1 AS BIGINT) + CAST(f > f2 AS BIGINT)
+                 + CAST(f > f3 AS BIGINT) AS f_b,
+               1 + CAST(m > m1 AS BIGINT) + CAST(m > m2 AS BIGINT)
+                 + CAST(m > m3 AS BIGINT) AS m_b,
+               (1 + CAST(r > r1 AS BIGINT) + CAST(r > r2 AS BIGINT)
+                  + CAST(r > r3 AS BIGINT)) * 100
+               + (1 + CAST(f > f1 AS BIGINT) + CAST(f > f2 AS BIGINT)
+                    + CAST(f > f3 AS BIGINT)) * 10
+               + (1 + CAST(m > m1 AS BIGINT) + CAST(m > m2 AS BIGINT)
+                    + CAST(m > m3 AS BIGINT)) AS segment
+        FROM c CROSS JOIN t
     """
 
     return sql
