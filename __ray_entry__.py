@@ -3440,23 +3440,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         cust = per_cust.map_batches(clean, batch_format="pyarrow")
 
-        qs = {}
-        for col in ("r", "f", "m"):
-            with_g = cust.map_batches(
-                lambda b, _c=col: pa.table(
-                    {"g": pa.array(np.zeros(b.num_rows, np.int64)),
-                     _c: b[_c]}
-                ),
-                batch_format="pyarrow",
+        # one percentile job for all three dimensions: melt (r, f, m)
+        # into (dim, v) rows and key the exact-percentile combiner on
+        # dim — one pass, one shuffle, instead of three sequential jobs
+        def melt(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            dims, vals = [], []
+            for i, col in enumerate(("r", "f", "m")):
+                dims.append(np.full(n, i, np.int64))
+                vals.append(
+                    b[col].to_numpy(zero_copy_only=False).astype(np.int64)
+                )
+            return pa.table(
+                {
+                    "dim": pa.array(np.concatenate(dims)),
+                    "v": pa.array(np.concatenate(vals)),
+                }
             )
-            pct = events_pipe.grouped_percentiles(
-                with_g, "g", col, qs=(0.25, 0.5, 0.75),
-                names=("q1", "q2", "q3"),
-            ).to_pandas()
-            qs[col] = (
-                float(pct["q1"][0]), float(pct["q2"][0]),
-                float(pct["q3"][0]),
+
+        pct = events_pipe.grouped_percentiles(
+            cust.map_batches(melt, batch_format="pyarrow"),
+            "dim", "v", qs=(0.25, 0.5, 0.75), names=("q1", "q2", "q3"),
+        ).to_pandas().set_index("dim")
+        qs = {
+            col: (
+                float(pct.loc[i, "q1"]), float(pct.loc[i, "q2"]),
+                float(pct.loc[i, "q3"]),
             )
+            for i, col in enumerate(("r", "f", "m"))
+        }
 
         def bucketize(b: pa.Table) -> pa.Table:
             out = {"o_custkey": b["o_custkey"]}
