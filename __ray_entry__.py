@@ -75,6 +75,29 @@ NEARDUP_T = 0.4
 # ---------------------------------------------------------------------------
 
 
+def _synthetic_link_html(ids: "np.ndarray", keep_cols: dict) -> "pa.Table":
+    """Shared link-embedding twin of oracle_sql()'s `link` template: three
+    deterministic outlinks per doc — host (id·7 + 13j + 1) % 20, path
+    id % 211 — so host_link_graph and host_pagerank can never drift
+    apart (or away from the SQL side) independently."""
+    import pyarrow.compute as _pc
+
+    path = _pc.cast(pa.array(ids % 211), pa.string())
+    pieces = [pa.array(["<html><body>"] * len(ids))]
+    for j in range(3):
+        host = _pc.cast(pa.array((ids * 7 + 13 * j + 1) % 20), pa.string())
+        pieces += [
+            pa.array(['<a href="https://src'] * len(ids)),
+            host,
+            pa.array([".example.com/l/"] * len(ids)),
+            path,
+            pa.array(['">x</a>'] * len(ids)),
+        ]
+    pieces.append(pa.array(["</body></html>"] * len(ids)))
+    html = _pc.binary_join_element_wise(*pieces, "")
+    return pa.table({**keep_cols, "html": html})
+
+
 def entry() -> Any:
     """Flagship: tile + histogram + spatial join at sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -3210,22 +3233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         def with_html(b: pa.Table) -> pa.Table:
             ids = b["doc_id"].to_numpy().astype(np.int64)
-            path = _pc.cast(pa.array(ids % 211), pa.string())
-            pieces = [pa.array(["<html><body>"] * len(ids))]
-            for j in range(3):
-                host = _pc.cast(
-                    pa.array((ids * 7 + 13 * j + 1) % 20), pa.string()
-                )
-                pieces += [
-                    pa.array(['<a href="https://src'] * len(ids)),
-                    host,
-                    pa.array([".example.com/l/"] * len(ids)),
-                    path,
-                    pa.array(['">x</a>'] * len(ids)),
-                ]
-            pieces.append(pa.array(["</body></html>"] * len(ids)))
-            html = _pc.binary_join_element_wise(*pieces, "")
-            return pa.table({"doc_id": b["doc_id"], "html": html})
+            return _synthetic_link_html(ids, {"doc_id": b["doc_id"]})
 
         htmls = ds.map_batches(with_html, batch_format="pyarrow")
         links = webtext_pipe.extract_outlinks(htmls, "doc_id", "html")
@@ -3303,27 +3311,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         def with_html(b: pa.Table) -> pa.Table:
             ids = b["doc_id"].to_numpy().astype(np.int64)
-            path = _pc.cast(pa.array(ids % 211), pa.string())
-            pieces = [pa.array(["<html><body>"] * len(ids))]
-            for j in range(3):
-                host = _pc.cast(
-                    pa.array((ids * 7 + 13 * j + 1) % 20), pa.string()
-                )
-                pieces += [
-                    pa.array(['<a href="https://src'] * len(ids)),
-                    host,
-                    pa.array([".example.com/l/"] * len(ids)),
-                    path,
-                    pa.array(['">x</a>'] * len(ids)),
-                ]
-            pieces.append(pa.array(["</body></html>"] * len(ids)))
-            html = _pc.binary_join_element_wise(*pieces, "")
-            return pa.table(
-                {
-                    "doc_id": b["doc_id"],
-                    "source": b["source"],
-                    "html": html,
-                }
+            return _synthetic_link_html(
+                ids, {"doc_id": b["doc_id"], "source": b["source"]}
             )
 
         htmls = ds.map_batches(with_html, batch_format="pyarrow")

@@ -1868,7 +1868,10 @@ def winsorize(ds, key_col: str, value_col: str, id_col: str,
                 id_col: batch[id_col],
                 key_col: batch[key_col],
                 value_col: batch[value_col],
-                out_col: pa.array(c, pa.float64()),
+                # from_pandas=True: the NULL-key NaN becomes a real
+                # Arrow null, matching the documented SQL-join-miss
+                # semantics (the grouped_zscore convention)
+                out_col: pa.array(c, pa.float64(), from_pandas=True),
             }
         )
 

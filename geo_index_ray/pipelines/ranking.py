@@ -788,7 +788,10 @@ def percent_rank_in_group(ds, key_col: str, value_col: str, id_col: str,
         dic = pc.dictionary_encode(kcol)
         codes = dic.indices.to_numpy(zero_copy_only=False)
         v = batch[value_col].to_numpy(zero_copy_only=False)
-        pr = np.empty(len(v), dtype=np.float64)
+        # NULL-key rows have no histogram entry and match no dictionary
+        # code below — start from NaN (→ Arrow null) instead of
+        # uninitialized memory (the grouped_zscore null-key contract)
+        pr = np.full(len(v), np.nan, dtype=np.float64)
         for ki, key in enumerate(dic.dictionary.to_pylist()):
             sel = codes == ki
             vals, prefix, n = table[key]
@@ -798,7 +801,7 @@ def percent_rank_in_group(ds, key_col: str, value_col: str, id_col: str,
                 else np.zeros(int(sel.sum()))
             )
         return batch.select([id_col, key_col, value_col]).append_column(
-            out_col, pa.array(pr, pa.float64())
+            out_col, pa.array(pr, pa.float64(), from_pandas=True)
         )
 
     return ds.map_batches(stage, batch_format="pyarrow")

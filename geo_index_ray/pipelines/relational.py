@@ -122,6 +122,9 @@ def hash_join(left, right, left_key: str, right_key: str,
     threshold / shuffle-block-count occurrences) — one lean candidate
     groupby, never a full key-cardinality collect; a marginally-hot key
     spread too thin to detect costs only balance, never correctness.
+    Detection consumes BOTH inputs one extra time, eagerly at call
+    time — with expensive derived inputs, ``.materialize()`` them
+    before a salted join so the upstream stages run once.
     """
     if how not in ("inner", "left", "right", "full", "semi", "anti"):
         raise ValueError(

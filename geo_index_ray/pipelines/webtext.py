@@ -1240,6 +1240,15 @@ def extract_outlinks(ds, id_col: str, html_col: str, out_col: str = "href"):
     with one RE2 kernel — no Python per row, no regexp_extract_all
     emulation loops.  Output one (id, href) row per link, in document
     order; pages without links emit nothing; an unterminated href drops.
+
+    Contract note vs a ``regexp_extract_all(html, 'href="([^"]*)"')``
+    twin: the two agree on well-formed markup, but a PATHOLOGICAL value
+    containing the literal ``href="`` inside an href (e.g.
+    ``href="a href="b"``) splits differently — the regex scan returns
+    ``a href=`` while this splitter returns ``b``.  Real attribute
+    values URL-encode the quote, so the divergence needs deliberately
+    malformed html; callers gating against a SQL twin should
+    pre-sanitize or accept the shared well-formedness assumption.
     """
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -1293,8 +1302,23 @@ def group_vocab_jaccard(ds, group_col: str, text_col: str = "text"):
 
     from ..stages.util import coalesce_for_shuffle, reducer_count, rkey_of
 
+    # distinct-group listing via a 1-column per-batch combiner — a full
+    # groupby here would shuffle the whole corpus (text included) just
+    # to list a handful of sources
+    def group_partial(batch: pa.Table) -> pa.Table:
+        gcol = batch[group_col]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        return pa.table(
+            {group_col: pc.unique(gcol)}
+        )
+
     groups = sorted(
-        ds.groupby(group_col).count().to_pandas()[group_col].tolist()
+        ds.map_batches(group_partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .count()
+        .to_pandas()[group_col]
+        .tolist()
     )
     garr = pa.array(groups)
     K = len(groups)
@@ -1337,7 +1361,6 @@ def group_vocab_jaccard(ds, group_col: str, text_col: str = "text"):
         # vocabulary-size partials (one distinct (token, group) each)
         vocab = np.bincount(gc, minlength=K).astype(np.int64)
         # all (a < b) source pairs within each token's segment
-        first = np.searchsorted(tc, tc, side="left")
         last = np.searchsorted(tc, tc, side="right")
         reps = last - (np.arange(len(tc)) + 1)   # partners after each row
         la = np.repeat(gc, reps)
