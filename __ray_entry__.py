@@ -5389,13 +5389,13 @@ def oracle_sql() -> dict[str, str]:
         SELECT hour, n AS n_events, x AS n_errors,
                CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS err_rate,
                (CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
-                + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE))
-                - 1.96 * sqrt(
+                + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (2.0 * CAST(n AS DOUBLE))
+                - CAST(1.96 AS DOUBLE) * sqrt(
                     ((CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
                      * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
-                     + (1.96 * 1.96) / (4.0 * CAST(n AS DOUBLE)))
+                     + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (4.0 * CAST(n AS DOUBLE)))
                     / CAST(n AS DOUBLE)))
-               / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)) AS wilson_lb
+               / (1.0 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / CAST(n AS DOUBLE)) AS wilson_lb
         FROM a
     """
 

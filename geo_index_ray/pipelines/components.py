@@ -86,21 +86,90 @@ _MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
 def _edge_fingerprint_block(batch: pa.Table) -> pa.Table:
-    """Order-insensitive (sum of mixed hashes, count) partial per block."""
+    """Order-insensitive (sum, xor, count) partial per block.
+
+    Two independent 64-bit accumulators (wrap-around sum AND xor of the
+    per-edge mixed hashes) make an accidental collision between two
+    *different* edge multisets effectively impossible — the convergence
+    loop treats fingerprint equality as "the edge set stopped changing",
+    so a collision would end the loop on a non-star edge set and emit
+    wrong component labels (the round-4 grid_clusters suspect)."""
     u = batch["u"].to_numpy().view(np.uint64)
     v = batch["v"].to_numpy().view(np.uint64)
     with np.errstate(over="ignore"):
         h = (u * _MIX) ^ (v + _MIX)
+        h2 = (h ^ (h >> np.uint64(29))) * np.uint64(0xBF58476D1CE4E5B9)
         s = np.uint64(0)
         for chunk in np.array_split(h, max(1, len(h) // 65536)):
             s += np.sum(chunk, dtype=np.uint64)
+        x = np.bitwise_xor.reduce(h2) if len(h2) else np.uint64(0)
     return pa.table({"fp": pa.array([int(s)], pa.uint64()),
+                     "fpx": pa.array([int(x)], pa.uint64()),
                      "n": pa.array([len(u)], pa.int64())})
 
 
 def _rkey(col: np.ndarray, r: int) -> np.ndarray:
     with np.errstate(over="ignore"):
         return ((col.view(np.uint64) * _MIX) % np.uint64(r)).astype(np.int64)
+
+
+def _star_violations(edges_ds, r: int) -> int:
+    """Count violations of the min-rooted star-forest invariant.
+
+    A converged edge set must satisfy, per edge (u, v): u > v (child
+    points DOWN to its root), every child u appears in exactly ONE edge,
+    and no id is both a child and a root.  One lean exchange: (id, tag)
+    rows hashed on id, per-reducer vectorized checks, driver sums a
+    per-reducer count.  Cost: one pass over the (16 B/row) star edges —
+    paid once at convergence, so correctness is asserted, not assumed.
+    """
+
+    def tag_rows(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy()
+        v = batch["v"].to_numpy()
+        ids = np.concatenate([u, v])
+        tag = np.concatenate(
+            [np.zeros(len(u), np.int8), np.ones(len(v), np.int8)]
+        )
+        bad_orient = int(np.sum(u <= v))
+        out = pa.table({
+            "id": pa.array(ids),
+            "tag": pa.array(tag),
+            "rkey": pa.array(_rkey(ids, r)),
+        })
+        # ship the orientation violations as poisoned root rows so the
+        # driver sees them without a second pass
+        if bad_orient:
+            out = pa.concat_tables([out, pa.table({
+                "id": pa.array([np.int64(-1)] * bad_orient, pa.int64()),
+                "tag": pa.array([np.int8(2)] * bad_orient, pa.int8()),
+                "rkey": pa.array([np.int64(0)] * bad_orient, pa.int64()),
+            })])
+        return out
+
+    def check(g: pa.Table) -> pa.Table:
+        ids = g["id"].to_numpy()
+        tag = g["tag"].to_numpy()
+        n_bad = int(np.sum(tag == 2))
+        child = np.sort(ids[tag == 0])
+        roots = ids[tag == 1]
+        # child appearing twice = two outgoing edges
+        n_bad += int(np.sum(child[1:] == child[:-1]))
+        # id both child and root
+        if len(child) and len(roots):
+            uroots = np.unique(roots)
+            pos = np.searchsorted(child, uroots)
+            hit = (pos < len(child)) & (child[np.minimum(pos, len(child) - 1)] == uroots)
+            n_bad += int(np.sum(hit))
+        return pa.table({"n_bad": pa.array([n_bad], pa.int64())})
+
+    parts = (
+        edges_ds.map_batches(tag_rows, batch_format="pyarrow")
+        .groupby("rkey")
+        .map_groups(check, batch_format="pyarrow")
+        .take_all()
+    )
+    return sum(int(row["n_bad"]) for row in parts)
 
 
 def _star_round(edges_ds, large: bool, r: int):
@@ -148,26 +217,41 @@ def connected_components(pairs_ds, a_col: str = "a_id", b_col: str = "b_id",
 
     edges = pairs_ds.map_batches(to_edges, batch_format="pyarrow")
 
-    def fingerprint(ds) -> tuple[int, int]:
+    def fingerprint(ds) -> tuple[int, int, int]:
         parts = ds.map_batches(
             _edge_fingerprint_block, batch_format="pyarrow"
         ).take_all()  # one tiny row per block
         s = np.uint64(0)
+        x = np.uint64(0)
         n = 0
         with np.errstate(over="ignore"):
             for row in parts:
                 s += np.uint64(row["fp"])
+                x ^= np.uint64(row["fpx"])
                 n += int(row["n"])
-        return int(s), n
+        return int(s), int(x), n
 
     prev_fp = None
+    converged = False
     for _ in range(max_rounds):
         edges = _star_round(edges, large=True, r=r)
         edges = _star_round(edges, large=False, r=r).materialize()
         fp = fingerprint(edges)
         if fp == prev_fp:
-            break
+            # Fingerprint stability says the edge multiset stopped
+            # changing; the Kiveris et al. fixed point is a star forest,
+            # but assert that DIRECTLY before trusting the labels — a
+            # fingerprint collision (or any deviation from the paper's
+            # invariants) would otherwise ship wrong components.
+            if _star_violations(edges, r) == 0:
+                converged = True
+                break
         prev_fp = fp
+    if not converged and _star_violations(edges, r) != 0:
+        raise RuntimeError(
+            "connected_components: star-forest invariant violated after "
+            f"{max_rounds} rounds — edge set did not converge"
+        )
 
     # converged: edges form stars (child → root, child > root). Final
     # result = every child→root plus each root→itself, deduped on node

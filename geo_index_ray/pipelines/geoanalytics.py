@@ -207,6 +207,8 @@ def grid_cluster(ds, res: int, min_pts: int, x_col: str = "x", y_col: str = "y",
             }
         )
 
+    from ..pipelines.components import _with_schema
+
     if return_cells:
         def label_cells(batch: pa.Table) -> pa.Table:
             cluster = pa.compute.coalesce(
@@ -221,14 +223,22 @@ def grid_cluster(ds, res: int, min_pts: int, x_col: str = "x", y_col: str = "y",
                 }
             )
 
-        return joined.map_batches(label_cells, batch_format="pyarrow")
+        return _with_schema(
+            joined.map_batches(label_cells, batch_format="pyarrow"),
+            {"cell": pa.int64(), "n_rows": pa.int64(), "cluster": pa.int64()},
+        )
 
     agg = (
         joined.map_batches(to_partials, batch_format="pyarrow")
         .groupby("cluster")
         .sum(["n_cells", "n_points"])
     )
-    return _rename(agg, ["cluster", "n_cells", "n_points"])
+    # zero core cells -> empty groupby loses its schema; union a typed
+    # zero-row block so (cluster, n_cells, n_points) survives
+    return _with_schema(
+        _rename(agg, ["cluster", "n_cells", "n_points"]),
+        {"cluster": pa.int64(), "n_cells": pa.int64(), "n_points": pa.int64()},
+    )
 
 
 def cluster_envelopes(ds, res: int, min_pts: int,
@@ -285,7 +295,16 @@ def cluster_envelopes(ds, res: int, min_pts: int,
             }
         )
 
-    return agg.map_batches(finish, batch_format="pyarrow")
+    from ..pipelines.components import _with_schema
+
+    return _with_schema(
+        agg.map_batches(finish, batch_format="pyarrow"),
+        {
+            "cluster": pa.int64(), "n_cells": pa.int64(),
+            "n_points": pa.int64(), "min_ix": pa.int64(),
+            "max_ix": pa.int64(), "min_iy": pa.int64(), "max_iy": pa.int64(),
+        },
+    )
 
 
 def idw_fill(ds, res: int, x_col: str = "x", y_col: str = "y"):

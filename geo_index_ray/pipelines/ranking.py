@@ -399,8 +399,12 @@ def negative_samples(pos_ds, user_col: str, item_col: str, n_items: int,
     reproducibly — the same (user, item, rnk) rows on every run, cluster
     layout, and engine, so the SQL oracle can regenerate them.
 
-    Candidates come from a keyed LCG, ``item = 1 + ((u·A + (slot+1)·B)
-    mod 2³¹−1) mod n_items`` for slot = 0..m−1 (m = m_factor·k); each
+    Candidates come from a keyed LCG, ``item = ((u·A + (slot+1)·B)
+    mod 2³¹−1) mod n_items`` for slot = 0..m−1 (m = m_factor·k) — item
+    ids land in [0, n_items), the same dense id space as the data, and
+    the anti-join packs with stride n_items+1 (``u·(n_items+1) + item``)
+    so a 1-based data id space (positives with item == n_items) cannot
+    alias the next user's item 0 and silently drop valid negatives; each
     user's duplicate candidate items collapse to their smallest slot
     (one np.unique — all of a user's slots are generated in one batch
     row-expansion); positives are removed with the lean anti
@@ -422,19 +426,24 @@ def negative_samples(pos_ds, user_col: str, item_col: str, n_items: int,
     m = m_factor * k
     users = pos_ds.groupby(user_col).count()
 
+    # pack stride n_items+1: candidates are 0-based (item < n_items) but
+    # DATA item ids may legitimately reach n_items (1-based id spaces),
+    # and u*(n_items)+n_items would alias user u+1's item 0
+    stride = np.int64(int(n_items) + 1)
+
     def expand(batch: pa.Table) -> pa.Table:
         u = batch[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
         if len(u):
             umax = int(u.max())
-            lim = (2**63 - 1) // max(int(n_items) + 1, _NS_A)
+            lim = (2**63 - 1) // max(int(stride), _NS_A)
             assert 0 <= int(u.min()) and umax <= lim, (
                 f"negative_samples: user id {umax} would overflow int64 "
-                f"in u*A / u*n_items+item (limit {lim})"
+                f"in u*A / u*stride+item (limit {lim})"
             )
         uu = np.repeat(u, m)
         slot = np.tile(np.arange(m, dtype=np.int64), len(u))
-        item = 1 + ((uu * _NS_A + (slot + 1) * _NS_B) % _NS_MOD) % n_items
-        packed = uu * np.int64(n_items) + item
+        item = ((uu * _NS_A + (slot + 1) * _NS_B) % _NS_MOD) % n_items
+        packed = uu * stride + item
         order = np.lexsort((slot, packed))
         pk = packed[order]
         keep = np.r_[True, pk[1:] != pk[:-1]]  # min slot per (user, item)
@@ -454,12 +463,16 @@ def negative_samples(pos_ds, user_col: str, item_col: str, n_items: int,
         u = batch[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
         it = batch[item_col].to_numpy(zero_copy_only=False).astype(np.int64)
         if len(u):
-            lim = (2**63 - 1) // max(int(n_items) + 1, _NS_A)
+            lim = (2**63 - 1) // max(int(stride), _NS_A)
             assert 0 <= int(u.min()) and int(u.max()) <= lim, (
                 "negative_samples: user id overflows the packed "
-                f"u*n_items+item key (limit {lim})"
+                f"u*stride+item key (limit {lim})"
             )
-        return pa.table({"ck": pa.array(u * np.int64(n_items) + it)})
+            assert 0 <= int(it.min()) and int(it.max()) <= int(n_items), (
+                "negative_samples: positive item id outside [0, n_items] "
+                "would alias another user's packed key"
+            )
+        return pa.table({"ck": pa.array(u * stride + it)})
 
     pos_keys = pos_ds.map_batches(pos_key, batch_format="pyarrow")
     surv = hash_join(
@@ -484,7 +497,7 @@ np AS (SELECT {n_items_sql} AS n),
 uu AS (SELECT DISTINCT u FROM pos),
 cand AS (
   SELECT uu.u, CAST(t.i AS BIGINT) AS slot,
-         1 + ((uu.u * {_NS_A} + (t.i + 1) * {_NS_B}) % {_NS_MOD}) % np.n
+         ((uu.u * {_NS_A} + (t.i + 1) * {_NS_B}) % {_NS_MOD}) % np.n
            AS it
   FROM uu CROSS JOIN np, unnest(range(0, {m})) AS t(i)
 ),

@@ -25,10 +25,21 @@ def to_pandas(res):
     import pyarrow as pa
 
     try:
+        import ray
         import ray.data
 
         if isinstance(res, ray.data.Dataset):
-            return res.to_pandas()
+            df = res.to_pandas()
+            if len(df) == 0 and len(df.columns) == 0:
+                # Ray's to_pandas builds from iter_batches, which yields
+                # nothing for a 0-row Dataset — rebuild the empty frame
+                # from the (schema-bearing) block refs instead so an
+                # empty result still carries its column names.
+                refs = res.to_arrow_refs()
+                tbls = [t for t in ray.get(refs) if t.num_columns]
+                if tbls:
+                    return tbls[0].schema.empty_table().to_pandas()
+            return df
     except ImportError:
         pass
     if isinstance(res, pa.Table):

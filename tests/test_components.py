@@ -332,3 +332,67 @@ class TestBfsHops:
         seeds = rd.from_arrow(pa.table({"node": pa.array([99], pa.int64())}))
         got = bfs_hops(edges, seeds, 2).to_pandas()
         assert got.to_dict("records") == [{"node": 99, "hops": 0}]
+
+
+class TestStarInvariant:
+    """Round-5 hardening: the convergence loop must assert the min-rooted
+    star-forest invariant directly instead of trusting the fingerprint
+    (a fingerprint collision would otherwise ship wrong labels —
+    the round-4 grid_clusters driver-mismatch suspect)."""
+
+    def test_star_violations_zero_on_star_forest(self, ray_session):
+        from geo_index_ray.pipelines.components import _star_violations
+
+        edges = rd.from_arrow(
+            pa.table({"u": pa.array([5, 6, 7, 9], pa.int64()),
+                      "v": pa.array([1, 1, 1, 8], pa.int64())})
+        )
+        assert _star_violations(edges, 4) == 0
+
+    def test_star_violations_catch_bad_orientation(self, ray_session):
+        from geo_index_ray.pipelines.components import _star_violations
+
+        edges = rd.from_arrow(
+            pa.table({"u": pa.array([1], pa.int64()),
+                      "v": pa.array([5], pa.int64())})
+        )
+        assert _star_violations(edges, 4) > 0
+
+    def test_star_violations_catch_chain(self, ray_session):
+        from geo_index_ray.pipelines.components import _star_violations
+
+        # 9->5->1 : 5 is both child and root -> not a star forest
+        edges = rd.from_arrow(
+            pa.table({"u": pa.array([9, 5], pa.int64()),
+                      "v": pa.array([5, 1], pa.int64())})
+        )
+        assert _star_violations(edges, 4) > 0
+
+    def test_star_violations_catch_double_parent(self, ray_session):
+        from geo_index_ray.pipelines.components import _star_violations
+
+        edges = rd.from_arrow(
+            pa.table({"u": pa.array([9, 9], pa.int64()),
+                      "v": pa.array([1, 2], pa.int64())})
+        )
+        assert _star_violations(edges, 4) > 0
+
+    def test_long_chain_components_many_reducers(self, ray_session):
+        # adversarial 8-connected chains spanning many reducers: a
+        # serpentine path graph over sparse ids, multiple components
+        rng = np.random.default_rng(11)
+        comps = []
+        base = 0
+        a_all, b_all = [], []
+        for clen in (1, 2, 17, 301, 1000):
+            ids = (base + np.arange(clen)) * 977 + rng.integers(0, 900)
+            if clen > 1:
+                a_all.extend(ids[:-1].tolist())
+                b_all.extend(ids[1:].tolist())
+            comps.append(ids)
+            base += clen + 7
+        got = _run(a_all, b_all, parallelism=16)
+        for ids in comps:
+            if len(ids) > 1:
+                lbl = {got[i] for i in ids}
+                assert lbl == {int(ids.min())}

@@ -166,3 +166,20 @@ def test_idw_fill_matches_bruteforce_and_partitioning(ray_session):
         for c in ref:
             assert got[c][0] == ref[c][0]
             assert got[c][1] == ref[c][1]  # integer-exact -> bit-equal
+
+
+def test_grid_cluster_empty_keeps_schema(ray_session):
+    # round-5 regression: zero core cells must still yield the
+    # (cluster, n_cells, n_points) schema (driver compares column sets)
+    out = ga.grid_cluster(_points([0.0, 50.0], [0.0, 20.0]), 4, 5)
+    sch = out.schema()
+    assert sch is not None and sch.names == ["cluster", "n_cells", "n_points"]
+    cells = ga.grid_cluster(
+        _points([0.0, 50.0], [0.0, 20.0]), 4, 5, return_cells=True
+    )
+    assert cells.schema().names == ["cell", "n_rows", "cluster"]
+    env = ga.cluster_envelopes(_points([0.0, 50.0], [0.0, 20.0]), 4, 5)
+    assert env.schema().names == [
+        "cluster", "n_cells", "n_points",
+        "min_ix", "max_ix", "min_iy", "max_iy",
+    ]
