@@ -514,26 +514,22 @@ SELECT u AS {user_col}, it AS {item_col}, slot, rnk FROM (
 """
 
 
-def rank_in_group(ds, key_col: str, value_col: str, id_col: str,
-                  rank_col: str = "rnk"):
-    """Distributed ``RANK() OVER (PARTITION BY key ORDER BY value)`` —
-    one output row PER INPUT ROW (unlike :func:`grouped_topk`), the
-    window function behind percentile features and keep-best-rank dedup.
+#: auto-switch ceiling for the (key, value)-pair broadcast used by
+#: rank_in_group / percent_rank_in_group: past this many DISTINCT pairs
+#: the driver-side collect + ray.put is the documented OOM wall, and the
+#: key-sheltered shuffle-join path takes over.  2M pairs ≈ 50-100 MB of
+#: lut — comfortably broadcastable; the gate MEASURES the histogram (a
+#: one-row-per-block count), never guesses.
+RANK_BROADCAST_MAX_PAIRS = 2_000_000
 
-    Rank = 1 + count of same-key rows with strictly smaller value, ties
-    share (SQL RANK, not ROW_NUMBER — a per-row tiebreak would need a
-    total order the histogram can't see).
+_JK_SEP = "\x1f"
+_JK_NULL = "\x00\x00<null-key>"
 
-    Two passes, NO corpus shuffle: pass 1 reduces (key, value) → count
-    through a native groupby (value-DOMAIN-bounded, not corpus-bounded)
-    and broadcasts per-key sorted values + exclusive prefix counts; pass
-    2 maps every row to ``prefix[searchsorted(values, v)] + 1`` — rows
-    never leave their blocks, so the 100 TB side only streams.  The
-    broadcast is the documented trade (same as the bm25 df table): it
-    holds one row per DISTINCT (key, value) pair — swap pass 2's lookup
-    for a key-sheltered shuffle join when the pair domain nears 10⁸.
-    """
-    import ray
+
+def _pair_hist(ds, key_col: str, value_col: str):
+    """(key, v) → cnt histogram Dataset (column ``cnt``) plus its
+    measured row count — the size signal both window functions gate on.
+    Materialized: it is value-domain-bounded and feeds two consumers."""
 
     hist = (
         ds.map_batches(
@@ -542,14 +538,175 @@ def rank_in_group(ds, key_col: str, value_col: str, id_col: str,
         )
         .groupby([key_col, "v"])
         .count()
-        .to_pandas()
     )
-    cnt_col = [c for c in hist.columns if c not in (key_col, "v")][0]
-    hist = hist.sort_values([key_col, "v"], kind="mergesort")
+
+    def rename_cnt(b: pa.Table) -> pa.Table:
+        names = [key_col, "v"] + ["cnt"] * (b.num_columns - 2)
+        return b.rename_columns(names)
+
+    hist = hist.map_batches(rename_cnt, batch_format="pyarrow").materialize()
+    return hist, hist.count()
+
+
+def _pair_jk(key_arr, v_arr) -> pa.Array:
+    """Exact (key, value) join key as a single string column — both the
+    histogram and the corpus build it through the SAME Arrow casts, so
+    equality is representation-stable (ints exact; floats via Arrow's
+    shortest-roundtrip repr on both sides).  NULL keys map to a reserved
+    sentinel no real key produces, so they join nothing (SQL-null-ish:
+    the left join leaves their rank NULL)."""
+    if isinstance(key_arr, pa.ChunkedArray):
+        key_arr = key_arr.combine_chunks()
+    if isinstance(v_arr, pa.ChunkedArray):
+        v_arr = v_arr.combine_chunks()
+    k = key_arr if pa.types.is_string(key_arr.type) else pc.cast(key_arr, pa.string())
+    v = pc.cast(v_arr, pa.string())
+    jk = pc.binary_join_element_wise(k, v, _JK_SEP)
+    return pc.fill_null(jk, _JK_NULL)
+
+
+def _rank_join_path(ds, hist_ds, key_col: str, value_col: str, id_col: str,
+                    mode: str, out_col: str):
+    """Key-sheltered shuffle-join pass 2 for rank / percent_rank.
+
+    The HISTOGRAM (not the corpus) takes one hash(key) exchange; each
+    reducer sorts all of its keys' (key, v, cnt) rows at once and turns
+    counts into segmented exclusive prefix sums (= rank − 1) plus
+    per-key totals.  The corpus then inner-resolves its exact (key,
+    value) pair against that table through the lean shared-slot
+    ``hash_join`` (left join: null-key rows keep a NULL window value).
+    Skew ceiling: one KEY's distinct values must fit a reducer — the
+    same PARTITION BY locality contract as ntile_in_group, but on the
+    value-domain-bounded histogram, never corpus rows.
+    """
+    from ..stages.util import reducer_count, rkey_of
+    from .relational import hash_join
+
+    R = reducer_count()
+
+    def key_hist(batch: pa.Table) -> pa.Table:
+        # null keys have no rank partition on the broadcast path either
+        batch = batch.filter(pc.is_valid(batch[key_col]))
+        return batch.append_column("rkey", pa.array(rkey_of(batch[key_col].combine_chunks() if isinstance(batch[key_col], pa.ChunkedArray) else batch[key_col], R)))
+
+    def rank_rows(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[(key_col, "ascending"), ("v", "ascending")]
+        )
+        t = g.take(idx)
+        kcol = t[key_col]
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        codes = pc.dictionary_encode(kcol).indices.to_numpy(zero_copy_only=False)
+        cnt = t["cnt"].to_numpy().astype(np.int64)
+        newk = np.r_[True, codes[1:] != codes[:-1]]
+        cum = np.cumsum(cnt) - cnt  # running exclusive prefix, unsegmented
+        seg_id = np.cumsum(newk) - 1
+        prefix = cum - cum[newk][seg_id]
+        totals = np.add.reduceat(cnt, np.flatnonzero(newk))
+        return pa.table(
+            {
+                "jk": _pair_jk(kcol, t["v"]),
+                "rnk": pa.array(prefix + 1),
+                "n": pa.array(totals[seg_id]),
+            }
+        )
+
+    ranks = (
+        hist_ds.map_batches(key_hist, batch_format="pyarrow")
+        .groupby("rkey")
+        .map_groups(rank_rows, batch_format="pyarrow")
+    )
+
+    def corpus_jk(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                key_col: batch[key_col],
+                value_col: batch[value_col],
+                "jk": _pair_jk(batch[key_col], batch[value_col]),
+            }
+        )
+
+    joined = hash_join(
+        ds.map_batches(corpus_jk, batch_format="pyarrow"),
+        ranks, "jk", "jk",
+        [id_col, key_col, value_col], ["rnk", "n"], how="left",
+    )
+
+    if mode == "rank":
+        def finish(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    id_col: b[id_col],
+                    key_col: b[key_col],
+                    value_col: b[value_col],
+                    out_col: pc.cast(b["rnk"], pa.int64()),
+                }
+            )
+    else:
+        def finish(b: pa.Table) -> pa.Table:
+            rnk = b["rnk"].to_numpy(zero_copy_only=False).astype(np.float64)
+            n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                pr = np.where(n > 1.0, (rnk - 1.0) / (n - 1.0), 0.0)
+            pr[np.isnan(rnk)] = np.nan  # null-key rows stay null
+            return pa.table(
+                {
+                    id_col: b[id_col],
+                    key_col: b[key_col],
+                    value_col: b[value_col],
+                    out_col: pa.array(pr, pa.float64(), from_pandas=True),
+                }
+            )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def rank_in_group(ds, key_col: str, value_col: str, id_col: str,
+                  rank_col: str = "rnk", *,
+                  max_broadcast_pairs: int = RANK_BROADCAST_MAX_PAIRS,
+                  force_join_path: bool = False):
+    """Distributed ``RANK() OVER (PARTITION BY key ORDER BY value)`` —
+    one output row PER INPUT ROW (unlike :func:`grouped_topk`), the
+    window function behind percentile features and keep-best-rank dedup.
+
+    Rank = 1 + count of same-key rows with strictly smaller value, ties
+    share (SQL RANK, not ROW_NUMBER — a per-row tiebreak would need a
+    total order the histogram can't see).
+
+    Two passes: pass 1 reduces (key, value) → count through a native
+    groupby (value-DOMAIN-bounded, not corpus-bounded).  The pass-2 plan
+    is SIZE-GATED on the histogram's measured row count:
+
+    - ``pairs ≤ max_broadcast_pairs`` (the common case): broadcast
+      per-key sorted values + exclusive prefix counts once, map every
+      row to ``prefix[searchsorted(values, v)] + 1`` — rows never leave
+      their blocks, the 100 TB side only streams.
+    - bigger (open value domains, ~10⁸ distinct pairs would OOM the
+      driver): the key-sheltered JOIN path — the histogram takes ONE
+      hash(key) exchange (histogram-sized, per-reducer segmented prefix
+      sums), and the corpus joins it on the exact (key, value) pair via
+      the lean :func:`~.relational.hash_join` left join.  The corpus
+      pays one shuffle; nothing is ever driver-collected.
+
+    Both paths emit identical rows (``tests/test_rank_in_group.py``
+    forces the join path against the broadcast result).  NULL-key rows
+    get a NULL rank on both paths (they match no histogram entry).
+    """
+    hist_ds, n_pairs = _pair_hist(ds, key_col, value_col)
+    if force_join_path or n_pairs > max_broadcast_pairs:
+        return _rank_join_path(
+            ds, hist_ds, key_col, value_col, id_col,
+            mode="rank", out_col=rank_col,
+        )
+    import ray
+
+    hist = hist_ds.to_pandas().sort_values([key_col, "v"], kind="mergesort")
     lut = {}
     for key, sub in hist.groupby(key_col, sort=False):
         vals = sub["v"].to_numpy()
-        cnts = sub[cnt_col].to_numpy().astype(np.int64)
+        cnts = sub["cnt"].to_numpy().astype(np.int64)
         prefix = np.concatenate([[0], np.cumsum(cnts)[:-1]])
         lut[key] = (vals, prefix)
     lut_ref = ray.put(lut)
@@ -562,14 +719,16 @@ def rank_in_group(ds, key_col: str, value_col: str, id_col: str,
         dic = pc.dictionary_encode(kcol)
         codes = dic.indices.to_numpy(zero_copy_only=False)
         v = batch[value_col].to_numpy(zero_copy_only=False)
-        rnk = np.empty(len(v), dtype=np.int64)
+        rnk = np.zeros(len(v), dtype=np.int64)
+        seen = np.zeros(len(v), dtype=bool)
         # Python touches only the batch's DISTINCT keys, never its rows
         for ki, key in enumerate(dic.dictionary.to_pylist()):
             sel = codes == ki
             vals, prefix = table[key]
             rnk[sel] = prefix[np.searchsorted(vals, v[sel])] + 1
+            seen[sel] = True
         return batch.select([id_col, key_col, value_col]).append_column(
-            rank_col, pa.array(rnk)
+            rank_col, pa.array(rnk, pa.int64(), mask=~seen)
         )
 
     return ds.map_batches(stage, batch_format="pyarrow")
@@ -760,31 +919,32 @@ def group_holdout_k(ds, id_col: str, group_col: str, k: int):
 
 
 def percent_rank_in_group(ds, key_col: str, value_col: str, id_col: str,
-                          out_col: str = "pct_rank"):
+                          out_col: str = "pct_rank", *,
+                          max_broadcast_pairs: int = RANK_BROADCAST_MAX_PAIRS,
+                          force_join_path: bool = False):
     """Distributed ``PERCENT_RANK() OVER (PARTITION BY key ORDER BY
     value)`` — ``(rank − 1) / (n − 1)`` with SQL RANK tie semantics
     (single-row groups → 0.0): the normalized-score feature behind
     cross-group comparability.
 
-    Same two-pass no-corpus-shuffle shape as :func:`rank_in_group`: the
-    (key, value) count histogram reduces through one native groupby and
-    broadcasts with per-key exclusive prefix counts AND totals; pass 2
-    maps every row to its rank and one IEEE divide.  The broadcast holds
-    one row per DISTINCT (key, value) — the documented bm25-df trade.
+    Same two-pass, size-gated shape as :func:`rank_in_group`: below
+    ``max_broadcast_pairs`` DISTINCT (key, value) pairs the histogram
+    broadcasts (per-key prefix counts AND totals, corpus never
+    shuffles); above it — or with ``force_join_path`` — pass 2 becomes
+    the key-sheltered histogram exchange + :func:`~.relational.hash_join`
+    left join, identical rows, one corpus shuffle instead of a
+    driver-side collect.
     """
+    hist_ds, n_pairs = _pair_hist(ds, key_col, value_col)
+    if force_join_path or n_pairs > max_broadcast_pairs:
+        return _rank_join_path(
+            ds, hist_ds, key_col, value_col, id_col,
+            mode="percent", out_col=out_col,
+        )
     import ray
 
-    hist = (
-        ds.map_batches(
-            lambda b: pa.table({key_col: b[key_col], "v": b[value_col]}),
-            batch_format="pyarrow",
-        )
-        .groupby([key_col, "v"])
-        .count()
-        .to_pandas()
-    )
-    cnt_col = [c for c in hist.columns if c not in (key_col, "v")][0]
-    hist = hist.sort_values([key_col, "v"], kind="mergesort")
+    hist = hist_ds.to_pandas().sort_values([key_col, "v"], kind="mergesort")
+    cnt_col = "cnt"
     lut = {}
     for key, sub in hist.groupby(key_col, sort=False):
         vals = sub["v"].to_numpy()

@@ -230,19 +230,39 @@ def _doc_term_tf(batch: pa.Table, id_col: str, text_col: str):
     return pair // max(vocab, 1), pair % max(vocab, 1), tf.astype(np.int64), dic.dictionary
 
 
-def top_tfidf_terms(ds, id_col: str, text_col: str = "text", k: int = 3):
+#: auto-switch ceiling for the document-frequency broadcast in
+#: top_tfidf_terms: past this many DISTINCT terms the driver collect +
+#: ray.put is the documented open-web OOM wall and the term-keyed
+#: shuffle-join path takes over.  Measured from the df aggregate itself
+#: (one count over a vocab-bounded Dataset), never guessed.
+TFIDF_BROADCAST_MAX_TERMS = 2_000_000
+
+
+def top_tfidf_terms(ds, id_col: str, text_col: str = "text", k: int = 3, *,
+                    max_broadcast_terms: int = TFIDF_BROADCAST_MAX_TERMS,
+                    force_join_path: bool = False):
     """Per-document top-k terms by tf·idf with a RATIONAL idf
     (``tf * (N + 1) / (df + 1)``, no transcendentals → bit-identical to
     the SQL oracle), ROW_NUMBER semantics (score DESC, term ASC), output
     (id, term, rnk).
 
-    Shape: tf rows for a document never leave their batch, so the ONLY
-    exchange is the vocabulary-sized document-frequency aggregate, which
-    is collected and broadcast (``ray.put``) — right for a bounded
-    vocabulary; at open-web scale (10⁸+ terms) swap the broadcast for a
-    term-keyed shuffle join.  The corpus is tokenized twice (df pass +
-    scoring pass) rather than pinning a corpus-sized intermediate in the
-    object store.
+    Shape, SIZE-GATED on the measured distinct-term count:
+
+    - vocabulary ≤ ``max_broadcast_terms`` (the common case): tf rows
+      for a document never leave their batch; the only exchange is the
+      vocabulary-sized df aggregate, collected once and broadcast
+      (``ray.put``).  The corpus is tokenized twice (df pass + scoring
+      pass) rather than pinning a corpus-sized intermediate.
+    - open-web vocabularies (10⁸+ terms would OOM the driver): the
+      term-keyed JOIN path — per-doc (id, term, tf) postings join the
+      df Dataset through the lean :func:`~.relational.hash_join`, scores
+      compute post-join with the identical IEEE expression, and
+      ROW_NUMBER(score DESC, term ASC) reduces through one
+      ``topk_per_group`` exchange on hash(id).  Costs two corpus-sized
+      exchanges (postings join + per-doc top-k) — the honest price of a
+      vocabulary that cannot be broadcast; nothing driver-side.
+
+    Both paths emit identical rows (tests force the join path).
     """
     import ray
 
@@ -259,16 +279,23 @@ def top_tfidf_terms(ds, id_col: str, text_col: str = "text", k: int = 3):
             }
         )
 
-    df_tbl = (
+    df_ds = (
         ds.map_batches(df_partial, batch_format="pyarrow")
         .groupby("term")
         .sum("pdf")
-        .to_pandas()
     )
+    df_ds = df_ds.map_batches(
+        lambda b: b.rename_columns(["term", "df"]), batch_format="pyarrow"
+    ).materialize()
+
+    if force_join_path or df_ds.count() > max_broadcast_terms:
+        return _tfidf_join_path(ds, df_ds, id_col, text_col, k, n_docs)
+
+    df_tbl = df_ds.to_pandas()
     df_ref = ray.put(
         (
             pa.array(df_tbl["term"].tolist(), pa.string()),
-            df_tbl["sum(pdf)"].to_numpy().astype(np.int64),
+            df_tbl["df"].to_numpy().astype(np.int64),
         )
     )
 
@@ -301,6 +328,60 @@ def top_tfidf_terms(ds, id_col: str, text_col: str = "text", k: int = 3):
         )
 
     return ds.map_batches(score_topk, batch_format="pyarrow")
+
+
+def _tfidf_join_path(ds, df_ds, id_col: str, text_col: str, k: int,
+                     n_docs: int):
+    """Open-vocabulary tf·idf pass 2: postings ⋈ df, then per-doc top-k.
+
+    Postings are (id, term, tf) — one row per distinct (doc, term); the
+    join shuffles them under hash(term) against the vocab-bounded df
+    Dataset (nothing broadcast, nothing driver-collected), the score is
+    the same ``tf * (N + 1) / (df + 1)`` IEEE expression as the
+    broadcast path, and the per-doc ROW_NUMBER(score DESC, term ASC)
+    cut reduces through ``topk_per_group`` (string tie-break compares
+    UTF-8 bytes — identical collation to the Arrow sort kernel the
+    broadcast path uses).
+    """
+    from ..stages.util import topk_per_group
+    from .relational import hash_join
+
+    def postings(batch: pa.Table) -> pa.Table:
+        rows, codes, tf, dictionary = _doc_term_tf(batch, id_col, text_col)
+        ids = batch[id_col].to_numpy()
+        return pa.table(
+            {
+                id_col: pa.array(ids[rows]),
+                "term": dictionary.take(pa.array(codes)),
+                "tf": pa.array(tf.astype(np.int64)),
+            }
+        )
+
+    joined = hash_join(
+        ds.map_batches(postings, batch_format="pyarrow"),
+        df_ds, "term", "term",
+        [id_col, "term", "tf"], ["df"], how="inner",
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        tf = batch["tf"].to_numpy().astype(np.float64)
+        dfv = batch["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = tf * ((n_docs + 1.0) / (dfv + 1.0))
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "term": batch["term"],
+                "score": pa.array(s, pa.float64()),
+            }
+        )
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+    out = topk_per_group(
+        scored, id_col, k,
+        sort_cols=["score", "term"], sort_desc=[True, False],
+        keep_cols=[id_col, "term"], rank_col="rnk",
+    )
+    return out
 
 
 def fingerprint_stage(id_col: str, text_col: str = "text"):
@@ -1203,7 +1284,9 @@ _LM_SEP = " "
 
 
 def lm_bigram_score(ds, id_col: str, text_col: str = "text",
-                    scale_bits: int = 20):
+                    scale_bits: int = 20, *,
+                    max_broadcast_terms: int = TFIDF_BROADCAST_MAX_TERMS,
+                    force_join_path: bool = False):
     """Corpus-trained bigram language-model fluency score per document —
     the CCNet-style "does this read like the rest of the corpus" filter,
     with INTEGER-QUANTIZED add-one transition probabilities so the score
@@ -1225,9 +1308,13 @@ def lm_bigram_score(ds, id_col: str, text_col: str = "text",
     semantics, as in the oracle).
 
     Scale shape: pass 1 reduces per-block unigram partials through a
-    vocabulary-bounded groupby and broadcasts (``ray.put``) the count
-    table — same documented trade as ``top_tfidf_terms``; at open-web
-    vocabulary (10⁸+ terms) swap for a term-keyed shuffle join.  The
+    vocabulary-bounded groupby; below ``max_broadcast_terms`` the count
+    table broadcasts (``ray.put``) — same measured size gate as
+    ``top_tfidf_terms``.  At open-web vocabulary (or with
+    ``force_join_path``) the unigram side instead stays a Dataset and
+    the per-(doc, bigram) occurrence rows attach c(w1) through a second
+    string-keyed :func:`~..pipelines.relational.hash_join` on w1 —
+    nothing driver-collected, identical integer arithmetic.  The
     BIGRAM count table (the side that grows with the corpus) is never
     broadcast and never pinned: it stays a Dataset and meets the per-doc
     occurrence rows in a string-keyed :func:`~..pipelines.relational.hash_join`
@@ -1252,19 +1339,28 @@ def lm_bigram_score(ds, id_col: str, text_col: str = "text",
         ).astype(np.int64)
         return pa.table({"term": dic.dictionary, "c": pa.array(cnt)})
 
-    uni = (
+    uni_ds = (
         ds.map_batches(uni_partial, batch_format="pyarrow")
         .groupby("term")
         .sum("c")
-        .to_pandas()
-    )
-    V = np.int64(len(uni))
-    uni_ref = ray.put(
-        (
-            pa.array(uni["term"].tolist(), pa.string()),
-            uni["sum(c)"].to_numpy().astype(np.int64),
+        .map_batches(
+            lambda t: t.rename_columns(["term", "c"]), batch_format="pyarrow"
         )
+        .materialize()
     )
+    n_terms = uni_ds.count()
+    V = np.int64(n_terms)
+    join_unigrams = force_join_path or n_terms > max_broadcast_terms
+    if join_unigrams:
+        uni_ref = None
+    else:
+        uni = uni_ds.to_pandas()
+        uni_ref = ray.put(
+            (
+                pa.array(uni["term"].tolist(), pa.string()),
+                uni["c"].to_numpy().astype(np.int64),
+            )
+        )
 
     def _block_bigrams(batch: pa.Table):
         """(doc_row, w1_tokens, bigram_strings) for one batch."""
@@ -1300,7 +1396,6 @@ def lm_bigram_score(ds, id_col: str, text_col: str = "text",
     )
 
     def occ_stage(batch: pa.Table) -> pa.Table:
-        terms_bc, cnt_bc = ray.get(uni_ref)
         drows, w1, big = _block_bigrams(batch)
         dic = pc.dictionary_encode(big)
         codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1309,21 +1404,34 @@ def lm_bigram_score(ds, id_col: str, text_col: str = "text",
             drows * vocab + codes, return_index=True, return_counts=True
         )
         prow, pcode = pair // vocab, pair % vocab
-        # c(w1) lookup from the broadcast unigram table (every pass-2
-        # token was counted in pass 1, so index_in always hits)
-        pos = pc.index_in(
-            w1.take(pa.array(first)), value_set=terms_bc
-        ).to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                id_col: batch[id_col].take(pa.array(prow)),
-                "bigram": dic.dictionary.take(pa.array(pcode)),
-                "occ": pa.array(occ.astype(np.int64)),
-                "cu": pa.array(cnt_bc[pos]),
-            }
-        )
+        out = {
+            id_col: batch[id_col].take(pa.array(prow)),
+            "bigram": dic.dictionary.take(pa.array(pcode)),
+            "occ": pa.array(occ.astype(np.int64)),
+        }
+        if uni_ref is not None:
+            # c(w1) lookup from the broadcast unigram table (every
+            # pass-2 token was counted in pass 1, so index_in always
+            # hits)
+            terms_bc, cnt_bc = ray.get(uni_ref)
+            pos = pc.index_in(
+                w1.take(pa.array(first)), value_set=terms_bc
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            out["cu"] = pa.array(cnt_bc[pos])
+        else:
+            # open-vocab path: carry w1 and attach c(w1) via hash_join
+            out["w1"] = w1.take(pa.array(first))
+        return pa.table(out)
 
     occ_ds = ds.map_batches(occ_stage, batch_format="pyarrow")
+    if join_unigrams:
+        occ_ds = hash_join(
+            occ_ds, uni_ds, "w1", "term",
+            [id_col, "bigram", "occ"], ["c"], how="inner",
+        ).map_batches(
+            lambda t: t.rename_columns([id_col, "bigram", "occ", "cu"]),
+            batch_format="pyarrow",
+        )
     joined = hash_join(
         occ_ds, cb_ds, "bigram", "bigram",
         [id_col, "occ", "cu"], ["cb"], how="inner",

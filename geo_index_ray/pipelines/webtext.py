@@ -893,7 +893,15 @@ def heavy_hitters_per_group(ds, group_col: str, text_col: str, k: int):
 # -- bigram novelty scoring ---------------------------------------------------
 
 
-def bigram_novelty(ds, id_col: str, text_col: str = "text", min_df: int = 5):
+#: auto-switch ceiling for the common-bigram broadcast in
+#: bigram_novelty — measured from the ≥min_df slice's row count; past
+#: it the membership test becomes a bigram-keyed shuffle join.
+NOVELTY_BROADCAST_MAX_BIGRAMS = 2_000_000
+
+
+def bigram_novelty(ds, id_col: str, text_col: str = "text", min_df: int = 5, *,
+                   max_broadcast_bigrams: int = NOVELTY_BROADCAST_MAX_BIGRAMS,
+                   force_join_path: bool = False):
     """Per-document novelty score against the corpus's common-bigram
     vocabulary — the boilerplate/template detector quality filters pair
     with the repetition gates: a doc whose bigrams are mostly corpus-wide
@@ -910,12 +918,19 @@ def bigram_novelty(ds, id_col: str, text_col: str = "text", min_df: int = 5):
     Shape: two streaming passes over the corpus (text is never cached or
     shuffled).  Pass 1 builds the df table with per-batch DISTINCT
     (doc, bigram) combiners — the exchange carries (bigram, partial_df)
-    rows bounded by each block's bigram vocabulary; the ≥min_df slice is
-    then broadcast ONCE via ``ray.put`` (the bm25 df pattern: right for a
-    vocab-bounded common set; at 10⁸+ distinct common bigrams swap the
-    membership test for a bigram-keyed shuffle join).  Pass 2 re-derives
-    each batch's bigrams and counts membership with one ``pc.index_in``
-    per batch DICTIONARY (exact string compares — never hash-trusted).
+    rows bounded by each block's bigram vocabulary.  The ≥min_df slice's
+    row count is then MEASURED and the membership pass is size-gated:
+
+    - ≤ ``max_broadcast_bigrams`` common bigrams (the normal case — the
+      common set is the Zipf head): broadcast ONCE via ``ray.put`` (the
+      bm25 df pattern); pass 2 re-derives each batch's bigrams and
+      counts membership with one ``pc.index_in`` per batch DICTIONARY
+      (exact string compares — never hash-trusted).
+    - bigger (or ``force_join_path``): the bigram-keyed JOIN path —
+      per-doc distinct (id, bigram, occ) rows semi-join the common-set
+      Dataset through :func:`~.relational.hash_join`, reduce per doc,
+      and left-join back onto the per-doc bigram totals; identical
+      integers, one corpus-pairs shuffle instead of a driver collect.
     """
     import ray
 
@@ -945,14 +960,17 @@ def bigram_novelty(ds, id_col: str, text_col: str = "text", min_df: int = 5):
         com = pc.cast(batch.filter(keep)["bigram"], pa.string())
         return pa.table({"bigram": com})
 
-    common_parts = ray.get(
+    common_ds = (
         ds.map_batches(df_partial, batch_format="pyarrow")
         .groupby("bigram")
         .sum("pdf")
         .map_batches(common_slice, batch_format="pyarrow")
-        .to_arrow_refs()
+        .materialize()
     )
-    common_parts = _arrow_parts(common_parts)
+    if force_join_path or common_ds.count() > max_broadcast_bigrams:
+        return _novelty_join_path(ds, common_ds, id_col, text_col)
+
+    common_parts = _arrow_parts(ray.get(common_ds.to_arrow_refs()))
     common_arr = (
         pa.concat_tables(common_parts).column("bigram").combine_chunks()
         if common_parts
@@ -994,6 +1012,87 @@ def bigram_novelty(ds, id_col: str, text_col: str = "text", min_df: int = 5):
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def _novelty_join_path(ds, common_ds, id_col: str, text_col: str):
+    """Open-vocabulary membership pass for :func:`bigram_novelty`.
+
+    Per-batch DISTINCT (id, bigram) rows carry their within-doc
+    occurrence counts; a semi hash_join against the common-set Dataset
+    keeps the common ones (each (id, bigram) pair is distinct, so
+    emit-at-most-once semi semantics are exact), one id-keyed groupby
+    sums them to n_common, and a left join onto the per-doc bigram
+    totals restores zero-common and zero-bigram docs.  Same integers,
+    same single IEEE divide as the broadcast path.
+    """
+    from .relational import hash_join
+
+    def pair_stage(batch: pa.Table) -> pa.Table:
+        rows, bigrams = _batch_bigrams(batch, text_col)
+        if len(bigrams) == 0:
+            return pa.table(
+                {
+                    id_col: batch[id_col].slice(0, 0),
+                    "bigram": pa.array([], pa.string()),
+                    "occ": pa.array([], pa.int64()),
+                }
+            )
+        dic = pc.dictionary_encode(bigrams)
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nv = np.int64(len(dic.dictionary))
+        pair, occ = np.unique(rows * nv + codes, return_counts=True)
+        return pa.table(
+            {
+                id_col: batch[id_col].take(pa.array(pair // nv)),
+                "bigram": dic.dictionary.take(pa.array(pair % nv)),
+                "occ": pa.array(occ.astype(np.int64)),
+            }
+        )
+
+    common_pairs = hash_join(
+        ds.map_batches(pair_stage, batch_format="pyarrow"),
+        common_ds, "bigram", "bigram",
+        [id_col, "occ"], [], how="semi",
+    )
+    ncom = common_pairs.groupby(id_col).sum("occ").map_batches(
+        lambda t: t.rename_columns([id_col, "n_common"]),
+        batch_format="pyarrow",
+    )
+
+    def totals(batch: pa.Table) -> pa.Table:
+        rows, bigrams = _batch_bigrams(batch, text_col)
+        n = batch.num_rows
+        n_bigrams = np.bincount(rows, minlength=n).astype(np.int64)
+        return pa.table(
+            {id_col: batch[id_col], "n_bigrams": pa.array(n_bigrams)}
+        )
+
+    base = ds.map_batches(totals, batch_format="pyarrow")
+    j = hash_join(
+        base, ncom, id_col, id_col,
+        [id_col, "n_bigrams"], ["n_common"], how="left",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        nb = b["n_bigrams"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = (
+            pc.fill_null(pc.cast(b["n_common"], pa.int64()), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        empty = nb == 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            novelty = 1.0 - nc / nb.astype(np.float64)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_bigrams": pa.array(nb),
+                "n_common": pa.array(nc),
+                "novelty": pa.array(novelty, pa.float64(), mask=empty),
+            }
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow")
 
 
 def sql_bigram_novelty(table: str, id_col: str, min_df: int) -> str:
