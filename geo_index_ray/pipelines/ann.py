@@ -636,17 +636,21 @@ def kmeans_assign(ds, id_col: str = "vec_id", emb_col: str = "embedding",
             pa.array((b["cidx"].to_numpy().astype(np.int64) % R)),
         )
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
+    def combine(g: pa.Table) -> pa.Table:
         # merge all of this reducer's (cidx, partial) rows vectorized
         c = g["cidx"].to_numpy().astype(np.int64)
         cnt = g["cnt"].to_numpy().astype(np.int64)
-        mat = np.stack(g["sums"].to_numpy())
-        codes, uniq = pd.factorize(c)
+        mat = np.stack(g["sums"].to_numpy(zero_copy_only=False))
+        uniq, codes = np.unique(c, return_inverse=True)
         s = np.zeros((len(uniq), mat.shape[1]), dtype=np.float64)
         np.add.at(s, codes, mat)
         n = np.bincount(codes, weights=cnt, minlength=len(uniq)).astype(np.int64)
-        return pd.DataFrame(
-            {"cidx": uniq.astype(np.int64), "cnt": n, "sums": list(s)}
+        return pa.table(
+            {
+                "cidx": pa.array(uniq),
+                "cnt": pa.array(n),
+                "sums": pa.array(list(s), pa.list_(pa.float64())),
+            }
         )
 
     for _ in range(iters - 1):
@@ -669,7 +673,7 @@ def kmeans_assign(ds, id_col: str = "vec_id", emb_col: str = "embedding",
                 parts_ds.map_batches(add_rkey, batch_format="pyarrow"), 0.25
             )
             .groupby("rkey")
-            .map_groups(combine, batch_format="pandas")
+            .map_groups(combine, batch_format="pyarrow")
             .take_all()
         )
         nlist, dim = cent.shape

@@ -14,7 +14,6 @@
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from ..stages.util import gap_pair_offsets
@@ -65,17 +64,22 @@ def exact_dedup(ds, id_col: str, text_col: str = "text"):
     hashed = coalesce_for_shuffle(ds.map_batches(to_hash, batch_format="pyarrow"), 0.5)
 
     # coarse-keyed reduce: one shuffle on rkey, then every distinct text
-    # hash inside a reducer is aggregated vectorized (no per-group calls)
-    def reduce_many(g: pd.DataFrame) -> pd.DataFrame:
-        out = (
-            g.groupby("h")[id_col]
-            .agg(keep_id="min", n_dups="size")
-            .reset_index(drop=True)
+    # hash inside a reducer is aggregated vectorized (no per-group calls,
+    # no pandas dtype round-trip)
+    def reduce_many(g: pa.Table) -> pa.Table:
+        h = g["h"].to_numpy()
+        ids = g[id_col].to_numpy().astype(np.int64)
+        _, inv, cnt = np.unique(h, return_inverse=True, return_counts=True)
+        keep = np.full(len(cnt), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(keep, inv, ids)
+        return pa.table(
+            {
+                "keep_id": pa.array(keep),
+                "n_dups": pa.array(cnt.astype(np.int64)),
+            }
         )
-        out["n_dups"] = out["n_dups"].astype(np.int64)
-        return out
 
-    return hashed.groupby("rkey").map_groups(reduce_many, batch_format="pandas")
+    return hashed.groupby("rkey").map_groups(reduce_many, batch_format="pyarrow")
 
 
 def snapshot_delta(old_ds, new_ds, id_col: str, text_col: str = "text",

@@ -22,7 +22,6 @@ the DuckDB oracle (no float accumulation order issues).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -52,35 +51,45 @@ def tumbling_window(ds, window_us: int, key_col: str = "event_type",
 
     def partial(batch: pa.Table) -> pa.Table:
         wid = _ts_us(batch[ts_col]) // window_us
-        df = pd.DataFrame(
+        t = pa.table(
             {
-                "window_id": wid,
-                key_col: batch[key_col].to_pandas(),
-                "v": batch[value_col].to_numpy(),
+                "window_id": pa.array(wid),
+                key_col: batch[key_col],
+                "v": batch[value_col],
             }
         )
-        g = df.groupby(["window_id", key_col], sort=False).agg(
-            n_events=("v", "size"), min_value=("v", "min"), max_value=("v", "max")
-        ).reset_index()
-        g.insert(0, "rkey", g["window_id"].to_numpy() % R)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = t.group_by(["window_id", key_col]).aggregate(
+            [
+                ("v", "count", pc.CountOptions(mode="all")),
+                ("v", "min"), ("v", "max"),
+            ]
+        )
+        g = g.rename_columns(
+            ["window_id", key_col, "n_events", "min_value", "max_value"]
+        )
+        return g.append_column(
+            "rkey", pa.array(g["window_id"].to_numpy() % np.int64(R))
+        )
 
     partials = coalesce_for_shuffle(
         ds.map_batches(partial, batch_format="pyarrow"), 0.25
     )
 
-    # coarse-keyed merge: one vectorized pandas groupby per reducer instead
-    # of one Python call per (window, key) group
-    def merge_many(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby(["window_id", key_col], sort=False).agg(
-            n_events=("n_events", "sum"),
-            min_value=("min_value", "min"),
-            max_value=("max_value", "max"),
-        ).reset_index()
-        out["n_events"] = out["n_events"].astype(np.int64)
-        return out
+    # coarse-keyed merge: one Arrow hash-aggregate per reducer instead
+    # of one Python call per (window, key) group — and no pandas dtype
+    # round-trip
+    def merge_many(g: pa.Table) -> pa.Table:
+        out = g.group_by(["window_id", key_col]).aggregate(
+            [("n_events", "sum"), ("min_value", "min"), ("max_value", "max")]
+        )
+        out = out.rename_columns(
+            ["window_id", key_col, "n_events", "min_value", "max_value"]
+        )
+        return out.set_column(
+            2, "n_events", pc.cast(out["n_events"], pa.int64())
+        )
 
-    return partials.groupby("rkey").map_groups(merge_many, batch_format="pandas")
+    return partials.groupby("rkey").map_groups(merge_many, batch_format="pyarrow")
 
 
 def sessionize(ds, gap_us: int, user_col: str = "user_id",
@@ -375,37 +384,55 @@ def hopping_window(ds, size_us: int, hop_us: int, key_col: str = "event_type",
 
     def partial(batch: pa.Table) -> pa.Table:
         tus = _ts_us(batch[ts_col])
-        key = batch[key_col].to_pandas()
-        val = batch[value_col].to_numpy()
+        key = batch[key_col]
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        val = batch[value_col]
+        if isinstance(val, pa.ChunkedArray):
+            val = val.combine_chunks()
         last = tus // hop_us  # last window whose start is <= t
         frames = []
         for j in range(fanout):
             wid = last - j  # window [wid*hop, wid*hop+size) contains t
             ok = tus - wid * hop_us < size_us
+            sel = pa.array(np.flatnonzero(ok))
             frames.append(
-                pd.DataFrame({"window_id": wid[ok], key_col: key[ok], "v": val[ok]})
+                pa.table(
+                    {
+                        "window_id": pa.array(wid[ok]),
+                        key_col: key.take(sel),
+                        "v": val.take(sel),
+                    }
+                )
             )
-        df = pd.concat(frames, ignore_index=True)
-        g = df.groupby(["window_id", key_col], sort=False).agg(
-            n_events=("v", "size"), min_value=("v", "min"), max_value=("v", "max")
-        ).reset_index()
-        g.insert(0, "rkey", g["window_id"].to_numpy() % R)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        t = pa.concat_tables(frames)
+        g = t.group_by(["window_id", key_col]).aggregate(
+            [
+                ("v", "count", pc.CountOptions(mode="all")),
+                ("v", "min"), ("v", "max"),
+            ]
+        ).rename_columns(
+            ["window_id", key_col, "n_events", "min_value", "max_value"]
+        )
+        return g.append_column(
+            "rkey", pa.array(g["window_id"].to_numpy() % np.int64(R))
+        )
 
     partials = coalesce_for_shuffle(
         ds.map_batches(partial, batch_format="pyarrow"), 0.25
     )
 
-    def merge_many(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby(["window_id", key_col], sort=False).agg(
-            n_events=("n_events", "sum"),
-            min_value=("min_value", "min"),
-            max_value=("max_value", "max"),
-        ).reset_index()
-        out["n_events"] = out["n_events"].astype(np.int64)
-        return out
+    def merge_many(g: pa.Table) -> pa.Table:
+        out = g.group_by(["window_id", key_col]).aggregate(
+            [("n_events", "sum"), ("min_value", "min"), ("max_value", "max")]
+        ).rename_columns(
+            ["window_id", key_col, "n_events", "min_value", "max_value"]
+        )
+        return out.set_column(
+            2, "n_events", pc.cast(out["n_events"], pa.int64())
+        )
 
-    return partials.groupby("rkey").map_groups(merge_many, batch_format="pandas")
+    return partials.groupby("rkey").map_groups(merge_many, batch_format="pyarrow")
 
 
 def distinct_count(ds, key_col: str, distinct_col: str, ts_col: str | None = None):
@@ -418,29 +445,33 @@ def distinct_count(ds, key_col: str, distinct_col: str, ts_col: str | None = Non
     R = reducer_count()
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
-            {
-                key_col: batch[key_col].to_pandas(),
-                distinct_col: batch[distinct_col].to_pandas(),
-            }
-        ).drop_duplicates()
-        v = df[distinct_col].to_numpy().astype(np.int64)
-        df.insert(0, "rkey", (v.view(np.uint64) % np.uint64(R)).astype(np.int64))
-        return pa.Table.from_pandas(df, preserve_index=False)
+        d = pa.table(
+            {key_col: batch[key_col], distinct_col: batch[distinct_col]}
+        ).group_by([key_col, distinct_col]).aggregate([])
+        v = d[distinct_col].to_numpy().astype(np.int64)
+        return d.append_column(
+            "rkey",
+            pa.array((v.view(np.uint64) % np.uint64(R)).astype(np.int64)),
+        )
 
     partials = coalesce_for_shuffle(
         ds.map_batches(partial, batch_format="pyarrow"), 0.25
     )
 
     # dedup (key, value) within each reducer (a value hashes to one
-    # reducer, so global dedup holds), then count per key
-    def count_distinct(g: pd.DataFrame) -> pd.DataFrame:
-        d = g.drop_duplicates([key_col, distinct_col])
-        out = d.groupby(key_col, sort=False).size().reset_index(name="partial_n")
-        return out
+    # reducer, so global dedup holds), then count per key — two Arrow
+    # hash-aggregates, no pandas
+    def count_distinct(g: pa.Table) -> pa.Table:
+        d = pa.table(
+            {key_col: g[key_col], distinct_col: g[distinct_col]}
+        ).group_by([key_col, distinct_col]).aggregate([])
+        out = d.group_by([key_col]).aggregate(
+            [(distinct_col, "count", pc.CountOptions(mode="all"))]
+        )
+        return out.rename_columns([key_col, "partial_n"])
 
     per_reducer = partials.groupby("rkey").map_groups(
-        count_distinct, batch_format="pandas"
+        count_distinct, batch_format="pyarrow"
     )
 
     # native aggregate — no per-key Python even at 10^6+ keys (Dataset
@@ -534,18 +565,12 @@ def grouped_median(ds, key_col: str, value_col: str,
     """
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
-            {
-                key_col: batch[key_col].to_pandas(),
-                value_col: batch[value_col].to_pandas(),
-            }
-        )
         g = (
-            df.groupby([key_col, value_col], sort=False)
-            .size()
-            .reset_index(name="cnt")
+            pa.table({key_col: batch[key_col], value_col: batch[value_col]})
+            .group_by([key_col, value_col])
+            .aggregate([([], "count_all")])
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return g.rename_columns([key_col, value_col, "cnt"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
@@ -583,18 +608,12 @@ def grouped_percentiles(ds, key_col: str, value_col: str,
     SQL oracle."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
-            {
-                key_col: batch[key_col].to_pandas(),
-                value_col: batch[value_col].to_pandas(),
-            }
-        )
         g = (
-            df.groupby([key_col, value_col], sort=False)
-            .size()
-            .reset_index(name="cnt")
+            pa.table({key_col: batch[key_col], value_col: batch[value_col]})
+            .group_by([key_col, value_col])
+            .aggregate([([], "count_all")])
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return g.rename_columns([key_col, value_col, "cnt"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 

@@ -93,7 +93,7 @@ def spatial_partition(ds, id_col: str, partition_size: int,
         b = batch["bucket"].to_numpy()
         return batch.append_column("rkey", pa.array(b >> np.int64(shift)))
 
-    def rank_reducer(g: pd.DataFrame) -> pd.DataFrame:
+    def rank_reducer(g: pa.Table) -> pa.Table:
         bucket = g["bucket"].to_numpy()
         hkey = g["hkey"].to_numpy()
         ids = g[id_col].to_numpy()
@@ -104,19 +104,20 @@ def spatial_partition(ds, id_col: str, partition_size: int,
         # position within bucket, vectorized run-length
         within = np.arange(len(order)) - np.repeat(starts, np.diff(np.r_[starts, len(order)]))
         rank = offsets[b_s] + within
-        return pd.DataFrame(
+        idx = pa.array(order)
+        return pa.table(
             {
-                id_col: ids[order],
-                "partition_id": rank // psize,
-                x_col: g[x_col].to_numpy()[order],
-                y_col: g[y_col].to_numpy()[order],
+                id_col: pa.array(ids[order]),
+                "partition_id": pa.array(rank // psize),
+                x_col: g[x_col].take(idx),
+                y_col: g[y_col].take(idx),
             }
         )
 
     return (
         keyed_ds.map_batches(add_rkey, batch_format="pyarrow")
         .groupby("rkey")
-        .map_groups(rank_reducer, batch_format="pandas")
+        .map_groups(rank_reducer, batch_format="pyarrow")
     )
 
 
@@ -129,34 +130,58 @@ def partition_envelopes(part_ds, x_col: str = "x", y_col: str = "y"):
 
     R = reducer_count()
 
+    def _envelope_stats(pid, x, y, n_in=None):
+        """Vectorized per-partition (n, min/max x/y) — one np.minimum.at
+        pass over ALL of a block's partitions (rule 3, no pandas)."""
+        up, inv = np.unique(pid, return_inverse=True)
+        nk = len(up)
+        n = np.zeros(nk, dtype=np.int64)
+        np.add.at(n, inv, np.ones(len(pid), np.int64) if n_in is None else n_in)
+        mnx = np.full(nk, np.inf)
+        mxx = np.full(nk, -np.inf)
+        mny = np.full(nk, np.inf)
+        mxy = np.full(nk, -np.inf)
+        np.minimum.at(mnx, inv, x[0])
+        np.maximum.at(mxx, inv, x[1])
+        np.minimum.at(mny, inv, y[0])
+        np.maximum.at(mxy, inv, y[1])
+        return up, n, mnx, mxx, mny, mxy
+
     def partial(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
+        x = batch[x_col].to_numpy()
+        y = batch[y_col].to_numpy()
+        up, n, mnx, mxx, mny, mxy = _envelope_stats(
+            batch["partition_id"].to_numpy(), (x, x), (y, y)
+        )
+        return pa.table(
             {
-                "partition_id": batch["partition_id"].to_numpy(),
-                "x": batch[x_col].to_numpy(),
-                "y": batch[y_col].to_numpy(),
+                "rkey": pa.array(up % np.int64(R)),
+                "partition_id": pa.array(up),
+                "n_rows": pa.array(n),
+                "min_x": pa.array(mnx), "max_x": pa.array(mxx),
+                "min_y": pa.array(mny), "max_y": pa.array(mxy),
             }
         )
-        g = df.groupby("partition_id").agg(
-            n_rows=("x", "size"),
-            min_x=("x", "min"), max_x=("x", "max"),
-            min_y=("y", "min"), max_y=("y", "max"),
-        ).reset_index()
-        g.insert(0, "rkey", g["partition_id"].to_numpy() % R)
-        return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = part_ds.map_batches(partial, batch_format="pyarrow")
 
-    def merge_many(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby("partition_id", sort=False).agg(
-            n_rows=("n_rows", "sum"),
-            min_x=("min_x", "min"), max_x=("max_x", "max"),
-            min_y=("min_y", "min"), max_y=("max_y", "max"),
-        ).reset_index()
-        out["n_rows"] = out["n_rows"].astype(np.int64)
-        return out
+    def merge_many(g: pa.Table) -> pa.Table:
+        up, n, mnx, mxx, mny, mxy = _envelope_stats(
+            g["partition_id"].to_numpy(),
+            (g["min_x"].to_numpy(), g["max_x"].to_numpy()),
+            (g["min_y"].to_numpy(), g["max_y"].to_numpy()),
+            n_in=g["n_rows"].to_numpy(),
+        )
+        return pa.table(
+            {
+                "partition_id": pa.array(up),
+                "n_rows": pa.array(n),
+                "min_x": pa.array(mnx), "max_x": pa.array(mxx),
+                "min_y": pa.array(mny), "max_y": pa.array(mxy),
+            }
+        )
 
-    return partials.groupby("rkey").map_groups(merge_many, batch_format="pandas")
+    return partials.groupby("rkey").map_groups(merge_many, batch_format="pyarrow")
 
 
 def build_partitioned_index(ds, id_col: str, partition_size: int,
@@ -174,7 +199,7 @@ def build_partitioned_index(ds, id_col: str, partition_size: int,
 
     parts = spatial_partition(ds, id_col, partition_size, x_col, y_col)
 
-    def build_group(g: pd.DataFrame) -> pd.DataFrame:
+    def build_group(g: pa.Table) -> pa.Table:
         from ..kernels import rtree
 
         ids = g[id_col].to_numpy().astype(np.int64)
@@ -183,20 +208,22 @@ def build_partitioned_index(ds, id_col: str, partition_size: int,
         order = np.argsort(ids, kind="stable")  # canonical insertion order
         ids, x, y = ids[order], x[order], y[order]
         buf = rtree.build_rtree(x, y, x, y)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "partition_id": [np.int64(g["partition_id"].iloc[0])],
-                "num_items": [np.int64(len(ids))],
-                "index": [buf.tobytes()],
-                "ids": [ids.tobytes()],
-                "min_x": [x.min() if len(x) else 0.0],
-                "min_y": [y.min() if len(y) else 0.0],
-                "max_x": [x.max() if len(x) else 0.0],
-                "max_y": [y.max() if len(y) else 0.0],
+                "partition_id": pa.array(
+                    [int(g["partition_id"][0].as_py())], pa.int64()
+                ),
+                "num_items": pa.array([len(ids)], pa.int64()),
+                "index": pa.array([buf.tobytes()], pa.binary()),
+                "ids": pa.array([ids.tobytes()], pa.binary()),
+                "min_x": pa.array([x.min() if len(x) else 0.0], pa.float64()),
+                "min_y": pa.array([y.min() if len(y) else 0.0], pa.float64()),
+                "max_x": pa.array([x.max() if len(x) else 0.0], pa.float64()),
+                "max_y": pa.array([y.max() if len(y) else 0.0], pa.float64()),
             }
         )
 
-    return parts.groupby("partition_id").map_groups(build_group, batch_format="pandas")
+    return parts.groupby("partition_id").map_groups(build_group, batch_format="pyarrow")
 
 
 def _env_dist(qx, qy, mnx, mny, mxx, mxy):

@@ -783,7 +783,7 @@ def pack_sequences(ds, id_col: str, text_col: str = "text",
         b = batch["bucket"].to_numpy()
         return batch.append_column("rkey", pa.array(b >> np.int64(shift2)))
 
-    def pack_reducer(g: pd.DataFrame) -> pd.DataFrame:
+    def pack_reducer(g: pa.Table) -> pa.Table:
         ids = g[id_col].to_numpy()
         tok = g["n_tokens"].to_numpy()
         bkt = g["bucket"].to_numpy()
@@ -795,19 +795,19 @@ def pack_sequences(ds, id_col: str, text_col: str = "text",
         seglen = np.diff(np.r_[starts, len(ids)])
         within = ecs - np.repeat(ecs[starts], seglen)
         start = base[np.searchsorted(bks, bkt)] + within
-        return pd.DataFrame(
+        return pa.table(
             {
-                id_col: ids,
-                "n_tokens": tok,
-                "start_offset": start,
-                "pack_id": start // np.int64(seq_len),
+                id_col: pa.array(ids),
+                "n_tokens": pa.array(tok),
+                "start_offset": pa.array(start),
+                "pack_id": pa.array(start // np.int64(seq_len)),
             }
         )
 
     return (
         keyed_ds.map_batches(add_rkey, batch_format="pyarrow")
         .groupby("rkey")
-        .map_groups(pack_reducer, batch_format="pandas")
+        .map_groups(pack_reducer, batch_format="pyarrow")
     )
 
 

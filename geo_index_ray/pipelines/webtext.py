@@ -532,25 +532,30 @@ def curation_pipeline(ds, id_col: str, text_col: str, lang_col: str,
         ds.map_batches(gate_and_hash, batch_format="pyarrow"), 0.5
     )
 
-    def first_per_hash(g: pd.DataFrame) -> pd.DataFrame:
-        g2 = g.sort_values(["h", id_col], kind="stable")
-        return g2.groupby("h", as_index=False).first()[[id_col, lang_col]]
+    def first_per_hash(g: pa.Table) -> pa.Table:
+        h = g["h"].to_numpy()
+        ids = g[id_col].to_numpy().astype(np.int64)
+        order = np.lexsort((ids, h))
+        hs = h[order]
+        keep = np.r_[True, hs[1:] != hs[:-1]]
+        idx = pa.array(order[keep])
+        return pa.table(
+            {id_col: g[id_col].take(idx), lang_col: g[lang_col].take(idx)}
+        )
 
     survivors = hashed.groupby("rkey").map_groups(
-        first_per_hash, batch_format="pandas"
+        first_per_hash, batch_format="pyarrow"
     )
 
     assigned = split_assign(survivors, id_col, weights)
 
     def count_partial(batch: pa.Table) -> pa.Table:
-        df = batch.select(["split", lang_col]).to_pandas()
         out = (
-            df.groupby(["split", lang_col], as_index=False)
-            .size()
-            .rename(columns={"size": "n_docs"})
+            batch.select(["split", lang_col])
+            .group_by(["split", lang_col])
+            .aggregate([([], "count_all")])
         )
-        out["n_docs"] = out["n_docs"].astype(np.int64)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return out.rename_columns(["split", lang_col, "n_docs"])
 
     partials = assigned.map_batches(count_partial, batch_format="pyarrow")
     return (

@@ -86,7 +86,6 @@ def topk_per_group(cands, group_col: str, k: int, sort_cols, sort_desc,
     mis-rank.  Float columns negate in their own dtype.
     """
     import numpy as np
-    import pandas as pd
     import pyarrow as pa
 
     R = reducer_count()
@@ -102,11 +101,11 @@ def topk_per_group(cands, group_col: str, k: int, sort_cols, sort_desc,
         cands.map_batches(add_rkey, batch_format="pyarrow"), 0.25
     )
 
-    def merge_many(g: pd.DataFrame) -> pd.DataFrame:
-        grp = g[group_col].to_numpy()
+    def merge_many(g: pa.Table) -> pa.Table:
+        grp = g[group_col].to_numpy(zero_copy_only=False)
         keys = []
         for c, d in zip(sort_cols, sort_desc):
-            a = g[c].to_numpy()
+            a = g[c].to_numpy(zero_copy_only=False)
             if not d:
                 keys.append(a)
             elif a.dtype.kind in "iMm":
@@ -126,11 +125,14 @@ def topk_per_group(cands, group_col: str, k: int, sort_cols, sort_desc,
         first = np.searchsorted(gs, gs, side="left")
         rank = np.arange(len(gs)) - first
         sel = rank < k
-        out = {c: g[c].to_numpy()[perm[sel]] for c in keep_cols}
-        out[rank_col] = (rank[sel] + 1).astype(np.int64)
-        return pd.DataFrame(out)
+        # Arrow take keeps every payload column's exact type — no
+        # pandas float64/object round-trip for ids, strings, timestamps
+        idx = pa.array(perm[sel])
+        out = {c: g[c].take(idx) for c in keep_cols}
+        out[rank_col] = pa.array((rank[sel] + 1).astype(np.int64))
+        return pa.table(out)
 
-    return keyed.groupby("rkey").map_groups(merge_many, batch_format="pandas")
+    return keyed.groupby("rkey").map_groups(merge_many, batch_format="pyarrow")
 
 
 def reducer_count(frac: float = 1.0) -> int:
