@@ -993,6 +993,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["knn_polygons"] = knn_polygons
 
+    def knn_wkb(sf_dir):
+        """kNN to targets carried as an opaque WKB binary geometry
+        column — the reference's decode-on-demand WkbDistanceMetric
+        (src/rtree/distance.rs:202-389) end-to-end: a source stage
+        ENCODES each part's pentagon to real WKB bytes, the kNN stage
+        PARSES those bytes (kernels/wkb.py, vectorized off the Arrow
+        buffers) and refines with exact point→geometry distance.
+        Convex rings make the distances bit-identical to knn_polygons'
+        vertex-column path, so the same pentagon SQL oracle gates the
+        whole encode→decode→refine loop."""
+        from geo_index_ray.kernels import geom
+        from geo_index_ray.kernels import wkb as wkb_kernel
+
+        nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+        nk = nation["n_nationkey"].to_numpy().astype(np.int64)
+        qxy = np.stack([geocode.derive_lon(nk), geocode.derive_lat(nk)], axis=1)
+        ds = tables.read_table(sf_dir, "part", columns=["p_partkey"])
+
+        def to_wkb(batch: pa.Table) -> pa.Table:
+            pk = batch["p_partkey"].to_numpy().astype(np.int64)
+            verts = geom.pentagon_vertices(
+                geocode.derive_lon(pk), geocode.derive_lat(pk),
+                geocode.derive_half_w(pk), geocode.derive_half_h(pk),
+            )
+            return pa.table(
+                {
+                    "p_partkey": pa.array(pk),
+                    "wkb": wkb_kernel.encode_polygons(verts),
+                }
+            )
+
+        targets = ds.map_batches(to_wkb, batch_format="pyarrow")
+        res = knn_pipe.knn_to_wkb(
+            targets, qxy, KNN_K, id_col="p_partkey", query_ids=nk
+        )
+        return res.select_columns(["query_id", "target_id", "rank"])
+
+    q["knn_wkb"] = knn_wkb
+
     def simhash_pairs_q(sf_dir):
         ds = tables.read_table(sf_dir, "documents", columns=["doc_id", "text"])
         return dedup_pipe.simhash_pairs(ds, "doc_id", max_hamming=3)
@@ -3514,7 +3553,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # pivot_user_events, purchasers_no_errors, purchasers_with_errors,
     # revenue_by_nation, user_top_event, eval_holdout_sample,
     # lang_holdout_sample, epoch_upsample, quality_resample, len_zscore,
-    # len_decile, median_gap_per_user, image_size_gate.
+    # len_decile, median_gap_per_user, image_size_gate, host_pagerank
+    # (family kept via pagerank_users/host_link_graph; yielded to the
+    # new knn_wkb operator).
     first_50 = [
         # re-verify the round-4 driver failure (fixed this round)
         "grid_clusters",
@@ -3527,7 +3568,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_knn", "knn_label_vote", "rrf_hybrid_search",
         # graph family
         "triangle_counts", "pagerank_users", "host_link_graph",
-        "host_pagerank", "seed_hop_distance",
+        "seed_hop_distance",
+        # round-5 generic WKB geometry accessor (new operator)
+        "knn_wkb",
         # trajectory / event-sequence family
         "trajectory_stats", "od_cell_matrix", "dwell_segments",
         "event_transitions", "funnel", "cohort_retention",
@@ -4098,6 +4141,39 @@ def oracle_sql() -> dict[str, str]:
     )
     _inside = " AND ".join(f"cr{j} >= 0.0" for j in range(5))
     sql["knn_polygons"] = f"""
+        WITH q AS (SELECT n_nationkey, {pt('n_nationkey')} FROM nation),
+        pv AS (
+          SELECT p_partkey, {_vcols} FROM (
+            SELECT p_partkey,
+                   {lon('p_partkey')} AS cx, {lat('p_partkey')} AS cy,
+                   {geocode.sql_half_w('p_partkey')} AS rx,
+                   {geocode.sql_half_h('p_partkey')} AS ry
+            FROM part
+          )
+        ),
+        lvl1 AS (
+          SELECT q.n_nationkey AS query_id, pv.p_partkey AS target_id,
+                 q.x AS x, q.y AS y, pv.*,
+                 {', '.join(_edge_lvl1)}
+          FROM q CROSS JOIN pv
+        ),
+        lvl2 AS (
+          SELECT query_id, target_id,
+                 CASE WHEN {_inside} THEN 0.0
+                      ELSE LEAST({', '.join(f'd{j}' for j in range(5))}) END AS dist
+          FROM (SELECT *, {_edge_lvl2} FROM lvl1)
+        )
+        SELECT query_id, target_id, rank FROM (
+          SELECT query_id, target_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY dist, target_id) AS rank
+          FROM lvl2
+        ) WHERE rank <= {KNN_K}
+    """
+
+    # knn_wkb: identical geometry semantics through the WKB encode->decode
+    # path — the oracle is the same pentagon distance expression
+    sql["knn_wkb"] = f"""
         WITH q AS (SELECT n_nationkey, {pt('n_nationkey')} FROM nation),
         pv AS (
           SELECT p_partkey, {_vcols} FROM (

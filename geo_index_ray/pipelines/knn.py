@@ -310,6 +310,85 @@ def knn_to_polygons(targets_ds, query_xy: np.ndarray, k: int, id_col: str,
     )
 
 
+class _LocalWkbKnn:
+    """Broadcast-probe kNN over a WKB geometry column — the reference's
+    decode-on-demand WkbDistanceMetric (src/rtree/distance.rs:202-389)
+    as a Ray stage: each batch parses its WKB bytes ONCE into flat
+    segment arrays (kernels.wkb.parse, vectorized off the Arrow binary
+    buffers) and refines every query with the exact point→geometry
+    distance (0 inside polygons).  Convex single-ring polygons produce
+    distances bit-identical to the vertex-column path, so the same SQL
+    oracle gates both."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, wkb_col: str):
+        self.queries_ref = queries_ref
+        self.qids = None
+        self.qx = None
+        self.qy = None
+        self.k = k
+        self.id_col = id_col
+        self.wkb_col = wkb_col
+
+    def _load(self):
+        import ray
+
+        q = ray.get(self.queries_ref)
+        self.qids = q["ids"]
+        self.qx = np.ascontiguousarray(q["xy"][:, 0])
+        self.qy = np.ascontiguousarray(q["xy"][:, 1])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..kernels import wkb
+
+        if self.qx is None:
+            self._load()
+        ids = batch[self.id_col].to_numpy().astype(np.int64)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "target_id": pa.array([], pa.int64()),
+                    "dist": pa.array([], pa.float64()),
+                }
+            )
+        w = wkb.parse(batch[self.wkb_col])
+        d = wkb.point_dist2(w, self.qx, self.qy)  # (n, q)
+        kk = min(self.k, len(ids))
+        kth = np.partition(d, kk - 1, axis=0)[kk - 1]
+        ti, qi = np.nonzero(d <= kth[None, :])
+        return pa.table(
+            {
+                "query_id": pa.array(self.qids[qi]),
+                "target_id": pa.array(ids[ti]),
+                "dist": pa.array(d[ti, qi]),
+            }
+        )
+
+
+def knn_to_wkb(targets_ds, query_xy: np.ndarray, k: int, id_col: str,
+               wkb_col: str = "wkb", query_ids: np.ndarray | None = None):
+    """Global top-k nearest targets per query point where targets carry
+    an opaque WKB ``binary`` geometry column (Point / LineString /
+    Polygon, holes supported) — full Q5 generic-GeometryAccessor parity.
+    Returns (query_id, target_id, rank, dist)."""
+    import ray
+
+    xy = np.ascontiguousarray(query_xy, dtype=np.float64)
+    if query_ids is None:
+        query_ids = np.arange(len(xy), dtype=np.int64)
+    queries_ref = ray.put({"xy": xy, "ids": np.asarray(query_ids, dtype=np.int64)})
+    candidates = targets_ds.map_batches(
+        _LocalWkbKnn(queries_ref, k, id_col, wkb_col), batch_format="pyarrow"
+    )
+
+    from ..stages.util import topk_per_group
+
+    return topk_per_group(
+        candidates, "query_id", k, ["dist", "target_id"], [False, False],
+        ["query_id", "target_id", "dist"],
+    )
+
+
 def knn_to_boxes(targets_ds, query_xy: np.ndarray, k: int, id_col: str,
                  query_ids: np.ndarray | None = None):
     """Global top-k nearest BOX targets per query point, by exact
