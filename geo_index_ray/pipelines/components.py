@@ -357,16 +357,24 @@ def pagerank_int(edges, src_col: str, dst_col: str, iters: int = 3,
     scale`` must stay under 2^63 — at the default scale that is ~10^5
     in-edges per node; shrink ``scale`` for denser graphs.
 
-    Shape per iteration (all composed from this repo's own operators —
-    the engine eating its own dog food):
+    Shape per iteration — exactly TWO coarse-key exchanges (the GraphX
+    src-cut/dst-cut shape, fused so each half-step is one shuffle plus
+    one vectorized reducer, with no general hash_join machinery):
 
-    - contributions: ``hash_join(pr, edges⋈outdeg, node=src)`` — the
-      pr table never broadcasts (node count can be corpus-sized); the
-      join + the ``groupby(dst).sum`` are the two lean all-to-alls.
-    - refresh: ``hash_join(nodes, incoming, how="left")`` fills nodes
-      with no in-edges from the base term.
+    - exchange 1 (src partition): edge rows keyed ``hash(src) % R``
+      union the state rows keyed ``hash(node) % R`` — co-located, so
+      each reducer resolves ``share = pr // outdeg`` for ALL of its
+      srcs with one searchsorted and emits per-dst partial sums
+      already keyed ``hash(dst) % R`` for the next exchange.
+    - exchange 2 (dst partition): partials union the static (node, d)
+      rows; each reducer sums incoming mass per node and applies the
+      damping recurrence — its output IS the next round's state leg,
+      already carrying its routing key.
 
-    Driver holds nothing; per-round state is the (node, pr) dataset.
+    The pr table never broadcasts (node count can be corpus-sized);
+    the driver holds nothing; per-round state is the (node, d, pr)
+    dataset.  Integer floor-division keeps every grouping order
+    equivalent, so the fused plan is bit-identical to the unfused one.
 
     ``state`` controls how the per-round state and the re-consumed
     inputs are held between iterations.  Ray Data lineages are TREES:
@@ -390,8 +398,6 @@ def pagerank_int(edges, src_col: str, dst_col: str, iters: int = 3,
     - ``"lazy"``: the original chained plan, zero pinning; only sane
       for 1-2 iterations.
     """
-    from .relational import hash_join
-
     if state not in ("memory", "parquet", "lazy"):
         raise ValueError(f"unknown state mode {state!r}")
     if state == "parquet":
@@ -451,86 +457,153 @@ def pagerank_int(edges, src_col: str, dst_col: str, iters: int = 3,
         "deg",
     )
 
-    def init_pr(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "pr", pa.array(np.full(batch.num_rows, scale, dtype=np.int64))
-        )
+    r = reducer_count()
 
-    # a typed empty seed block unioned in front keeps pr's schema
-    # statically known (the joins read Dataset.schema(); behind a groupby
-    # over a possibly-empty graph that inference would execute the
-    # aggregation — or return None and break slot typing).  One empty
-    # block, zero cost at scale.
-    _state_fields = {"node": pa.int64(), "d": pa.int64(), "pr": pa.int64()}
-    pr = _with_schema(
-        node_deg.map_batches(init_pr, batch_format="pyarrow"), _state_fields
-    )
+    # shared slot schema for BOTH exchanges: (rkey, k1, k2, k3, tag).
+    # exchange 1 — edge row: (h(src)%R, src, dst, 0, tag=0);
+    #              state row: (h(node)%R, node, pr, d, tag=1).
+    # exchange 2 — partial:  (h(dst)%R, dst, inc, 0, tag=0);
+    #              degree:   (h(node)%R, node, 0, d, tag=1).
+    _state_fields = {
+        "rkey": pa.int64(), "k1": pa.int64(), "k2": pa.int64(),
+        "k3": pa.int64(), "tag": pa.int8(),
+    }
 
-    def zero_inc(batch: pa.Table) -> pa.Table:
-        # the refresh union leg that re-seeds every node (and carries the
-        # static degree forward; the incoming leg ships d=0).  Sourced
-        # from the STATIC node_deg, never from pr: consuming the evolving
-        # pr twice per iteration would re-execute its lazy lineage once
-        # per consumer and compound exponentially across iterations.
+    def edge_slots(batch: pa.Table) -> pa.Table:
+        s = batch[src_col].to_numpy().astype(np.int64)
+        t = batch[dst_col].to_numpy().astype(np.int64)
         return pa.table(
             {
-                "node": batch["node"],
-                "d": batch["d"],
-                "inc": pa.array(np.zeros(batch.num_rows, np.int64)),
+                "rkey": pa.array(_rkey(s, r)),
+                "k1": pa.array(s),
+                "k2": pa.array(t),
+                "k3": pa.array(np.zeros(len(s), np.int64)),
+                "tag": pa.array(np.zeros(len(s), np.int8)),
             }
         )
 
+    def deg_slots(batch: pa.Table) -> pa.Table:
+        n = batch["node"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "rkey": pa.array(_rkey(n, r)),
+                "k1": pa.array(n),
+                "k2": pa.array(np.zeros(len(n), np.int64)),
+                "k3": pa.array(batch["d"].to_numpy().astype(np.int64)),
+                "tag": pa.array(np.ones(len(n), np.int8)),
+            }
+        )
+
+    edge_rows = _persist(
+        edges.map_batches(edge_slots, batch_format="pyarrow"), "edge_slots"
+    )
+    deg_rows = _persist(
+        node_deg.map_batches(deg_slots, batch_format="pyarrow"), "deg_slots"
+    )
+
+    def init_state(batch: pa.Table) -> pa.Table:
+        # state row: k2 = pr (starts at `scale`), k3 = static degree
+        return pa.table(
+            {
+                "rkey": batch["rkey"],
+                "k1": batch["k1"],
+                "k2": pa.array(np.full(batch.num_rows, scale, np.int64)),
+                "k3": batch["k3"],
+                "tag": batch["tag"],
+            }
+        )
+
+    state = _with_schema(
+        deg_rows.map_batches(init_state, batch_format="pyarrow"), _state_fields
+    )
+
+    def scatter(g: pa.Table) -> pa.Table:
+        """Exchange-1 reducer: all of this rkey's srcs resolve pr/d with
+        one searchsorted; emit per-dst partial sums keyed for exchange 2."""
+        tag = g["tag"].to_numpy()
+        k1 = g["k1"].to_numpy()
+        k2 = g["k2"].to_numpy()
+        is_e = tag == 0
+        src, dst = k1[is_e], k2[is_e]
+        node = k1[~is_e]
+        pr_v = k2[~is_e]
+        d_v = g["k3"].to_numpy()[~is_e]
+        if not len(src):
+            return pa.table({k: pa.array([], t) for k, t in _state_fields.items()})
+        order = np.argsort(node, kind="stable")
+        node_s, pr_s, d_s = node[order], pr_v[order], d_v[order]
+        pos = np.searchsorted(node_s, src)
+        share = pr_s[pos] // np.maximum(d_s[pos], 1)
+        u, inv = np.unique(dst, return_inverse=True)
+        acc = np.zeros(len(u), dtype=np.int64)
+        np.add.at(acc, inv, share)
+        return pa.table(
+            {
+                "rkey": pa.array(_rkey(u, r)),
+                "k1": pa.array(u),
+                "k2": pa.array(acc),
+                "k3": pa.array(np.zeros(len(u), np.int64)),
+                "tag": pa.array(np.zeros(len(u), np.int8)),
+            }
+        )
+
+    def gather(g: pa.Table) -> pa.Table:
+        """Exchange-2 reducer: sum incoming mass per node, apply the
+        damping recurrence — output IS the next round's state leg."""
+        tag = g["tag"].to_numpy()
+        k1 = g["k1"].to_numpy()
+        k2 = g["k2"].to_numpy()
+        node = k1[tag == 1]
+        d_v = g["k3"].to_numpy()[tag == 1]
+        order = np.argsort(node, kind="stable")
+        node_s, d_s = node[order], d_v[order]
+        inc = np.zeros(len(node_s), dtype=np.int64)
+        pd_, pv = k1[tag == 0], k2[tag == 0]
+        if len(pd_):
+            np.add.at(inc, np.searchsorted(node_s, pd_), pv)
+        npr = base + (damp_num * inc) // damp_den
+        return pa.table(
+            {
+                "rkey": pa.array(_rkey(node_s, r)),
+                "k1": pa.array(node_s),
+                "k2": pa.array(npr),
+                "k3": pa.array(d_s),
+                "tag": pa.array(np.ones(len(node_s), np.int8)),
+            }
+        )
+
+    from ..stages.util import coalesce_for_shuffle
+
     for _round in range(iters):
-        contrib = hash_join(
-            edges, pr, src_col, "node",
-            [dst_col], ["pr", "d"],
+        # coalesce before each sort: without it, the sort's output
+        # partition count compounds round over round (each round's state
+        # carries the previous sort's partitioning into the next union,
+        # and per-round wall time snowballs — measured 2.2/4.8/8.9 s for
+        # rounds 0/1/2 at sf0.1 before the clamp)
+        partials = (
+            coalesce_for_shuffle(edge_rows.union(state), 0.25)
+            .groupby("rkey")
+            .map_groups(scatter, batch_format="pyarrow")
         )
-
-        def share_partial(batch: pa.Table) -> pa.Table:
-            t = batch[dst_col].to_numpy().astype(np.int64)
-            s = batch["pr"].to_numpy() // np.maximum(batch["d"].to_numpy(), 1)
-            u, inv = np.unique(t, return_inverse=True)
-            acc = np.zeros(len(u), dtype=np.int64)
-            np.add.at(acc, inv, s)
-            return pa.table(
-                {
-                    "node": pa.array(u),
-                    "d": pa.array(np.zeros(len(u), np.int64)),
-                    "inc": pa.array(acc),
-                }
-            )
-
-        incoming = contrib.map_batches(share_partial, batch_format="pyarrow")
-        merged = (
-            node_deg.map_batches(zero_inc, batch_format="pyarrow")
-            .union(incoming)
-            .groupby("node")
-            .sum(["d", "inc"])
+        refreshed = (
+            coalesce_for_shuffle(deg_rows.union(partials), 0.25)
+            .groupby("rkey")
+            .map_groups(gather, batch_format="pyarrow")
         )
-
-        def refresh(batch: pa.Table) -> pa.Table:
-            inc = batch["sum(inc)"].to_numpy()
-            npr = base + (damp_num * inc.astype(np.int64)) // damp_den
-            return pa.table(
-                {
-                    "node": batch["node"],
-                    "d": batch["sum(d)"],
-                    "pr": pa.array(npr),
-                }
-            )
-
-        # re-seed the static schema each round (refresh sits behind a
+        # re-seed the static schema each round (gather sits behind a
         # groupby, so inference would otherwise execute it — or yield
         # None on an empty graph)
-        pr = _with_schema(
-            _persist(
-                merged.map_batches(refresh, batch_format="pyarrow"),
-                f"round_{_round}",
-            ),
-            _state_fields,
+        state = _with_schema(
+            _persist(refreshed, f"round_{_round}"), _state_fields
         )
 
-    return pr.select_columns(["node", "pr"])
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["k1"], "pr": batch["k2"]})
+
+    return _with_schema(
+        state.map_batches(finish, batch_format="pyarrow"),
+        {"node": pa.int64(), "pr": pa.int64()},
+    )
 
 
 def sql_pagerank_int(edges_sql: str, iters: int = 3, scale: int = 10**12,
@@ -1236,10 +1309,15 @@ def bfs_hops(edges, seeds, max_hops: int,
     link-distance-from-trusted-set signal (spam distance / seed-domain
     proximity) of web-graph curation.
 
-    Driver-coordinated rounds (≤ max_hops, the connected-components
-    round pattern): each round is one frontier ⋈ edges hash join →
-    native distinct → ANTI join against the visited set → the new
-    frontier.  The visited set and frontier stay DISTRIBUTED Datasets
+    Driver-coordinated rounds (≤ max_hops, the pagerank_int two-exchange
+    shape): exchange 1 co-locates the frontier with the symmetrized
+    edges under ``hash(u) % R`` and each reducer emits the out-neighbors
+    of ITS frontier nodes (per-reducer distinct) already keyed
+    ``hash(v) % R``; exchange 2 co-locates those candidates with the
+    visited set and each reducer resolves global distinct + the
+    anti-membership test + the hop label in one pass — its output IS
+    the next round's visited state, with the new frontier as a role
+    column.  The visited set and frontier stay DISTRIBUTED Datasets
     throughout (never broadcast, never driver-collected — the driver
     reads one count per round for the early exit).  The symmetrized
     edge list is materialized once and re-read every round (the CC
@@ -1248,63 +1326,146 @@ def bfs_hops(edges, seeds, max_hops: int,
     is O(edges × rounds) worst-case and O(edges) on expander-like
     graphs.
     """
-    from . import relational
+    from ..stages.util import coalesce_for_shuffle
+
+    r = reducer_count()
 
     def sym(batch: pa.Table) -> pa.Table:
         s = batch[src_col].to_numpy().astype(np.int64)
         d = batch[dst_col].to_numpy().astype(np.int64)
+        u = np.concatenate([s, d])
+        v = np.concatenate([d, s])
         return pa.table(
             {
-                "u": pa.array(np.concatenate([s, d])),
-                "v": pa.array(np.concatenate([d, s])),
+                "rkey": pa.array(_rkey(u, r)),
+                "node": pa.array(u),      # routing endpoint
+                "v": pa.array(v),
+                hop_col: pa.array(np.full(len(u), -1, np.int64)),
+                "role": pa.array(np.full(len(u), 2, np.int8)),  # edge
             }
         )
 
-    e = edges.map_batches(sym, batch_format="pyarrow").materialize()
+    _fields = {
+        "rkey": pa.int64(), "node": pa.int64(), "v": pa.int64(),
+        hop_col: pa.int64(), "role": pa.int8(),
+    }
+    e = _with_schema(
+        edges.map_batches(sym, batch_format="pyarrow"), _fields
+    ).materialize()
 
-    def labelled(nodes_ds, h: int):
-        def fn(b: pa.Table, _h=h) -> pa.Table:
-            return pa.table(
-                {
-                    node_col: b[node_col],
-                    hop_col: pa.array(
-                        np.full(b.num_rows, _h, np.int64)
-                    ),
-                }
-            )
-
-        return nodes_ds.map_batches(fn, batch_format="pyarrow")
-
-    def distinct_nodes(ds, col: str):
-        import ray.data as rd
-
-        counted = ds.groupby(col).count()
-        out = counted.map_batches(
-            lambda b: pa.table({node_col: b[col]}), batch_format="pyarrow"
+    def seed_rows(batch: pa.Table) -> pa.Table:
+        n = batch[node_col].to_numpy().astype(np.int64)
+        n = np.unique(n)
+        return pa.table(
+            {
+                "rkey": pa.array(_rkey(n, r)),
+                "node": pa.array(n),
+                "v": pa.array(np.zeros(len(n), np.int64)),
+                hop_col: pa.array(np.zeros(len(n), np.int64)),
+                "role": pa.array(np.ones(len(n), np.int8)),  # new/frontier
+            }
         )
-        # typed zero-row block: an all-empty groupby yields a schema-less
-        # Dataset, which the downstream hash_join cannot plan against
-        empty = rd.from_arrow(
-            pa.table({node_col: pa.array([], pa.int64())})
-        )
-        return empty.union(out)
 
-    frontier = distinct_nodes(seeds, node_col).materialize()
-    visited = labelled(frontier, 0).materialize()
+    def absorb_seeds(g: pa.Table) -> pa.Table:
+        # global seed distinct (per-batch uniques can collide across
+        # blocks): keep the first row per node
+        n = g["node"].to_numpy()
+        keep = np.unique(n, return_index=True)[1]
+        return g.take(pa.array(np.sort(keep)))
+
+    state = (
+        coalesce_for_shuffle(
+            _with_schema(
+                seeds.map_batches(seed_rows, batch_format="pyarrow"), _fields
+            ),
+            0.25,
+        )
+        .groupby("rkey")
+        .map_groups(absorb_seeds, batch_format="pyarrow")
+        .materialize()
+    )
+    state = _with_schema(state, _fields)
+
+    def is_frontier(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return b.filter(_pc.equal(b["role"], 1))
+
+    def expand(g: pa.Table) -> pa.Table:
+        """Exchange 1: neighbors of this reducer's frontier nodes."""
+        role = g["role"].to_numpy()
+        is_e = role == 2
+        fr = np.unique(g["node"].to_numpy()[role == 1])
+        if not len(fr) or not is_e.any():
+            return pa.table({k: pa.array([], t) for k, t in _fields.items()})
+        eu = g["node"].to_numpy()[is_e]
+        ev = g["v"].to_numpy()[is_e]
+        pos = np.searchsorted(fr, eu)
+        hit = (pos < len(fr)) & (fr[np.minimum(pos, len(fr) - 1)] == eu)
+        out = np.unique(ev[hit])
+        return pa.table(
+            {
+                "rkey": pa.array(_rkey(out, r)),
+                "node": pa.array(out),
+                "v": pa.array(np.zeros(len(out), np.int64)),
+                hop_col: pa.array(np.full(len(out), -1, np.int64)),
+                "role": pa.array(np.zeros(len(out), np.int8)),  # candidate
+            }
+        )
+
+    def absorb(g: pa.Table, h: int) -> pa.Table:
+        """Exchange 2: visited rows pass through (role -> keep), globally
+        distinct unvisited candidates join labelled hop h (role new)."""
+        role = g["role"].to_numpy()
+        vis = role >= 1
+        vn = np.sort(g["node"].to_numpy()[vis])
+        cand = np.unique(g["node"].to_numpy()[role == 0])
+        if len(vn) and len(cand):
+            pos = np.searchsorted(vn, cand)
+            seen = (pos < len(vn)) & (vn[np.minimum(pos, len(vn) - 1)] == cand)
+            cand = cand[~seen]
+        keep = g.filter(pa.array(vis))
+        keep = keep.set_column(
+            4, "role", pa.array(np.full(keep.num_rows, 3, np.int8))
+        )
+        new = pa.table(
+            {
+                "rkey": pa.array(_rkey(cand, r)),
+                "node": pa.array(cand),
+                "v": pa.array(np.zeros(len(cand), np.int64)),
+                hop_col: pa.array(np.full(len(cand), h, np.int64)),
+                "role": pa.array(np.ones(len(cand), np.int8)),
+            }
+        )
+        return pa.concat_tables([keep, new])
+
+    import functools
 
     for h in range(1, int(max_hops) + 1):
-        cand = relational.hash_join(
-            frontier, e, node_col, "u",
-            left_cols=[], right_cols=["v"], how="inner",
+        cands = (
+            coalesce_for_shuffle(e.union(state), 0.25)
+            .groupby("rkey")
+            .map_groups(expand, batch_format="pyarrow")
         )
-        cand_nodes = distinct_nodes(cand, "v")
-        new = relational.hash_join(
-            cand_nodes, visited, node_col, node_col,
-            left_cols=[node_col], right_cols=[], how="anti",
-        ).materialize()
-        if new.count() == 0:
+        state = _with_schema(
+            coalesce_for_shuffle(state.union(cands), 0.25)
+            .groupby("rkey")
+            .map_groups(
+                functools.partial(absorb, h=h), batch_format="pyarrow"
+            )
+            .materialize(),
+            _fields,
+        )
+        n_new = state.map_batches(
+            is_frontier, batch_format="pyarrow"
+        ).count()
+        if n_new == 0:
             break
-        visited = visited.union(labelled(new, h)).materialize()
-        frontier = new
 
-    return visited
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({node_col: b["node"], hop_col: b[hop_col]})
+
+    return _with_schema(
+        state.map_batches(finish, batch_format="pyarrow"),
+        {node_col: pa.int64(), hop_col: pa.int64()},
+    )
