@@ -1440,7 +1440,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 }
             )
 
-        return agg.map_batches(finish, batch_format="pyarrow")
+        from geo_index_ray.pipelines.components import _with_schema
+
+        # empty scan slice (a shipdate cut before the data's range) must
+        # still carry the 10-column schema
+        return _with_schema(
+            agg.map_batches(finish, batch_format="pyarrow"),
+            {
+                "l_returnflag": pa.string(), "l_linestatus": pa.string(),
+                "sum_qty": pa.float64(), "sum_base_price": pa.float64(),
+                "sum_disc_price": pa.float64(), "sum_charge": pa.float64(),
+                "avg_qty": pa.float64(), "avg_price": pa.float64(),
+                "avg_disc": pa.float64(), "count_order": pa.int64(),
+            },
+        )
 
     q["tpch_q1"] = tpch_q1
 
@@ -1519,7 +1532,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 }
             )
 
-        return top.repartition(1).map_batches(finish, batch_format="pyarrow")
+        from geo_index_ray.pipelines.components import _with_schema
+
+        return _with_schema(
+            top.repartition(1).map_batches(finish, batch_format="pyarrow"),
+            {
+                "l_orderkey": pa.int64(), "revenue": pa.float64(),
+                "o_orderdate": pa.timestamp("us"),
+            },
+        )
 
     q["tpch_q3"] = tpch_q3
 
@@ -2695,6 +2716,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         agg = ds.map_batches(partials, batch_format="pyarrow")
         tot = agg.sum(["rev_hi", "rev_lo", "n"])
+        # empty window: Ray's sum yields None — SQL gives one row with
+        # NULL revenue and COUNT(*) = 0; mirror it
+        if not tot or tot.get("sum(n)") is None:
+            return pa.table(
+                {
+                    "revenue": pa.array([None], pa.float64()),
+                    "n_rows": pa.array([0], pa.int64()),
+                }
+            )
         rev = float(
             int(tot["sum(rev_hi)"]) * int(SPLIT) + int(tot["sum(rev_lo)"])
         )
@@ -2845,6 +2875,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
             .to_pandas()
         )
+        if "doc_id" not in b.columns:  # zero keyword hits: typed empty
+            import pandas as _pd
+
+            b = _pd.DataFrame({"doc_id": np.array([], np.int64)})
         b["rb"] = np.arange(1, len(b) + 1, dtype=np.int64)
 
         t = _pq.read_table(

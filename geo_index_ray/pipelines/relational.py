@@ -769,4 +769,10 @@ def interval_count_join(points, intervals, ts_col: str, ikey_col: str,
             }
         )
 
-    return summed.map_batches(finish, batch_format="pyarrow")
+    from .components import _with_schema
+
+    # zero matching intervals -> empty groupby loses its schema
+    return _with_schema(
+        summed.map_batches(finish, batch_format="pyarrow"),
+        {ikey_col: pa.int64(), out_count: pa.int64()},
+    )
