@@ -4560,16 +4560,20 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # --- multimodal fake-decode twins (byte math over the text payload) ---
+    # GREATEST(..., 0): DuckDB's unicode('') returns -1 (not NULL), so a
+    # text shorter than 8 chars would otherwise subtract 256^i per
+    # missing position instead of contributing 0 (engine reads the
+    # actual payload bytes; absent bytes contribute nothing)
     _checksum = " + ".join(
-        f"CAST(COALESCE(unicode(substr(text, {i + 1}, 1)), 0) AS HUGEINT)"
-        f" * {1 << (8 * i)}"
+        f"CAST(GREATEST(COALESCE(unicode(substr(text, {i + 1}, 1)), 0), 0)"
+        f" AS HUGEINT) * {1 << (8 * i)}"
         for i in range(8)
     )
     sql["multimodal_decode"] = f"""
         SELECT doc_id,
                CAST(length(text) AS BIGINT) AS n_bytes,
-               CAST(COALESCE(unicode(substr(text, 1, 1)), 0) * 16 + 64 AS BIGINT) AS width,
-               CAST(COALESCE(unicode(substr(text, 2, 1)), 0) * 16 + 64 AS BIGINT) AS height,
+               CAST(GREATEST(COALESCE(unicode(substr(text, 1, 1)), 0), 0) * 16 + 64 AS BIGINT) AS width,
+               CAST(GREATEST(COALESCE(unicode(substr(text, 2, 1)), 0), 0) * 16 + 64 AS BIGINT) AS height,
                CAST(({_checksum}) % 9223372036854775808 AS BIGINT) AS checksum
         FROM documents
     """

@@ -388,22 +388,25 @@ class ResizeStage:
             resized = pa.array(out, pa.binary())
         else:
             # fake: tile each payload's bytes to a target-area-derived
-            # length — vectorized gather with modular indexing
+            # length — vectorized gather with modular indexing.  An
+            # EMPTY payload tiles to an empty output (the real-decode
+            # path and the SQL twin's substr(repeat(...)) agree).
             lens, starts, values = _binary_views(batch[self.payload_col])
             out_len = max(16, (self.target_w * self.target_h) // 1024)
             n = len(lens)
             safe_lens = np.maximum(lens, 1)
+            row_out = np.where(lens > 0, out_len, 0).astype(np.int64)
             idx = starts[:, None] + (np.arange(out_len)[None, :] % safe_lens[:, None])
             if len(values) == 0:
-                flat = np.zeros(n * out_len, np.uint8)
+                flat = np.zeros(0, np.uint8)
             else:
-                flat = np.where(
-                    (lens > 0)[:, None],
-                    values[np.clip(idx, 0, len(values) - 1)],
-                    0,
-                ).astype(np.uint8).ravel()
+                keep = (lens > 0)[:, None] & np.ones(out_len, bool)[None, :]
+                flat = values[np.clip(idx, 0, len(values) - 1)][keep].astype(
+                    np.uint8
+                ).ravel()
             offsets = pa.array(
-                (np.arange(n + 1) * out_len).astype(np.int32), pa.int32()
+                np.concatenate([[0], np.cumsum(row_out)]).astype(np.int32),
+                pa.int32(),
             )
             resized = pa.BinaryArray.from_buffers(
                 pa.binary(), n,

@@ -472,11 +472,23 @@ def bm25_topk(ds, id_col: str, query_terms, text_col: str = "text",
             ids, sc = ids[order], sc[order]
         return pa.table({id_col: pa.array(ids), "score": pa.array(sc)})
 
-    return (
+    out = (
         ds.map_batches(score_block, batch_format="pyarrow")
         .sort(["score", id_col], descending=[True, False])
         .limit(k)
+        .materialize()  # bounded: at most k rows
     )
+    if out.count() == 0:
+        # zero keyword hits: Ray's empty limit loses its schema (and a
+        # typed-empty union cannot wrap a limit — the planner asserts
+        # re-planning union+limit), so return a typed empty directly
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table({id_col: pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64())})
+        )
+    return out
 
 
 def sql_bm25_topk(table: str, id_col: str, query_terms, k: int = 20,
