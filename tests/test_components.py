@@ -396,3 +396,55 @@ class TestStarInvariant:
             if len(ids) > 1:
                 lbl = {got[i] for i in ids}
                 assert lbl == {int(ids.min())}
+
+
+class TestSmallGraphFold:
+    """Round-5: the size-gated single-task fold in pagerank_int /
+    bfs_hops must be bit-identical to the exchange path (integer
+    arithmetic / deterministic BFS make both order-independent)."""
+
+    def _graph(self, seed=31, n_nodes=200, n_edges=600):
+        import ray.data as rd
+
+        rng = np.random.default_rng(seed)
+        src = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+        dst = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+        return rd.from_arrow(
+            pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+        ).repartition(4)
+
+    def test_pagerank_paths_bit_identical(self, ray_session):
+        from geo_index_ray.pipelines.components import pagerank_int
+
+        small = (
+            pagerank_int(self._graph(), "src", "dst", iters=3)
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        exchange = (
+            pagerank_int(
+                self._graph(), "src", "dst", iters=3, small_graph_rows=0
+            )
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(small, exchange)
+
+    def test_bfs_paths_identical(self, ray_session):
+        import ray.data as rd
+
+        from geo_index_ray.pipelines.components import bfs_hops
+
+        seeds = rd.from_arrow(
+            pa.table({"node": pa.array([0, 7, 55], pa.int64())})
+        )
+        small = (
+            bfs_hops(self._graph(), seeds, 3)
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        seeds2 = rd.from_arrow(
+            pa.table({"node": pa.array([0, 7, 55], pa.int64())})
+        )
+        exchange = (
+            bfs_hops(self._graph(), seeds2, 3, small_graph_rows=0)
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(small, exchange)
