@@ -97,7 +97,8 @@ class TestPagerankInt:
         import os
 
         labels = sorted(os.listdir(ck))
-        assert {"edges", "deg", "round_0", "round_1", "round_2"} <= set(labels)
+        assert {"edge_slots", "deg_slots",
+                "round_0", "round_1", "round_2"} <= set(labels)
         # resume: rerun with the same dir reuses completed rounds and
         # still returns the identical result
         resumed = run(state="parquet", checkpoint_dir=ck)
