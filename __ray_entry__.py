@@ -1528,7 +1528,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     "revenue": pa.array(
                         b["sum(rc)"].to_numpy().astype(np.float64) / 10000.0
                     ),
-                    "o_orderdate": b["o_orderdate"],
+                    # Ray's groupby downcasts a timestamp[us] group key
+                    # to timestamp[s]; restore µs so the pandas dtype
+                    # matches the oracle's datetime64[us] exactly (the
+                    # driver hashes values as materialized)
+                    "o_orderdate": b["o_orderdate"].cast(pa.timestamp("us")),
                 }
             )
 
@@ -3918,7 +3922,7 @@ def oracle_sql() -> dict[str, str]:
         WITH q AS (SELECT n_nationkey, {pt('n_nationkey')} FROM nation),
              t AS (SELECT c_custkey, {pt('c_custkey')} FROM customer),
              d AS (
-               SELECT q.n_nationkey AS query_id, t.c_custkey AS target_id,
+               SELECT CAST(q.n_nationkey AS BIGINT) AS query_id, t.c_custkey AS target_id,
                       (t.x - q.x) * (t.x - q.x) + (t.y - q.y) * (t.y - q.y) AS dist
                FROM q CROSS JOIN t
              )
@@ -4113,7 +4117,7 @@ def oracle_sql() -> dict[str, str]:
         WITH q AS (SELECT n_nationkey, {pt('n_nationkey')} FROM nation),
              t AS (SELECT c_custkey, {pt('c_custkey')} FROM customer),
              d AS (
-               SELECT q.n_nationkey AS query_id, t.c_custkey AS target_id,
+               SELECT CAST(q.n_nationkey AS BIGINT) AS query_id, t.c_custkey AS target_id,
                       {hav} AS dist
                FROM q CROSS JOIN t
              )
@@ -4135,7 +4139,7 @@ def oracle_sql() -> dict[str, str]:
                FROM part
              ),
              d AS (
-               SELECT q.n_nationkey AS query_id, t.p_partkey AS target_id,
+               SELECT CAST(q.n_nationkey AS BIGINT) AS query_id, t.p_partkey AS target_id,
                       POWER(GREATEST(t.mnx - q.x, 0) + GREATEST(q.x - t.mxx, 0), 2)
                       + POWER(GREATEST(t.mny - q.y, 0) + GREATEST(q.y - t.mxy, 0), 2) AS dist
                FROM q CROSS JOIN t
@@ -4187,7 +4191,7 @@ def oracle_sql() -> dict[str, str]:
           )
         ),
         lvl1 AS (
-          SELECT q.n_nationkey AS query_id, pv.p_partkey AS target_id,
+          SELECT CAST(q.n_nationkey AS BIGINT) AS query_id, pv.p_partkey AS target_id,
                  q.x AS x, q.y AS y, pv.*,
                  {', '.join(_edge_lvl1)}
           FROM q CROSS JOIN pv
@@ -4220,7 +4224,7 @@ def oracle_sql() -> dict[str, str]:
           )
         ),
         lvl1 AS (
-          SELECT q.n_nationkey AS query_id, pv.p_partkey AS target_id,
+          SELECT CAST(q.n_nationkey AS BIGINT) AS query_id, pv.p_partkey AS target_id,
                  q.x AS x, q.y AS y, pv.*,
                  {', '.join(_edge_lvl1)}
           FROM q CROSS JOIN pv
@@ -4881,7 +4885,7 @@ def oracle_sql() -> dict[str, str]:
     sql["radius_pruned"] = f"""
         WITH q AS (SELECT n_nationkey, {pt('n_nationkey')} FROM nation),
              t AS (SELECT c_custkey, {pt('c_custkey')} FROM customer)
-        SELECT q.n_nationkey AS query_id, t.c_custkey AS target_id
+        SELECT CAST(q.n_nationkey AS BIGINT) AS query_id, t.c_custkey AS target_id
         FROM q CROSS JOIN t
         WHERE {hav} <= {WITHIN_M}
     """

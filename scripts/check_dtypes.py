@@ -64,20 +64,20 @@ def main():
             print(f"{name:<24} ERROR {type(exc).__name__}: {exc}")
             n_bad += 1
             continue
-        mism = []
-        for c in sorted(set(df.columns) & set(want.columns)):
-            a, b = df[c].dtype, want[c].dtype
-            if a != b:
-                # int vs float is the hash-relevant hazard; object-vs-
-                # object or unicode width differences are not
-                ka = np.dtype(a).kind
-                kb = np.dtype(b).kind
-                if ka != kb:
-                    mism.append(f"{c}: engine={a} oracle={b}")
+        # STRICT comparison: int64-vs-int32 and datetime64[us]-vs-[s]
+        # both hash differently at the byte level even when every value
+        # is equal (Ray's groupby downcasts timestamp[us] group keys to
+        # [s]; DuckDB SUM(BIGINT) widens to HUGEINT→float64; parquet
+        # int32 keys pass through oracles while the engine emits int64)
+        mism = [
+            f"{c}: engine={df[c].dtype} oracle={want[c].dtype}"
+            for c in sorted(set(df.columns) & set(want.columns))
+            if df[c].dtype != want[c].dtype
+        ]
         if mism:
             n_bad += 1
             print(f"{name:<24} DTYPE MISMATCH  " + "; ".join(mism))
-    print(f"done: {n_bad} queries with kind-level dtype mismatches")
+    print(f"done: {n_bad} queries with strict dtype mismatches")
     return 0 if n_bad == 0 else 1
 
 
