@@ -197,7 +197,8 @@ def _star_round(edges_ds, large: bool, r: int):
 
 
 def connected_components(pairs_ds, a_col: str = "a_id", b_col: str = "b_id",
-                         max_rounds: int = 24):
+                         max_rounds: int = 24,
+                         small_graph_rows: int = 2_000_000):
     """(node, component) for every node in the pair list; component = min id.
 
     ``pairs_ds``: Dataset with two int64 id columns.  Returns a Dataset
@@ -206,6 +207,14 @@ def connected_components(pairs_ds, a_col: str = "a_id", b_col: str = "b_id",
     Driver loop holds only an (hash, count) fingerprint per round; the
     edge Dataset is re-materialized each round (lean: 16 B/row) so the
     streaming executor frees the previous round's blocks.
+
+    ``small_graph_rows``: the cleaned edge list is materialized once up
+    front (its first large-star round would materialize it anyway), so
+    its row count is free metadata; at or under the gate the labels are
+    resolved inside ONE task (vectorized min-label propagation with
+    pointer jumping) instead of O(log n) two-exchange rounds — min-id
+    component labels are canonical, so the two paths agree exactly
+    (pinned by ``tests/test_components.py::TestSmallGraphFold``).
     """
     r = reducer_count()
 
@@ -215,7 +224,36 @@ def connected_components(pairs_ds, a_col: str = "a_id", b_col: str = "b_id",
         keep = a != b
         return pa.table({"u": pa.array(a[keep]), "v": pa.array(b[keep])})
 
-    edges = pairs_ds.map_batches(to_edges, batch_format="pyarrow")
+    edges = pairs_ds.map_batches(to_edges, batch_format="pyarrow").materialize()
+
+    if edges.count() <= small_graph_rows:
+        def cc_all(b: pa.Table) -> pa.Table:
+            u = b["u"].to_numpy()
+            v = b["v"].to_numpy()
+            nodes = np.unique(np.concatenate([u, v]))
+            ui = np.searchsorted(nodes, u)
+            vi = np.searchsorted(nodes, v)
+            lbl = np.arange(len(nodes), dtype=np.int64)
+            while True:
+                prev = lbl.copy()
+                # propagate the smaller label across every edge, both
+                # directions, then compress one pointer-jump level;
+                # labels are indices into the SORTED node array, so the
+                # fixpoint label is the component's min id's index
+                np.minimum.at(lbl, ui, lbl[vi])
+                np.minimum.at(lbl, vi, lbl[ui])
+                lbl = np.minimum(lbl, lbl[lbl])
+                if np.array_equal(lbl, prev):
+                    break
+            return pa.table(
+                {"node": pa.array(nodes), "component": pa.array(nodes[lbl])}
+            )
+
+        return _with_schema(
+            edges.repartition(1)
+            .map_batches(cc_all, batch_format="pyarrow", batch_size=None),
+            {"node": pa.int64(), "component": pa.int64()},
+        )
 
     def fingerprint(ds) -> tuple[int, int, int]:
         parts = ds.map_batches(

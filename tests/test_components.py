@@ -448,3 +448,26 @@ class TestSmallGraphFold:
             .to_pandas().sort_values("node").reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(small, exchange)
+
+    def test_cc_paths_identical(self, ray_session):
+        from geo_index_ray.pipelines.components import connected_components
+
+        def pairs():
+            import ray.data as rd
+
+            rng = np.random.default_rng(77)
+            a = rng.integers(0, 400, 900).astype(np.int64)
+            b = rng.integers(0, 400, 900).astype(np.int64)
+            return rd.from_arrow(
+                pa.table({"a_id": pa.array(a), "b_id": pa.array(b)})
+            ).repartition(4)
+
+        small = (
+            connected_components(pairs())
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        exchange = (
+            connected_components(pairs(), small_graph_rows=0)
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(small, exchange)
