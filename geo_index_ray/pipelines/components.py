@@ -1097,7 +1097,8 @@ def user_k_ring_edges(ds, user_col: str = "user_id", props_col: str = "props"):
 
 def pagerank(edges, src_col: str = "src", dst_col: str = "dst",
              iters: int = 2, r0_bits: int = 20,
-             alpha_num: int = 85, alpha_den: int = 100):
+             alpha_num: int = 85, alpha_den: int = 100,
+             small_graph_rows: int = 2_000_000):
     """Integer-quantized PageRank over a directed edge Dataset — the
     canonical link-authority score for web-corpus curation (rank pages
     before sampling / filtering), engine-added like the rest of the
@@ -1142,6 +1143,38 @@ def pagerank(edges, src_col: str = "src", dst_col: str = "dst",
 
     r0 = np.int64(1) << np.int64(r0_bits)
     teleport = np.int64((alpha_den - alpha_num) * int(r0) // alpha_den)
+
+    if edges.count() <= small_graph_rows:
+        # small-graph fold (same gate as pagerank_int): all-integer
+        # arithmetic is order-independent, so running every round in one
+        # task is bit-identical to the exchange path (pinned by
+        # tests/test_components.py::TestSmallGraphFold)
+        def all_rounds(b: pa.Table) -> pa.Table:
+            s = b[src_col].to_numpy().astype(np.int64)
+            t = b[dst_col].to_numpy().astype(np.int64)
+            nodes = np.unique(np.concatenate([s, t]))
+            si = np.searchsorted(nodes, s)
+            ti = np.searchsorted(nodes, t)
+            outdeg = np.bincount(si, minlength=len(nodes)).astype(np.int64)
+            rq = np.full(len(nodes), int(r0), np.int64)
+            for _ in range(iters):
+                share = np.zeros(len(nodes), np.int64)
+                nz = outdeg > 0
+                share[nz] = rq[nz] // outdeg[nz]
+                sacc = np.zeros(len(nodes), np.int64)
+                np.add.at(sacc, ti, share[si])
+                rq = (
+                    np.int64(alpha_num) * sacc // np.int64(alpha_den)
+                    + teleport
+                )
+            return pa.table({"node": pa.array(nodes), "rank_q": pa.array(rq)})
+
+        return _with_schema(
+            edges.select_columns([src_col, dst_col])
+            .repartition(1)
+            .map_batches(all_rounds, batch_format="pyarrow", batch_size=None),
+            {"node": pa.int64(), "rank_q": pa.int64()},
+        )
 
     def as_node(col):
         def f(batch: pa.Table) -> pa.Table:

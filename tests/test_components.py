@@ -471,3 +471,19 @@ class TestSmallGraphFold:
             .to_pandas().sort_values("node").reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(small, exchange)
+
+    def test_quantized_pagerank_paths_bit_identical(self, ray_session):
+        from geo_index_ray.pipelines.components import pagerank
+
+        small = (
+            pagerank(self._graph(seed=41), "src", "dst", iters=2)
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        exchange = (
+            pagerank(
+                self._graph(seed=41), "src", "dst", iters=2,
+                small_graph_rows=0,
+            )
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(small, exchange)
