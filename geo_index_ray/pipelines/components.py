@@ -766,7 +766,8 @@ def _pair_view(x: np.ndarray, y: np.ndarray) -> np.ndarray:
 from ..stages.pairjoin import pair_hash_mod as _pair_rkey  # noqa: E402
 
 
-def triangle_counts(ds, a_col: str, b_col: str):
+def triangle_counts(ds, a_col: str, b_col: str,
+                    small_graph_rows: int = 2_000_000):
     """Per-node triangle counts of an undirected graph (the clustering-
     coefficient numerator) — exact, via rank-oriented wedge closure
     ("compact-forward", Latapy 2008): orient each edge from the lower
@@ -821,7 +822,60 @@ def triangle_counts(ds, a_col: str, b_col: str):
         coalesce_for_shuffle(ds.map_batches(canon, batch_format="pyarrow"), 0.5)
         .groupby("rkey")
         .map_groups(distinct_edges, batch_format="pyarrow")
-    )
+    ).materialize()  # consumed twice below (degrees + attach); count is
+    # then free metadata for the small-graph gate
+
+    if edges.count() <= small_graph_rows:
+        # small-graph fold (same gate as pagerank/bfs/CC): exact wedge
+        # closure is deterministic, so one task over the whole edge
+        # list returns the identical (node, n_tri) table
+        def tri_all(b: pa.Table) -> pa.Table:
+            x = b["x"].to_numpy(zero_copy_only=False)
+            y = b["y"].to_numpy(zero_copy_only=False)
+            ends = np.concatenate([x, y])
+            nodes_arr, inv = np.unique(ends, return_inverse=True)
+            deg_all = np.bincount(inv, minlength=len(nodes_arr)).astype(np.int64)
+            dx = deg_all[inv[: len(x)]]
+            dy = deg_all[inv[len(x):]]
+            fwd = (dx < dy) | ((dx == dy) & (x < y))
+            u = np.where(fwd, x, y)
+            v = np.where(fwd, y, x)
+            dv = np.where(fwd, dy, dx)
+            order = np.lexsort((v, dv, u))
+            us, vs = u[order], v[order]
+            starts = np.nonzero(np.r_[True, us[1:] != us[:-1]])[0]
+            sizes = np.diff(np.r_[starts, len(us)])
+            out_u, out_v, out_w = [], [], []
+            for t0, t1 in gap_pair_offsets(starts, sizes):
+                out_u.append(us[t0])
+                out_v.append(vs[t0])
+                out_w.append(vs[t1])
+            uniq = np.array([], np.int64)
+            cnt = np.array([], np.int64)
+            if out_u:
+                wu = np.concatenate(out_u)
+                wv = np.concatenate(out_v)
+                ww = np.concatenate(out_w)
+                ev = np.sort(_pair_view(u, v))
+                q = _pair_view(wv, ww)
+                pos = np.searchsorted(ev, q)
+                hit = np.zeros(len(q), bool)
+                inb = pos < len(ev)
+                hit[inb] = ev[pos[inb]] == q[inb]
+                tri_nodes = np.concatenate([wu[hit], wv[hit], ww[hit]])
+                uniq, cnt = np.unique(tri_nodes, return_counts=True)
+            return pa.table(
+                {
+                    "node": pa.array(uniq.astype(np.int64)),
+                    "n_tri": pa.array(cnt.astype(np.int64)),
+                }
+            )
+
+        return _with_schema(
+            edges.repartition(1)
+            .map_batches(tri_all, batch_format="pyarrow", batch_size=None),
+            {"node": pa.int64(), "n_tri": pa.int64()},
+        )
 
     # -- 2. degrees (node, deg) --------------------------------------------
     def deg_partial(batch: pa.Table) -> pa.Table:

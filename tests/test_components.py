@@ -487,3 +487,18 @@ class TestSmallGraphFold:
             .to_pandas().sort_values("node").reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(small, exchange)
+
+    def test_triangle_paths_identical(self, ray_session):
+        from geo_index_ray.pipelines.components import triangle_counts
+
+        small = (
+            triangle_counts(self._graph(seed=53), "src", "dst")
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        exchange = (
+            triangle_counts(
+                self._graph(seed=53), "src", "dst", small_graph_rows=0
+            )
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(small, exchange)
