@@ -416,14 +416,20 @@ def negative_samples(pos_ds, user_col: str, item_col: str, n_items: int,
     Bounds (documented, asserted): ``u·n_items`` and ``u·A`` must fit
     int64 — u < 2⁶³/max(n_items, A) (10⁹ users × 10⁷ items is fine).
 
-    Scale shape: positives stream once into the distinct-user groupby
-    and once into the anti-join; candidates are m rows per DISTINCT user
-    (never per event); nothing is broadcast.
+    Scale shape: positives are projected to the two id columns
+    (16 B/row) and materialized ONCE — they feed both the distinct-user
+    groupby and the anti-join, and a lazy input would re-run its whole
+    upstream derivation (e.g. the orders⋈lineitem join) per consumer
+    (measured 10.3 → 7.7 s at sf0.1/8cpu).  Object-store resident,
+    spills under pressure — the same lean-table trade as the graph
+    ops' edge lists; candidates are m rows per DISTINCT user (never
+    per event); nothing is broadcast.
     """
     from ..stages.util import topk_per_group
     from .relational import hash_join
 
     m = m_factor * k
+    pos_ds = pos_ds.select_columns([user_col, item_col]).materialize()
     users = pos_ds.groupby(user_col).count()
 
     # pack stride n_items+1: candidates are 0-based (item < n_items) but
